@@ -1,0 +1,52 @@
+"""isokann_tpu — a TPU-native ISOKANN framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the reference
+ISOKANN.jl package (learning Koopman invariant-subspace membership functions
+chi of stochastic/molecular dynamics), designed TPU-first:
+
+- simulators are pure functions vmapped over walkers (one device program
+  propagates every walker; the reference used threaded per-walker loops),
+- the training episode (Koopman forward, shift-scale target, minibatch SGD)
+  is a single fused jitted ``lax.scan``,
+- multi-chip scaling shards walkers and batches over a ``jax.sharding.Mesh``
+  (see ``isokann_tpu.parallel``),
+- molecular dynamics (Amber-type force field, Langevin/BAOAB/Girsanov
+  integrators) runs batched on-device (see ``isokann_tpu.md``).
+
+Array convention: batch-leading.  xs: (n, d), Koopman samples ys: (n, k, d),
+features (n, f) / (n, k, f), chi (n, nchi).
+"""
+
+__version__ = "0.1.0"
+
+from .models import MLP, pairnet, densenet, smallnet, growmodel
+from .optim import AdamRegularized, NesterovRegularized
+from .targets import (
+    DomainError,
+    TransformShiftscale, TransformISA, TransformPseudoInv, Stabilize,
+    TransformGramSchmidt, TransformLeftRight, TransformLeftRightHistory,
+    TransformSVD, TransformSVDRev, TransformPinv, TransformCross,
+    shiftscale, expectation, isotarget, koopman,
+    residual_linear, residual_ritz, residual_subspace,
+)
+from .data import (
+    SimulationData, WeightedSamples,
+    bootstrap, data_from_trajectory, data_from_trajectories,
+    subsample, subsample_inds, mergedata, addcoords,
+    resample_kde, resample_strat,
+    trajectorydata_linear, trajectorydata_bursts,
+    exportdata, exportsorted,
+)
+from .iso import (
+    Iso, run, run_kde, chis, chicoords,
+    FunctionLogger, ValidationLossLogger, validationloss,
+    rates, chi_exit_rate, simulationtime, save, load,
+)
+from .sample import (
+    subsample_uniformgrid, pickclosest, resample_kde_ash, kde_needles,
+    picking, picking_aligned, extrapolate, addextrapolates, dchidx,
+)
+from .simulators import (
+    IsoSimulation, ExternalSimulation,
+    Diffusion, Doublewell, Triplewell, MuellerBrown,
+)

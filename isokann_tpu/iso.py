@@ -1,0 +1,573 @@
+"""The ISOKANN learner: ``Iso`` object and training loops.
+
+TPU-native rebuild of the reference core (``src/iso.jl``, 420 LoC).
+
+Key design departure from the reference: where the reference alternates
+host-side target computation with Flux minibatch SGD (``src/iso.jl:72-94``),
+here the whole Koopman iteration — Kchi forward pass, shift-scale target,
+and the epoch of minibatch SGD — is a single jitted computation, and
+``run()`` fuses *all* n iterations into one ``lax.scan`` device program when
+the target transform is fusable (TransformShiftscale) and no logger needs
+per-iteration host access.  Host-side transforms (ISA & friends) fall back
+to a per-iteration loop with a jitted training epoch.
+"""
+
+from __future__ import annotations
+
+import pickle
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from . import targets as T
+from .data import SimulationData, WeightedSamples, values, getobs
+from .models import MLP
+from .optim import NesterovRegularized
+from .targets import DomainError, TransformShiftscale, TransformISA, isotarget
+
+
+def _key(key):
+    if key is None:
+        return jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+    if isinstance(key, int):
+        return jax.random.PRNGKey(key)
+    return key
+
+
+# ==========================================================================
+# Loggers (reference src/iso.jl:99-177)
+# ==========================================================================
+
+@dataclass
+class FunctionLogger:
+    """Call ``f(iso)`` every ``logevery`` iterations
+    (reference ``src/iso.jl:99-124``)."""
+
+    f: Callable
+    name: str = "logger"
+    values: list = field(default_factory=list)
+    iters: list = field(default_factory=list)
+    logevery: int = 1
+
+    def log(self, iso):
+        last = self.iters[-1] if self.iters else 0
+        if last + self.logevery > len(iso.losses):
+            return
+        self.values.append(self.f(iso))
+        self.iters.append(len(iso.losses))
+
+    def diagnostic(self):
+        return (self.name, self.values[-1] if self.values else None)
+
+
+@dataclass
+class ValidationLossLogger:
+    """Validation loss vs held-out data; the shift-scale is estimated on the
+    full training data (reference ``src/iso.jl:132-177``)."""
+
+    data: Any
+    losses: list = field(default_factory=list)
+    iters: list = field(default_factory=list)
+    logevery: int = 10
+
+    def log(self, iso):
+        if len(iso.losses) % self.logevery != 0:
+            return
+        self.losses.append(validationloss(iso, self.data))
+        self.iters.append(len(iso.losses))
+
+    def diagnostic(self):
+        return ("validation loss", self.losses[-1] if self.losses else None)
+
+
+def validationloss(iso, valdata):
+    """Reference ``src/iso.jl:160-170``."""
+    vx, vy = T.features(valdata), T.propfeatures(valdata)
+    c = np.asarray(iso.chifun(vx)).ravel()
+    k1 = np.asarray(T.expectation(iso.chifun, vy)).ravel()
+    k2 = np.asarray(T.expectation(iso.chifun, T.propfeatures(iso.data))).ravel()
+    ks = np.concatenate([k1, k2])
+    lo, hi = ks.min(), ks.max()
+    skc = ((ks - lo) / (hi - lo))[:len(c)]
+    return float(np.mean((c - skc) ** 2))
+
+
+# ==========================================================================
+# Iso
+# ==========================================================================
+
+class Iso:
+    """Model + optimizer + data + target transform + training loop
+    (reference ``Iso``, ``src/iso.jl:3-57``).
+
+    Construct from a ``SimulationData`` or directly from a simulation::
+
+        iso = Iso(data)                     # or
+        iso = Iso(sim, nx=100, nk=5)
+        iso.run(100)
+    """
+
+    def __init__(self, data=None, sim=None, nx=100, nk=2, model=None, opt=None,
+                 target=None, minibatch=100, loggers=None, validation=None,
+                 nout=1, key=None, transform=None):
+        key = _key(key)
+        kd, km, self.key = jax.random.split(key, 3)
+        if data is None:
+            if sim is None:
+                raise ValueError("Iso needs data or sim")
+            data = SimulationData.from_sim(sim, nx=nx, nk=nk, key=kd)
+        self.data = data
+
+        if model is None:
+            sim_ = getattr(data, "sim", None)
+            if sim_ is not None and hasattr(sim_, "defaultmodel"):
+                model = sim_.defaultmodel(nout=nout, key=km) \
+                    if _accepts_nout(sim_) else sim_.defaultmodel(key=km)
+            else:
+                from .models import pairnet
+                model = pairnet(n=data.featuredim, nout=nout, key=km)
+        self.model = model
+
+        self.opt = opt if opt is not None else NesterovRegularized()
+        self.opt_state = self.opt.init(self.model.params)
+
+        if target is None and transform is not None:
+            target = transform
+        if target is None:
+            target = TransformShiftscale() if model.outputdim == 1 else TransformISA()
+        self.target = target
+
+        self.minibatch = minibatch
+        self.losses: List[float] = []
+        self.loggers = list(loggers) if loggers else []
+        if validation is not None:
+            self.loggers.append(ValidationLossLogger(data=validation))
+
+        self._jit_cache = {}
+
+    # ---- functional views ------------------------------------------------
+
+    @property
+    def params(self):
+        return self.model.params
+
+    @params.setter
+    def params(self, p):
+        self.model.params = p
+
+    @property
+    def chifun(self):
+        """Pure chi closure over the current params."""
+        apply, params = self.model.apply, self.model.params
+        return lambda x: apply(params, x)
+
+    # ---- evaluation accessors (reference src/iso.jl:203-226) -------------
+
+    def chis(self, data=None):
+        """chi at the starting points, (n, d)."""
+        data = self.data if data is None else data
+        return self.chifun(T.features(data))
+
+    def chicoords(self, xs):
+        """chi at raw coordinates (featurize first)
+        (reference ``src/iso.jl:211``)."""
+        xs = jnp.asarray(xs)
+        return self.chifun(self.data.features_of(xs))
+
+    def koopman(self):
+        return T.expectation(self.chifun, T.propfeatures(self.data))
+
+    def chi_kchi(self):
+        return T.chi_kchi(self.chifun, self.data)
+
+    @property
+    def coords(self):
+        return self.data.coords
+
+    @property
+    def features(self):
+        return self.data.features
+
+    @property
+    def propcoords(self):
+        return self.data.propcoords
+
+    @property
+    def propfeatures(self):
+        return self.data.propfeatures
+
+    # ---- training ---------------------------------------------------------
+
+    def run(self, n=1, epochs=1, showprogress=False):
+        """n outer Koopman iterations x inner SGD epochs
+        (reference ``run!``, ``src/iso.jl:72-94``)."""
+        fused = getattr(self.target, "fused", False)
+        if fused:
+            chunk = n if not self.loggers else min(
+                [getattr(l, "logevery", 1) for l in self.loggers] + [n])
+            done = 0
+            while done < n:
+                c = min(chunk, n - done)
+                self._run_fused(c, epochs)
+                done += c
+                for logger in self.loggers:
+                    logger.log(self)
+        else:
+            for _ in range(n):
+                target = isotarget(self)
+                self._train_iteration(target, epochs)
+                for logger in self.loggers:
+                    logger.log(self)
+        return self
+
+    # -- fused path: everything in one lax.scan ----------------------------
+
+    def _fused_run_fn(self, nx, nk, nfeat, n, epochs, weighted, cache_key):
+        if cache_key in self._jit_cache:
+            return self._jit_cache[cache_key]
+
+        apply = self.model.apply
+        opt = self.opt
+        d = self.model.outputdim
+        mb = self.minibatch
+        fused_target = self.target.fused_target
+
+        bs = nx if (mb == 0 or nx < mb) else mb
+        nb = nx // bs
+
+        def epoch_fn(params, opt_state, xs, target, w, key):
+            perm = jax.random.permutation(key, nx)[:nb * bs].reshape(nb, bs)
+
+            def batch_step(carry, idx):
+                params, opt_state = carry
+                x, y = xs[idx], target[idx]
+
+                def lossf(p):
+                    pred = apply(p, x)
+                    return jnp.sum(((pred - y) * w) ** 2)
+
+                l, g = jax.value_and_grad(lossf)(params)
+                updates, opt_state = opt.update(g, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), l
+
+            (params, opt_state), ls = jax.lax.scan(batch_step, (params, opt_state), perm)
+            return params, opt_state, jnp.sum(ls) / nx
+
+        @jax.jit
+        def run(params, opt_state, xs, ys, yw, key):
+            def iteration(carry, k):
+                params, opt_state = carry
+                chi_y = apply(params, ys)                       # (nx, nk, d)
+                if weighted:
+                    kchi = jnp.sum(chi_y * yw[..., None], axis=1) / nk
+                else:
+                    kchi = jnp.mean(chi_y, axis=1)
+                target = fused_target(kchi)
+                if d > 1:
+                    w = 1.0 / (jnp.std(target, axis=0) + 1e-12)
+                else:
+                    w = jnp.ones((1,))
+                ks = jax.random.split(k, epochs)
+
+                def ep(carry, kk):
+                    params, opt_state = carry
+                    params, opt_state, loss = epoch_fn(params, opt_state, xs, target, w, kk)
+                    return (params, opt_state), loss
+
+                (params, opt_state), losses = jax.lax.scan(ep, (params, opt_state), ks)
+                return (params, opt_state), losses
+
+            keys = jax.random.split(key, n)
+            (params, opt_state), losses = jax.lax.scan(iteration, (params, opt_state), keys)
+            return params, opt_state, losses.reshape(-1)
+
+        self._jit_cache[cache_key] = run
+        return run
+
+    def _run_fused(self, n, epochs):
+        ysf = self.data.propfeatures
+        weighted = isinstance(ysf, WeightedSamples)
+        ys, yw = (ysf.values, ysf.weights) if weighted else (ysf, jnp.zeros(values(ysf).shape[:2]))
+        xs = self.data.features
+        nx, nk = ys.shape[0], ys.shape[1]
+        cache_key = ("fused", nx, nk, xs.shape[-1], n, epochs, weighted)
+        run = self._fused_run_fn(nx, nk, xs.shape[-1], n, epochs, weighted, cache_key)
+        self.key, sub = jax.random.split(self.key)
+        params, opt_state, losses = run(self.model.params, self.opt_state, xs, ys, yw, sub)
+        losses = np.asarray(losses)
+        if not np.all(np.isfinite(losses)):
+            raise DomainError(
+                "The ISOKANN model collapsed under training. "
+                "Try reducing the learning rate or increasing regularization")
+        self.model.params = params
+        self.opt_state = opt_state
+        self.losses.extend(losses.tolist())
+
+    # -- host-target path ----------------------------------------------------
+
+    def _epoch_fn(self, nx, cache_key):
+        if cache_key in self._jit_cache:
+            return self._jit_cache[cache_key]
+        apply = self.model.apply
+        opt = self.opt
+        mb = self.minibatch
+        bs = nx if (mb == 0 or nx < mb) else mb
+        nb = nx // bs
+
+        @jax.jit
+        def epoch(params, opt_state, xs, target, w, key):
+            perm = jax.random.permutation(key, nx)[:nb * bs].reshape(nb, bs)
+
+            def batch_step(carry, idx):
+                params, opt_state = carry
+                x, y = xs[idx], target[idx]
+
+                def lossf(p):
+                    pred = apply(p, x)
+                    return jnp.sum(((pred - y) * w) ** 2)
+
+                l, g = jax.value_and_grad(lossf)(params)
+                updates, opt_state = opt.update(g, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), l
+
+            (params, opt_state), ls = jax.lax.scan(batch_step, (params, opt_state), perm)
+            return params, opt_state, jnp.sum(ls) / nx
+
+        self._jit_cache[cache_key] = epoch
+        return epoch
+
+    def _train_iteration(self, target, epochs):
+        """Train ``epochs`` epochs against a fixed target
+        (reference ``train_batch!``, ``src/iso.jl:179-194``)."""
+        xs = self.data.features
+        target = jnp.asarray(target)
+        nx = xs.shape[0]
+        d = target.shape[-1]
+        if d > 1:
+            w = 1.0 / (jnp.std(target, axis=0) + 1e-12)
+        else:
+            w = jnp.ones((1,))
+        epoch = self._epoch_fn(nx, ("epoch", nx, xs.shape[-1], d))
+        params, opt_state = self.model.params, self.opt_state
+        for _ in range(epochs):
+            self.key, sub = jax.random.split(self.key)
+            params, opt_state, loss = epoch(params, opt_state, xs, target, w, sub)
+            loss = float(loss)
+            if not np.isfinite(loss):
+                raise DomainError(
+                    "The ISOKANN model collapsed under training. "
+                    "Try reducing the learning rate or increasing regularization")
+            self.losses.append(loss)
+        self.model.params = params
+        self.opt_state = opt_state
+
+    # ---- adaptive sampling (reference src/iso.jl:238-307) ----------------
+
+    def addcoords(self, coords_or_n):
+        """Extend data with new start points, or with an n-step lagged
+        trajectory from the last frame (reference ``src/iso.jl:238-249``)."""
+        self.key, sub = jax.random.split(self.key)
+        if isinstance(coords_or_n, int):
+            traj = self.data.sim.laggedtrajectory(
+                coords_or_n, x0=self.data.coords[-1], key=sub)
+            self.key, sub = jax.random.split(self.key)
+            self.data = self.data.addcoords(traj, key=sub)
+        else:
+            self.data = self.data.addcoords(jnp.asarray(coords_or_n), key=sub)
+        return self
+
+    def resample_kde(self, ny, **kwargs):
+        self.key, sub = jax.random.split(self.key)
+        self.data = self.data.resample_kde(self.chifun, ny, key=sub, **kwargs)
+        return self
+
+    def resample_strat(self, ny, **kwargs):
+        self.key, sub = jax.random.split(self.key)
+        self.data = self.data.resample_strat(self.chifun, ny, key=sub, **kwargs)
+        return self
+
+    def run_kde(self, generations=1, iter=100, cutoff=np.inf, kde=1,
+                unique=True, showprogress=False):
+        """Adaptive training: generations x (kde resample -> cutoff -> train)
+        (reference ``run_kde!``, ``src/iso.jl:278-307``)."""
+        for g in range(generations):
+            self.resample_kde(kde, unique=unique)
+            if len(self.data) > cutoff:
+                self.data = self.data[len(self.data) - int(cutoff):]
+            self.run(iter)
+        return self
+
+    # ---- rates & diagnostics (reference src/iso.jl:322-373) ---------------
+
+    def rates(self):
+        """Coarse-grained rate matrix Q with Kchi = exp(tau*Q) chi
+        (reference ``src/iso.jl:339-351``)."""
+        x = np.asarray(self.chis(), dtype=np.float64)
+        y = np.asarray(self.koopman(), dtype=np.float64)
+        return rates(x, y) / self.data.sim.lagtime
+
+    def exit_rates(self):
+        return -np.diag(self.rates())
+
+    def chi_exit_rate(self):
+        """Exit rate per Ernst/Weber (2017) chap 3.3
+        (reference ``src/iso.jl:322-330``)."""
+        x, Kx = self.chi_kchi()
+        return chi_exit_rate(np.asarray(x), np.asarray(Kx), self.data.sim.lagtime)
+
+    def koopman_variance(self):
+        """Variance of chi over the Koopman samples (reference ``src/iso.jl:355-359``)."""
+        chi = self.chifun(self.data.propfeatures if not isinstance(
+            self.data.propfeatures, WeightedSamples) else self.data.propfeatures.values)
+        n, k, d = chi.shape
+        return float(jnp.sum((chi - jnp.mean(chi, axis=1, keepdims=True)) ** 2) / d / n)
+
+    def simulationtime(self):
+        """Total simulated physical time in the dataset
+        (reference ``src/iso.jl:366-373``)."""
+        n, k = values(self.data.propfeatures).shape[:2]
+        return n * k * self.data.sim.lagtime
+
+    # ---- persistence (reference src/iso.jl:405-420) -----------------------
+
+    def save(self, path):
+        save(path, self)
+
+    def __repr__(self):
+        s = [f"Iso(model={self.model.sizes}, target={type(self.target).__name__},"
+             f" minibatch={self.minibatch}, data={self.data!r}"]
+        if self.losses:
+            s.append(f" loss={self.losses[-1]:.3g} (n={len(self.losses)})")
+        return "".join(s) + ")"
+
+
+def _accepts_nout(sim):
+    import inspect
+    try:
+        sig = inspect.signature(sim.defaultmodel)
+        return "nout" in sig.parameters or any(
+            p.kind == inspect.Parameter.VAR_KEYWORD for p in sig.parameters.values())
+    except (TypeError, ValueError):
+        return False
+
+
+# ==========================================================================
+# Free functions mirroring the reference API
+# ==========================================================================
+
+def run(iso: Iso, n=1, epochs=1, **kw):
+    return iso.run(n, epochs, **kw)
+
+
+def run_kde(iso: Iso, **kw):
+    return iso.run_kde(**kw)
+
+
+def chis(iso: Iso, data=None):
+    return iso.chis(data)
+
+
+def chicoords(iso: Iso, xs):
+    return iso.chicoords(xs)
+
+
+def koopman(iso: Iso):
+    return iso.koopman()
+
+
+def rates(x: np.ndarray, y: np.ndarray):
+    """K from least squares chi @ K = kchi, then matrix log
+    (reference ``src/iso.jl:344-351``; x, y are (n, d) row-major)."""
+    import scipy.linalg
+    if x.shape[1] == 1:
+        x = np.hstack([x, 1.0 - x])
+        y = np.hstack([y, 1.0 - y])
+    K, *_ = np.linalg.lstsq(x, y, rcond=None)
+    return np.real(scipy.linalg.logm(K.T))
+
+
+def chi_exit_rate(x, Kx, tau):
+    """Affine fit Kx ~ g1*x + g2 (linear least squares; the reference uses
+    LsqFit for the same affine model, ``src/iso.jl:322-330``)."""
+    x = np.asarray(x, dtype=np.float64).ravel()
+    Kx = np.asarray(Kx, dtype=np.float64).ravel()
+    A = np.stack([x, np.ones_like(x)], axis=1)
+    (g1, g2), *_ = np.linalg.lstsq(A, Kx, rcond=None)
+    alpha = -np.log(g1) / tau
+    beta = alpha * g2 / (g1 - 1.0)
+    return alpha + beta
+
+
+def simulationtime(iso: Iso):
+    return iso.simulationtime()
+
+
+# ==========================================================================
+# Save / load (reference src/iso.jl:405-420: JLD2 snapshot -> here pickle)
+# ==========================================================================
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree)
+
+
+def save(path: str, iso: Iso):
+    """Snapshot (model+opt+data+losses) to disk; device arrays go to host
+    (mirrors reference ``src/iso.jl:405-411``)."""
+    import cloudpickle
+    state = dict(
+        opt=iso.opt,
+        model_spec=dict(sizes=iso.model.sizes, activation=iso.model.activation,
+                        lastactivation=iso.model.lastactivation,
+                        layernorm=iso.model.layernorm),
+        params=_to_numpy(iso.model.params),
+        opt_state=_to_numpy(iso.opt_state),
+        losses=iso.losses,
+        minibatch=iso.minibatch,
+        target=iso.target,
+        key=np.asarray(iso.key),
+        data=dict(
+            features=_to_numpy(iso.data.features),
+            propfeatures=_to_numpy(iso.data.propfeatures),
+            coords=_to_numpy(iso.data.coords),
+            propcoords=_to_numpy(iso.data.propcoords),
+            sim=iso.data.sim,
+            featurizer=iso.data.featurizer,
+        ),
+    )
+    with open(path, "wb") as f:
+        cloudpickle.dump(state, f)
+
+
+def load(path: str, sim=None):
+    """Load an Iso snapshot; optionally re-attach a freshly constructed
+    simulation (mirrors reference ``src/iso.jl:413-420``)."""
+    with open(path, "rb") as f:
+        state = pickle.load(f)
+    model = MLP(**state["model_spec"])
+    model.params = jax.tree_util.tree_map(jnp.asarray, state["params"])
+    d = state["data"]
+    data = SimulationData(
+        sim if sim is not None else d["sim"],
+        jnp.asarray(d["features"]),
+        (d["propfeatures"] if isinstance(d["propfeatures"], WeightedSamples)
+         else jnp.asarray(d["propfeatures"])),
+        jnp.asarray(d["coords"]),
+        (d["propcoords"] if isinstance(d["propcoords"], WeightedSamples)
+         else jnp.asarray(d["propcoords"])),
+        d["featurizer"])
+    iso = Iso(data=data, model=model, target=state["target"], opt=state["opt"],
+              minibatch=state["minibatch"], key=jnp.asarray(state["key"]))
+    iso.losses = list(state["losses"])
+    iso.opt_state = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+        state["opt_state"])
+    return iso

@@ -1,0 +1,30 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Tests must run identically with or without TPU hardware; multi-chip sharding
+tests use XLA's host-platform device virtualization.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _seed_numpy():
+    np.random.seed(0)
+    yield
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(42)

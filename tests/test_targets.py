@@ -1,0 +1,139 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isokann_tpu import targets as T
+from isokann_tpu.data import WeightedSamples
+
+
+def linmodel(A):
+    """A linear 'chi model' x -> x @ A for testing transforms."""
+    A = jnp.asarray(A, jnp.float32)
+    return lambda x: jnp.asarray(x, jnp.float32) @ A
+
+
+def test_shiftscale():
+    ks = jnp.asarray([[0.2], [0.4], [1.2]])
+    out = T.shiftscale(ks)
+    assert float(out.min()) == 0.0 and float(out.max()) == 1.0
+    with pytest.raises(T.DomainError):
+        T.shiftscale(jnp.ones((5, 1)))
+
+
+def test_expectation_mean():
+    model = linmodel(np.eye(2))
+    ys = jnp.arange(2 * 3 * 2, dtype=jnp.float32).reshape(2, 3, 2)
+    out = T.expectation(model, ys)
+    assert out.shape == (2, 2)
+    assert np.allclose(out, np.mean(np.asarray(ys), axis=1))
+
+
+def test_expectation_weighted():
+    model = linmodel(np.eye(2))
+    vals = jnp.ones((4, 3, 2))
+    w = jnp.full((4, 3), 2.0)
+    ws = WeightedSamples(vals, w)
+    out = T.expectation(model, ws)
+    assert np.allclose(out, 2.0)
+
+
+def test_indexmap_finds_vertices():
+    # simplex memberships: rows 0,1,2 are the pure vertices
+    X = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1],
+                  [0.3, 0.3, 0.4], [0.5, 0.25, 0.25]], dtype=float)
+    inds = T.indexmap(X)
+    assert sorted(inds.tolist()) == [0, 1, 2]
+
+
+def test_isa_recovers_simplex():
+    # Kchi that is a linear mix of clean memberships: ISA should unmix it.
+    rng = np.random.default_rng(0)
+    memb = rng.dirichlet([0.2, 0.2], size=200)   # (n, 2) rows on the simplex
+    A = np.array([[2.0, 0.3], [0.5, 1.5]])
+    ks = memb @ A
+    Ainv = T.myisa(ks)
+    rec = ks @ Ainv
+    # recovered memberships should span [0,1] with rows ~ sum 1
+    assert np.allclose(rec.sum(axis=1), 1.0, atol=1e-6)
+    assert rec.min() > -1e-6 and rec.max() < 1 + 1e-6
+
+
+def test_fixperm():
+    old = np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    new = old[:, ::-1].copy()
+    fixed = T.fixperm(new, old)
+    assert np.allclose(fixed, old)
+
+
+def test_transform_isa_runs():
+    rng = np.random.default_rng(1)
+    xs = jnp.asarray(rng.normal(size=(50, 3)), jnp.float32)
+    ys = jnp.asarray(rng.normal(size=(50, 4, 3)), jnp.float32)
+    A = rng.normal(size=(3, 2))
+    model = linmodel(A)
+    t = T.TransformISA()(model, xs, ys)
+    assert t.shape == (50, 2)
+    assert np.all(np.isfinite(np.asarray(t)))
+
+
+def test_transform_pseudoinv_runs():
+    rng = np.random.default_rng(2)
+    xs = jnp.asarray(rng.normal(size=(50, 3)), jnp.float32)
+    ys = jnp.asarray(rng.normal(size=(50, 4, 3)), jnp.float32)
+    model = linmodel(rng.normal(size=(3, 2)))
+    t = T.TransformPseudoInv()(model, xs, ys)
+    assert t.shape == (50, 2)
+    assert np.all(np.isfinite(np.asarray(t)))
+
+
+def test_transform_shiftscale_call():
+    rng = np.random.default_rng(3)
+    xs = jnp.asarray(rng.normal(size=(30, 2)), jnp.float32)
+    ys = jnp.asarray(rng.normal(size=(30, 5, 2)), jnp.float32)
+    model = linmodel(rng.normal(size=(2, 1)))
+    t = T.TransformShiftscale()(model, xs, ys)
+    assert t.shape == (30, 1)
+    assert float(t.min()) == 0.0 and float(t.max()) == 1.0
+
+
+def test_experimental_transforms_run():
+    rng = np.random.default_rng(4)
+    xs = jnp.asarray(rng.normal(size=(40, 3)), jnp.float32)
+    ys = jnp.asarray(rng.normal(size=(40, 4, 3)), jnp.float32)
+    model = linmodel(rng.normal(size=(3, 2)))
+    for t in [T.TransformGramSchmidt(), T.TransformLeftRight(),
+              T.TransformSVD(), T.TransformSVDRev(),
+              T.TransformCross(), T.TransformLeftRightHistory(hist=5)]:
+        out = t(model, xs, ys)
+        assert out.shape == (40, 2), type(t).__name__
+        assert np.all(np.isfinite(np.asarray(out))), type(t).__name__
+
+
+def test_stabilize_signflip():
+    rng = np.random.default_rng(5)
+    xs = jnp.asarray(rng.normal(size=(30, 2)), jnp.float32)
+    ys = jnp.asarray(rng.normal(size=(30, 5, 2)), jnp.float32)
+    model = linmodel(rng.normal(size=(2, 1)))
+    st = T.Stabilize(T.TransformShiftscale())
+    t1 = st(model, xs, ys)
+    t2 = st(model, xs, ys)
+    assert np.allclose(t1, t2)
+
+
+def test_residual_diagnostics():
+    class FakeIso:
+        pass
+
+    rng = np.random.default_rng(6)
+    iso = FakeIso()
+    A = rng.normal(size=(3, 2))
+    iso.chifun = linmodel(A)
+    iso.data = (jnp.asarray(rng.normal(size=(40, 3)), jnp.float32),
+                jnp.asarray(rng.normal(size=(40, 4, 3)), jnp.float32))
+    r1 = T.residual_linear(iso)
+    r2 = T.residual_ritz(iso)
+    r3 = T.residual_subspace(iso)
+    assert np.all(np.isfinite(r1["relres"]))
+    assert np.all(np.isfinite(r2["relres"]))
+    assert np.all(np.isfinite(r3["relres"]))
