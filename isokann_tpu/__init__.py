@@ -49,4 +49,14 @@ from .sample import (
 from .simulators import (
     IsoSimulation, ExternalSimulation,
     Diffusion, Doublewell, Triplewell, MuellerBrown,
+    MDSimulation, OpenMMSimulation,
+)
+from .features import (
+    FeaturesAll, FeaturesCoords, FeaturesAtoms, FeaturesPairs,
+    FeaturesAngles, FeaturesRandomPairs,
+)
+from .ops import (
+    flatpairdists, pairdist, sqpairdist, pdists,
+    align, aligned_rmsd, pairwise_aligned_rmsd, aligntrajectory,
+    dihedral, localpdistinds,
 )

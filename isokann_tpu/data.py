@@ -218,17 +218,30 @@ class SimulationData:
         key = _key(key)
         k1, k2 = jax.random.split(key)
         if xs is None:
+            if hasattr(sim, "bootstrap_data") and getattr(sim, "bias", None) is None:
+                # fused single-program data generation (MD sims)
+                feat = featurizer or getattr(sim, "featurizer", None) or identity
+                xs, ys, fxs, fys = sim.bootstrap_data(nx, nk, featurizer=feat,
+                                                      key=key)
+                return cls(sim, fxs, fys, xs, ys, feat)
             xs = sim.randx0(nx, key=k1)
         xs = jnp.asarray(xs)
         ys = sim.propagate(xs, nk, key=k2)
         return cls.from_coords(sim, xs, ys, featurizer=featurizer)
 
     @classmethod
-    def from_coords(cls, sim, xs, ys, featurizer=None):
-        """SimulationData(sim, (xs, ys)) (reference ``src/simulation.jl:110-114``)."""
+    def from_coords(cls, sim, xs, ys, featurizer=None, features=None):
+        """SimulationData(sim, (xs, ys)) (reference ``src/simulation.jl:110-114``).
+
+        ``features``: optional precomputed (fxs, fys)."""
         if featurizer is None:
             featurizer = getattr(sim, "featurizer", None) or identity
         xs = jnp.asarray(xs)
+        if features is not None:
+            fxs, fys = features
+            if not isinstance(ys, WeightedSamples):
+                ys = jnp.asarray(ys)
+            return cls(sim, jnp.asarray(fxs, jnp.float32), fys, xs, ys, featurizer)
         fxs = jnp.asarray(featurizer(xs), jnp.float32)
         if isinstance(ys, WeightedSamples):
             fys = WeightedSamples(jnp.asarray(featurizer(ys.values), jnp.float32),

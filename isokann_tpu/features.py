@@ -1,0 +1,197 @@
+"""Featurizer objects mapping raw coordinates to chi-model inputs.
+
+TPU-native rebuild of ``src/utils/features.jl``: callable dataclasses that
+are picklable, comparable (for ``mergedata`` featurizer checks) and
+vmappable over arbitrary leading batch dimensions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+from .ops.pairdists import flatpairdists, pdists, restricted_localpdistinds
+
+
+@dataclass(frozen=True)
+class FeaturesCoords:
+    """Identity featurizer (reference ``src/utils/features.jl:18-19``)."""
+
+    def __call__(self, coords):
+        return coords
+
+
+@dataclass(frozen=True)
+class FeaturesAll:
+    """Pairwise distances between all atoms
+    (reference ``src/utils/features.jl:21-23``)."""
+
+    def __call__(self, coords):
+        return flatpairdists(coords)
+
+
+@dataclass(frozen=True)
+class FeaturesAtoms:
+    """All-pairs distances among the selected atoms
+    (reference ``src/utils/features.jl:25-29``)."""
+
+    atominds: Tuple[int, ...]
+
+    def __post_init__(self):
+        object.__setattr__(self, "atominds", tuple(int(i) for i in self.atominds))
+
+    def __call__(self, coords):
+        return flatpairdists(coords, atoms=np.asarray(self.atominds))
+
+
+@dataclass(frozen=True)
+class FeaturesPairs:
+    """Distances for an explicit pair list
+    (reference ``src/utils/features.jl:31-64``)."""
+
+    pairs: Tuple[Tuple[int, int], ...]
+
+    def __post_init__(self):
+        object.__setattr__(self, "pairs",
+                           tuple((int(a), int(b)) for a, b in self.pairs))
+
+    def __call__(self, coords):
+        return pdists(coords, np.asarray(self.pairs))
+
+    @classmethod
+    def from_pdb(cls, pdb: str, selector: str = "all", maxdist=np.inf,
+                 maxfeatures=np.inf, seed: int = 0):
+        """Pair selection from a PDB (reference ``FeaturesPairs(pdb; ...)``,
+        ``src/utils/features.jl:53-64``).  Selector support: 'all',
+        'heavy' (non-H), 'name CA' / 'calpha', 'backbone'."""
+        from .md.pdbio import read_pdb
+
+        struct = read_pdb(pdb)
+        inds = _select_atoms(struct, selector)
+        if maxdist < np.inf:
+            pairs = restricted_localpdistinds(
+                struct.coords.reshape(1, -1), maxdist, inds)
+            pairs = [tuple(p) for p in pairs]
+        else:
+            pairs = [(inds[i], inds[j]) for i in range(len(inds))
+                     for j in range(i + 1, len(inds))]
+        if len(pairs) > maxfeatures:
+            rng = np.random.default_rng(seed)
+            sel = rng.choice(len(pairs), size=int(maxfeatures), replace=False)
+            pairs = sorted(pairs[i] for i in sel)
+        return cls(tuple(pairs))
+
+
+@dataclass(frozen=True)
+class FeaturesAngles:
+    """Backbone phi/psi dihedral features (reference ``FeaturesAngles``,
+    ``src/utils/features.jl:83-102``)."""
+
+    quads: Tuple[Tuple[int, int, int, int], ...]
+
+    def __post_init__(self):
+        object.__setattr__(self, "quads",
+                           tuple(tuple(int(i) for i in q) for q in self.quads))
+
+    def __call__(self, coords):
+        from .ops.dihedrals import dihedrals_from_indices
+        return dihedrals_from_indices(coords, np.asarray(self.quads))
+
+    @classmethod
+    def from_pdb(cls, pdb: str):
+        from .md.pdbio import read_pdb
+        from .md.topology import build_topology
+        from .ops.dihedrals import phi_psi_indices
+
+        top = build_topology(read_pdb(pdb))
+        phis, psis = phi_psi_indices(top)
+        quads = [tuple(q) for q in phis] + [tuple(q) for q in psis]
+        return cls(tuple(quads))
+
+
+@dataclass(frozen=True)
+class FeaturesRandomPairs:
+    """maxfeatures random atom pairs — the reference's >=100-atom fallback
+    (``src/utils/features.jl:4-10``)."""
+
+    natoms: int
+    maxfeatures: int = 100
+    seed: int = 0
+
+    def __post_init__(self):
+        rng = np.random.default_rng(self.seed)
+        pairs = [(i, j) for i in range(self.natoms)
+                 for j in range(i + 1, self.natoms)]
+        sel = rng.choice(len(pairs), size=min(self.maxfeatures, len(pairs)),
+                         replace=False)
+        object.__setattr__(self, "_pairs",
+                           np.asarray(sorted(pairs[i] for i in sel)))
+
+    def __call__(self, coords):
+        return pdists(coords, self._pairs)
+
+
+def _select_atoms(struct, selector: str):
+    names = np.asarray(struct.atom_names)
+    elements = np.asarray(struct.elements)
+    if selector == "all":
+        return np.arange(struct.natoms)
+    if selector in ("heavy", "not element H"):
+        return np.flatnonzero(elements != "H")
+    if selector in ("calpha", "name CA"):
+        return np.flatnonzero(names == "CA")
+    if selector == "backbone":
+        return np.flatnonzero(np.isin(names, ["N", "CA", "C", "O"]))
+    raise ValueError(f"unsupported selector {selector!r}")
+
+
+def calpha_inds(struct):
+    """Indices of the C-alpha atoms (reference ``src/utils/features.jl:139-146``)."""
+    return np.flatnonzero(np.asarray(struct.atom_names) == "CA")
+
+
+def calpha_pairs(struct):
+    ca = calpha_inds(struct)
+    return [(int(ca[i]), int(ca[j])) for i in range(len(ca))
+            for j in range(i + 1, len(ca))]
+
+
+def local_atom_pairs(struct, radius, atomfilter=None):
+    """Pairs of heavy atoms within ``radius`` in the given structure
+    (reference ``src/utils/features.jl:121-137``)."""
+    keep = [i for i in range(struct.natoms)
+            if (atomfilter(i) if atomfilter else
+                (struct.elements[i] != "H" and
+                 struct.res_names[i] not in ("HOH", "NA", "CL")))]
+    xs = struct.coords
+    pairs = []
+    for a in range(len(keep)):
+        for b in range(a + 1, len(keep)):
+            i, j = keep[a], keep[b]
+            if np.linalg.norm(xs[i] - xs[j]) <= radius:
+                pairs.append((i, j))
+    return pairs
+
+
+def default_featurizer(pdb: str, natoms: int, features=None):
+    """The reference's featurizer selection rule
+    (``src/utils/features.jl:3-16``)."""
+    if features is None:
+        if natoms < 100:
+            return FeaturesAll()
+        return FeaturesRandomPairs(natoms, maxfeatures=100)
+    if callable(features):
+        return features
+    if isinstance(features, (int, float)) and not isinstance(features, bool):
+        # radius: calpha pairs + local heavy-atom pairs
+        from .md.pdbio import read_pdb
+        struct = read_pdb(pdb)
+        pairs = list(dict.fromkeys(calpha_pairs(struct)
+                                   + local_atom_pairs(struct, float(features))))
+        return FeaturesPairs(tuple(pairs))
+    features = list(features)
+    if features and isinstance(features[0], (tuple, list)):
+        return FeaturesPairs(tuple(tuple(p) for p in features))
+    return FeaturesAtoms(tuple(features))

@@ -127,8 +127,7 @@ class Iso:
         if model is None:
             sim_ = getattr(data, "sim", None)
             if sim_ is not None and hasattr(sim_, "defaultmodel"):
-                model = sim_.defaultmodel(nout=nout, key=km) \
-                    if _accepts_nout(sim_) else sim_.defaultmodel(key=km)
+                model = sim_.defaultmodel(n=data.featuredim, nout=nout, key=km)
             else:
                 from .models import pairnet
                 model = pairnet(n=data.featuredim, nout=nout, key=km)
@@ -447,16 +446,6 @@ class Iso:
         if self.losses:
             s.append(f" loss={self.losses[-1]:.3g} (n={len(self.losses)})")
         return "".join(s) + ")"
-
-
-def _accepts_nout(sim):
-    import inspect
-    try:
-        sig = inspect.signature(sim.defaultmodel)
-        return "nout" in sig.parameters or any(
-            p.kind == inspect.Parameter.VAR_KEYWORD for p in sig.parameters.values())
-    except (TypeError, ValueError):
-        return False
 
 
 # ==========================================================================

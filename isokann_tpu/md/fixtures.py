@@ -1,0 +1,104 @@
+"""Built-in molecular fixtures, generated from standard internal coordinates.
+
+The reference ships PDB files (``data/systems/alanine dipeptide.pdb``); this
+rebuild constructs the equivalent structures programmatically (NeRF chain
+construction from standard bond lengths/angles) and energy-minimizes them
+with its own force field, so the package is fully self-contained.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .pdbio import PDBStructure, write_pdb
+
+
+def _nerf(a, b, c, r, theta_deg, phi_deg):
+    """Place atom D given reference atoms (a, b, c): |DC|=r, angle(D,C,B)=theta,
+    dihedral(D,C,B,A)=phi.  Natural extension reference frame."""
+    theta = np.deg2rad(theta_deg)
+    phi = np.deg2rad(phi_deg)
+    bc = c - b
+    bc /= np.linalg.norm(bc)
+    ab = b - a
+    n = np.cross(ab, bc)
+    n /= np.linalg.norm(n)
+    m = np.cross(n, bc)
+    d2 = np.array([-r * np.cos(theta),
+                   r * np.sin(theta) * np.cos(phi),
+                   r * np.sin(theta) * np.sin(phi)])
+    return c + d2[0] * bc + d2[1] * m + d2[2] * n
+
+
+def build_alanine_dipeptide(phi=-80.0, psi=75.0):
+    """ACE-ALA-NME coordinates (nm), atom order matching the reference PDB
+    (``data/systems/alanine dipeptide.pdb``: HH31 CH3 HH32 HH33 C O | N H CA
+    HA CB HB1 HB2 HB3 C O | N H CH3 HH31 HH32 HH33)."""
+    # scaffold in Angstrom-free nm units
+    CH3 = np.zeros(3)
+    C = CH3 + np.array([0.1522, 0.0, 0.0])
+    O = _nerf(CH3 + np.array([0.0, 0.1, 0.0]), CH3, C, 0.1229, 120.4, 90.0)
+
+    N = _nerf(O, CH3, C, 0.1335, 116.6, 180.0)
+    H = _nerf(O, C, N, 0.1010, 119.8, 0.0)
+    CA = _nerf(O, C, N, 0.1449, 121.9, 180.0)
+    C2 = _nerf(C, N, CA, 0.1522, 110.1, phi)
+    CB = _nerf(C, N, CA, 0.1526, 109.7, phi + 122.0)
+    HA = _nerf(C, N, CA, 0.1090, 109.5, phi - 118.0)
+    O2 = _nerf(N, CA, C2, 0.1229, 120.4, psi + 180.0)
+    N2 = _nerf(N, CA, C2, 0.1335, 116.6, psi)
+    H2 = _nerf(O2, C2, N2, 0.1010, 119.8, 0.0)
+    CH3b = _nerf(O2, C2, N2, 0.1449, 121.9, 180.0)
+
+    HH31 = _nerf(O, C, CH3, 0.1090, 109.5, 60.0)
+    HH32 = _nerf(O, C, CH3, 0.1090, 109.5, 180.0)
+    HH33 = _nerf(O, C, CH3, 0.1090, 109.5, 300.0)
+    HB1 = _nerf(N, CA, CB, 0.1090, 109.5, 60.0)
+    HB2 = _nerf(N, CA, CB, 0.1090, 109.5, 180.0)
+    HB3 = _nerf(N, CA, CB, 0.1090, 109.5, 300.0)
+    HH31b = _nerf(C2, N2, CH3b, 0.1090, 109.5, 60.0)
+    HH32b = _nerf(C2, N2, CH3b, 0.1090, 109.5, 180.0)
+    HH33b = _nerf(C2, N2, CH3b, 0.1090, 109.5, 300.0)
+
+    coords = np.stack([HH31, CH3, HH32, HH33, C, O,
+                       N, H, CA, HA, CB, HB1, HB2, HB3, C2, O2,
+                       N2, H2, CH3b, HH31b, HH32b, HH33b])
+    names = ["HH31", "CH3", "HH32", "HH33", "C", "O",
+             "N", "H", "CA", "HA", "CB", "HB1", "HB2", "HB3", "C", "O",
+             "N", "H", "CH3", "HH31", "HH32", "HH33"]
+    resn = ["ACE"] * 6 + ["ALA"] * 10 + ["NME"] * 6
+    resi = [1] * 6 + [2] * 10 + [3] * 6
+    elements = [n[0] if not n[0].isdigit() else "H" for n in names]
+    # center in a 2.7222 nm box (same setup box as the reference fixture)
+    box = np.array([2.7222, 2.7222, 2.7222])
+    coords = coords - coords.mean(axis=0) + box / 2
+    return PDBStructure(names, resn, resi, ["X"] * 22, elements, coords, box)
+
+
+_FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "data")
+
+
+def alanine_dipeptide_pdb(minimized=True) -> str:
+    """Path to the bundled alanine-dipeptide PDB (generated + energy
+    minimized with the built-in force field on first use)."""
+    os.makedirs(_FIXTURE_DIR, exist_ok=True)
+    path = os.path.abspath(os.path.join(_FIXTURE_DIR, "alanine-dipeptide.pdb"))
+    if os.path.exists(path):
+        return path
+    struct = build_alanine_dipeptide()
+    if minimized:
+        import jax.numpy as jnp
+        from .system import build_system
+        from .forces import potential_energy_flat
+        from .minimize import minimize_energy
+
+        write_pdb(path, struct)          # need a file to build the topology
+        sys = build_system(path)
+        x = minimize_energy(lambda z: potential_energy_flat(sys, z),
+                            jnp.asarray(struct.coords.reshape(-1), jnp.float32),
+                            maxiter=500)
+        struct.coords = np.asarray(x).reshape(-1, 3)
+    write_pdb(path, struct)
+    return path

@@ -1,0 +1,152 @@
+"""Batched force-field evaluation in pure JAX.
+
+Replaces OpenMM's C++/CUDA force kernels (reference L0,
+``src/simulators/mopenmm.py``): bonded terms are segment-gathered
+vector ops; the nonbonded term is an all-pairs dense computation that
+XLA fuses into a handful of VPU/MXU-friendly kernels, batched over
+walkers with ``vmap``.  For the system sizes of the reference workloads
+(22-600 atoms, no explicit water) all-pairs beats neighbor lists on TPU
+(regular shapes, no gathers).
+
+Energy: kJ/mol; coordinates: (natoms, 3) nm (batch via vmap).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .system import MDSystem, COULOMB
+
+
+def bond_energy(sys: MDSystem, x):
+    """Difference vectors via the dense incidence matmul (MXU path; the
+    gather formulation produces scatter VJPs that are slow to compile and
+    run on TPU)."""
+    if sys.bond_D.shape[0] == 0:
+        return 0.0
+    d = jnp.matmul(sys.bond_D, x, precision=jax.lax.Precision.HIGHEST)
+    r = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-16)
+    return jnp.sum(sys.bond_k * (r - sys.bond_r0) ** 2)
+
+
+def angle_energy(sys: MDSystem, x):
+    if sys.angle_U.shape[0] == 0:
+        return 0.0
+    u = jnp.matmul(sys.angle_U, x, precision=jax.lax.Precision.HIGHEST)
+    v = jnp.matmul(sys.angle_V, x, precision=jax.lax.Precision.HIGHEST)
+    cos = jnp.sum(u * v, axis=-1) / jnp.sqrt(
+        jnp.sum(u * u, axis=-1) * jnp.sum(v * v, axis=-1) + 1e-16)
+    theta = jnp.arccos(jnp.clip(cos, -1.0 + 1e-7, 1.0 - 1e-7))
+    return jnp.sum(sys.angle_k * (theta - sys.angle_t0) ** 2)
+
+
+def dihedral_energy(sys: MDSystem, x):
+    """Proper + improper torsions: E = pk (1 + cos(n phi - phase))."""
+    if sys.dih_B1.shape[0] == 0:
+        return 0.0
+    b1 = jnp.matmul(sys.dih_B1, x, precision=jax.lax.Precision.HIGHEST)
+    b2 = jnp.matmul(sys.dih_B2, x, precision=jax.lax.Precision.HIGHEST)
+    b3 = jnp.matmul(sys.dih_B3, x, precision=jax.lax.Precision.HIGHEST)
+    n1 = jnp.cross(b1, b2)
+    n2 = jnp.cross(b2, b3)
+    b2n = b2 / (jnp.linalg.norm(b2, axis=-1, keepdims=True) + 1e-12)
+    m1 = jnp.cross(n1, b2n)
+    xx = jnp.sum(n1 * n2, axis=-1)
+    yy = jnp.sum(m1 * n2, axis=-1)
+    phi = jnp.arctan2(yy, xx)
+    return jnp.sum(sys.dih_pk * (1.0 + jnp.cos(sys.dih_n * phi - sys.dih_phase)))
+
+
+def nonbonded_energy(sys: MDSystem, x):
+    """All-pairs LJ + Coulomb with exclusion/1-4 scale matrices.
+
+    Cutoff methods mirror OpenMM semantics:
+    - NoCutoff: plain 1/r Coulomb
+    - CutoffNonPeriodic / CutoffPeriodic: reaction-field Coulomb
+      E = qq (1/r + k_rf r^2 - c_rf) for r < cutoff; periodic variant
+      applies minimum-image convention first.
+    1-4 pairs always use straight (scaled) Coulomb, as in OpenMM.
+    """
+    n = sys.natoms
+    diff = x[:, None, :] - x[None, :, :]
+    if sys.method == "CutoffPeriodic" and sys.box is not None:
+        box = jnp.asarray(sys.box, x.dtype)
+        diff = diff - box * jnp.round(diff / box)
+    r2 = jnp.sum(diff * diff, axis=-1)
+    r2 = r2 + jnp.eye(n, dtype=x.dtype)        # avoid 0 on diagonal
+    r = jnp.sqrt(r2)
+    inv_r = 1.0 / r
+
+    # LJ (Amber Rmin/eps combination)
+    rmin = sys.rmin_half[:, None] + sys.rmin_half[None, :]
+    epsij = jnp.sqrt(sys.eps[:, None] * sys.eps[None, :])
+    x6 = (rmin * inv_r) ** 6
+    elj = epsij * (x6 * x6 - 2.0 * x6)
+
+    qq = COULOMB * sys.charges[:, None] * sys.charges[None, :]
+
+    if sys.method == "NoCutoff":
+        ec = qq * inv_r
+        mask = sys.qq_scale
+        lmask = sys.lj_scale
+        return 0.5 * jnp.sum(ec * mask + elj * lmask)
+
+    # reaction field
+    rc = sys.cutoff
+    krf = (1.0 / rc ** 3) * (sys.eps_rf - 1.0) / (2.0 * sys.eps_rf + 1.0)
+    crf = (1.0 / rc) * (3.0 * sys.eps_rf) / (2.0 * sys.eps_rf + 1.0)
+    within = (r < rc).astype(x.dtype)
+
+    full = (sys.qq_scale >= 0.999).astype(x.dtype)       # unscaled pairs
+    one4 = ((sys.qq_scale > 0) & (sys.qq_scale < 0.999)).astype(x.dtype)
+    l_full = (sys.lj_scale >= 0.999).astype(x.dtype)
+    l_one4 = ((sys.lj_scale > 0) & (sys.lj_scale < 0.999)).astype(x.dtype)
+
+    ec_rf = qq * (inv_r + krf * r2 - crf) * within * full
+    ec_14 = qq * sys.qq_scale * inv_r * one4             # straight Coulomb
+    elj_cut = elj * within * l_full
+    elj_14 = elj * sys.lj_scale * l_one4
+    return 0.5 * jnp.sum(ec_rf + ec_14 + elj_cut + elj_14)
+
+
+def potential_energy(sys: MDSystem, x):
+    """Total potential; ``x``: (natoms, 3) nm -> kJ/mol."""
+    return (bond_energy(sys, x) + angle_energy(sys, x)
+            + dihedral_energy(sys, x) + nonbonded_energy(sys, x))
+
+
+def potential_energy_flat(sys: MDSystem, xflat):
+    """Flat-coordinate variant; ``xflat``: (..., 3N)."""
+    x = jnp.asarray(xflat)
+    shape = x.shape
+    xs = x.reshape((-1, sys.natoms, 3))
+    e = jax.vmap(lambda xi: potential_energy(sys, xi))(xs)
+    return e.reshape(shape[:-1])
+
+
+def force(sys: MDSystem, x):
+    """-grad E; ``x``: (natoms, 3)."""
+    return -jax.grad(lambda xi: potential_energy(sys, xi))(x)
+
+
+def force_flat(sys: MDSystem, xflat):
+    """Batched forces on flat coords: (..., 3N) -> (..., 3N)."""
+    x = jnp.asarray(xflat)
+    shape = x.shape
+    xs = x.reshape((-1, sys.natoms, 3))
+    f = jax.vmap(lambda xi: -jax.grad(
+        lambda z: potential_energy(sys, z))(xi))(xs)
+    return f.reshape(shape)
+
+
+def energy_terms(sys: MDSystem, x):
+    """Per-term breakdown for debugging/validation."""
+    return dict(
+        bond=bond_energy(sys, x),
+        angle=angle_energy(sys, x),
+        dihedral=dihedral_energy(sys, x),
+        nonbonded=nonbonded_energy(sys, x),
+    )

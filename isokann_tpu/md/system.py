@@ -1,0 +1,216 @@
+"""MDSystem: force-field parameters as a JAX pytree + system builder.
+
+Bridges topology (host) to the batched device force kernels (forces.py).
+Unit conventions follow OpenMM: nm, kJ/mol, ps, amu, elementary charges.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import amber
+from .pdbio import PDBStructure, read_pdb
+from .topology import Topology, build_topology
+
+KCAL = 4.184                    # kJ per kcal
+COULOMB = 138.935456            # kJ mol^-1 nm e^-2  (OpenMM ONE_4PI_EPS0)
+KB = 0.00831446261815324        # kJ/mol/K
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class MDSystem:
+    """All per-system parameter arrays needed by the force kernels."""
+
+    # bonded.  Index arrays are kept for inspection; the force kernels use
+    # the *incidence matrices* below — dense (nterms, natoms) +/-1 selection
+    # matrices so that difference vectors are matmuls (MXU) instead of
+    # gathers, whose scatter-based VJPs are poison for the TPU compiler.
+    bond_idx: jnp.ndarray       # (nb, 2) int32
+    bond_k: jnp.ndarray         # (nb,) kJ/mol/nm^2  (E = k (r-r0)^2)
+    bond_r0: jnp.ndarray        # (nb,) nm
+    angle_idx: jnp.ndarray      # (na, 3)
+    angle_k: jnp.ndarray        # (na,) kJ/mol/rad^2
+    angle_t0: jnp.ndarray       # (na,) rad
+    dih_idx: jnp.ndarray        # (nd, 4)  (one row per torsion *term*)
+    dih_pk: jnp.ndarray         # (nd,) kJ/mol
+    dih_phase: jnp.ndarray      # (nd,) rad
+    dih_n: jnp.ndarray          # (nd,) float periodicity
+    # incidence matrices (difference operators)
+    bond_D: jnp.ndarray         # (nb, natoms): row = e_i - e_j
+    angle_U: jnp.ndarray        # (na, natoms): a - b
+    angle_V: jnp.ndarray        # (na, natoms): c - b
+    dih_B1: jnp.ndarray         # (nd, natoms): p1 - p0
+    dih_B2: jnp.ndarray         # (nd, natoms): p2 - p1
+    dih_B3: jnp.ndarray         # (nd, natoms): p3 - p2
+    # nonbonded
+    charges: jnp.ndarray        # (n,)
+    rmin_half: jnp.ndarray      # (n,) nm
+    eps: jnp.ndarray            # (n,) kJ/mol
+    qq_scale: jnp.ndarray       # (n, n) Coulomb pair scale (0 excl, scee 1-4, 1)
+    lj_scale: jnp.ndarray       # (n, n)
+    masses: jnp.ndarray         # (n,) amu
+    # nonbonded method (static)
+    method: str = "CutoffPeriodic"
+    cutoff: float = 1.0         # nm
+    eps_rf: float = 78.5        # reaction-field dielectric
+    box: Optional[tuple] = None  # (3,) nm box lengths, or None
+
+    def tree_flatten(self):
+        children = (self.bond_idx, self.bond_k, self.bond_r0,
+                    self.angle_idx, self.angle_k, self.angle_t0,
+                    self.dih_idx, self.dih_pk, self.dih_phase, self.dih_n,
+                    self.bond_D, self.angle_U, self.angle_V,
+                    self.dih_B1, self.dih_B2, self.dih_B3,
+                    self.charges, self.rmin_half, self.eps,
+                    self.qq_scale, self.lj_scale, self.masses)
+        aux = (self.method, self.cutoff, self.eps_rf, self.box)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, method=aux[0], cutoff=aux[1], eps_rf=aux[2],
+                   box=aux[3])
+
+    @property
+    def natoms(self):
+        return self.charges.shape[0]
+
+    @property
+    def dim(self):
+        return 3 * self.natoms
+
+
+def _exclusion_scales(top: Topology, scee: float, scnb: float):
+    """Dense (n, n) pair-scale matrices: 0 for 1-2/1-3, scee/scnb for 1-4,
+    1 elsewhere, 0 diagonal."""
+    n = top.natoms
+    adj = top.neighbors()
+    qq = np.ones((n, n))
+    lj = np.ones((n, n))
+    np.fill_diagonal(qq, 0.0)
+    np.fill_diagonal(lj, 0.0)
+
+    # 1-4 first, then 1-2/1-3 override (an atom pair can be both 1-4 and 1-3
+    # in rings; the stronger exclusion wins, as in Amber)
+    for (i, j, k, l) in top.propers:
+        if i != l:
+            qq[i, l] = qq[l, i] = scee
+            lj[i, l] = lj[l, i] = scnb
+    for a in range(n):
+        for b in adj[a]:
+            qq[a, b] = qq[b, a] = 0.0
+            lj[a, b] = lj[b, a] = 0.0
+            for c in adj[b]:
+                if c != a:
+                    qq[a, c] = qq[c, a] = 0.0
+                    lj[a, c] = lj[c, a] = 0.0
+    return qq, lj
+
+
+def build_system(source, method: str = "auto", cutoff: float = 1.0,
+                 eps_rf: float = 78.5, dtype=jnp.float32) -> MDSystem:
+    """Construct an MDSystem from a PDB path / PDBStructure / Topology.
+
+    ``method='auto'`` mirrors the reference's nonbonded auto-selection
+    (``src/simulators/mopenmm.py:103-115``): CutoffPeriodic when the PDB has
+    a box, CutoffNonPeriodic otherwise."""
+    box = None
+    if isinstance(source, str):
+        struct = read_pdb(source)
+        box = struct.box
+        top = build_topology(struct)
+    elif isinstance(source, PDBStructure):
+        struct = source
+        box = struct.box
+        top = build_topology(struct)
+    else:
+        top = source
+
+    if method == "auto":
+        method = "CutoffPeriodic" if box is not None else "CutoffNonPeriodic"
+    if box is not None and method == "CutoffPeriodic":
+        # OpenMM requires cutoff < box/2
+        cutoff = min(cutoff, 0.999 * float(min(box)) / 2)
+
+    types = top.atom_types
+
+    bond_idx, bond_k, bond_r0 = [], [], []
+    for (a, b) in top.bonds:
+        k, r0 = amber.lookup_bond(types[a], types[b])
+        bond_idx.append((a, b))
+        bond_k.append(k * KCAL * 100.0)   # kcal/A^2 -> kJ/nm^2
+        bond_r0.append(r0 / 10.0)
+
+    angle_idx, angle_k, angle_t0 = [], [], []
+    for (a, b, c) in top.angles:
+        k, t0 = amber.lookup_angle(types[a], types[b], types[c])
+        angle_idx.append((a, b, c))
+        angle_k.append(k * KCAL)
+        angle_t0.append(np.deg2rad(t0))
+
+    dih_idx, dih_pk, dih_phase, dih_n = [], [], [], []
+    for (i, j, k, l) in top.propers:
+        for (pk, phase, n) in amber.lookup_dihedral(types[i], types[j],
+                                                    types[k], types[l]):
+            if pk == 0.0:
+                continue
+            dih_idx.append((i, j, k, l))
+            dih_pk.append(pk * KCAL)
+            dih_phase.append(np.deg2rad(phase))
+            dih_n.append(float(n))
+    for (i, j, c, l) in top.impropers:
+        par = amber.lookup_improper(types[i], types[j], types[c], types[l])
+        if par is None:
+            continue
+        pk, phase, n = par
+        dih_idx.append((i, j, c, l))
+        dih_pk.append(pk * KCAL)
+        dih_phase.append(np.deg2rad(phase))
+        dih_n.append(float(n))
+
+    rmin_half = np.array([amber.lj_params(t)[0] / 10.0 for t in types])
+    eps = np.array([amber.lj_params(t)[1] * KCAL for t in types])
+    qq, lj = _exclusion_scales(top, amber.SCEE, amber.SCNB)
+
+    def arr(x, dt=dtype):
+        return jnp.asarray(np.asarray(x), dt)
+
+    natoms = top.natoms
+
+    def incidence(pairs):
+        """Dense difference operator: row k = e_{pairs[k][0]} - e_{pairs[k][1]}."""
+        D = np.zeros((len(pairs), natoms), dtype=np.float32)
+        for r, (a, b) in enumerate(pairs):
+            D[r, a] += 1.0
+            D[r, b] -= 1.0
+        return D
+
+    bi = np.asarray(bond_idx, np.int32).reshape(-1, 2)
+    ai = np.asarray(angle_idx, np.int32).reshape(-1, 3)
+    di = np.asarray(dih_idx, np.int32).reshape(-1, 4)
+
+    sys = MDSystem(
+        bond_idx=arr(bi, jnp.int32),
+        bond_k=arr(bond_k), bond_r0=arr(bond_r0),
+        angle_idx=arr(ai, jnp.int32),
+        angle_k=arr(angle_k), angle_t0=arr(angle_t0),
+        dih_idx=arr(di, jnp.int32),
+        dih_pk=arr(dih_pk), dih_phase=arr(dih_phase), dih_n=arr(dih_n),
+        bond_D=arr(incidence(bi)),
+        angle_U=arr(incidence(ai[:, [0, 1]])),
+        angle_V=arr(incidence(ai[:, [2, 1]])),
+        dih_B1=arr(incidence(di[:, [1, 0]])),
+        dih_B2=arr(incidence(di[:, [2, 1]])),
+        dih_B3=arr(incidence(di[:, [3, 2]])),
+        charges=arr(top.charges), rmin_half=arr(rmin_half), eps=arr(eps),
+        qq_scale=arr(qq), lj_scale=arr(lj), masses=arr(top.masses),
+        method=method, cutoff=float(cutoff), eps_rf=float(eps_rf),
+        box=tuple(float(b) for b in box) if box is not None else None,
+    )
+    return sys

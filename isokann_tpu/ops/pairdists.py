@@ -1,0 +1,231 @@
+"""Pairwise-distance featurization ops.
+
+TPU-native rebuild of ``src/utils/pairdists.jl``.  Two code paths:
+
+1. the XLA formulation — the batched Gram-matrix trick
+   (``-2 X X^T + |x|^2 rows + cols``, reference ``sqpairdist``
+   ``src/utils/pairdists.jl:32-35``) which XLA maps straight onto the MXU;
+2. a fused Pallas TPU kernel with a custom VJP, the analog of the
+   reference's hand-written CUDA kernels (``src/utils/pairdists.jl:137-196``),
+   used for large atom counts on TPU where fusing the subtract-square-reduce
+   avoids materializing the (B, N, N, 3) difference tensor in HBM.
+
+Array convention: coordinates are flat ``(..., 3N)`` rows (reference uses
+``(3N, batch)`` columns); features are ``(..., npairs)``.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ==========================================================================
+# XLA path
+# ==========================================================================
+
+def sqpairdist(x):
+    """Squared pairwise distances between atoms.
+
+    ``x``: (..., n_atoms, 3) -> (..., n_atoms, n_atoms).
+    Gram-trick formulation (reference ``src/utils/pairdists.jl:32-35``).
+    """
+    x = jnp.asarray(x)
+    sq = jnp.sum(x * x, axis=-1)
+    # HIGHEST precision: the Gram trick cancels catastrophically under the
+    # TPU's default bf16 matmul
+    g = jnp.matmul(x, jnp.swapaxes(x, -1, -2),
+                   precision=jax.lax.Precision.HIGHEST)
+    return sq[..., :, None] + sq[..., None, :] - 2.0 * g
+
+
+def pairdist(x):
+    return jnp.sqrt(jnp.maximum(sqpairdist(x), 0.0))
+
+
+@lru_cache(maxsize=None)
+def halfinds(n: int):
+    """Upper-triangular (i<j) index pair arrays (reference ``halfinds``,
+    ``src/utils/pairdists.jl:44-50``)."""
+    iu = np.triu_indices(n, k=1)
+    return np.asarray(iu[0]), np.asarray(iu[1])
+
+
+def flatpairdists(x, atoms=None, use_pallas: bool = None):
+    """All-pairs distances from flat coordinates.
+
+    ``x``: (..., 3*n_atoms) -> (..., n_atoms*(n_atoms-1)/2).
+    Optionally restrict to the atom indices ``atoms``.
+    Reference ``flatpairdists`` ``src/utils/pairdists.jl:6-28``.
+    """
+    x = jnp.asarray(x)
+    batch_shape = x.shape[:-1]
+    c = x.shape[-1] // 3
+    b = x.reshape((-1, c, 3))
+    if atoms is not None:
+        b = b[:, np.asarray(atoms), :]
+        c = b.shape[1]
+    if use_pallas is None:
+        use_pallas = _should_use_pallas(b)
+    if use_pallas:
+        p = sqpairdist_fused(b)
+    else:
+        p = sqpairdist(b)
+    i, j = halfinds(c)
+    p = p[:, i, j]
+    p = jnp.sqrt(jnp.maximum(p, 0.0))
+    return p.reshape(batch_shape + (len(i),))
+
+
+def pdists(x, pairs):
+    """Distances for an explicit list of atom index pairs.
+
+    ``x``: (..., 3N); ``pairs``: (npairs, 2) int array (0-based).
+    Reference ``pdists`` ``src/utils/pairdists.jl:109-127``.
+    """
+    x = jnp.asarray(x)
+    pairs = np.asarray(pairs)
+    batch_shape = x.shape[:-1]
+    b = x.reshape((-1, x.shape[-1] // 3, 3))
+    A = b[:, pairs[:, 0], :]
+    B = b[:, pairs[:, 1], :]
+    D = jnp.sqrt(jnp.maximum(jnp.sum((A - B) ** 2, axis=-1), 1e-24))
+    return D.reshape(batch_shape + (len(pairs),))
+
+
+def localpdistinds(coords, radius):
+    """Pairs whose minimal distance over all frames dips below ``radius``.
+
+    ``coords``: (frames, 3N). Returns (npairs, 2) int array.
+    Reference ``src/utils/pairdists.jl:81-88``."""
+    coords = np.asarray(coords)
+    if coords.ndim == 1:
+        coords = coords[None, :]
+    traj = coords.reshape(coords.shape[0], -1, 3)
+    ds = np.asarray(sqpairdist(jnp.asarray(traj)))
+    mds = ds.min(axis=0)
+    n = mds.shape[0]
+    iu, ju = np.triu_indices(n, k=1)
+    mask = (mds[iu, ju] > 0) & (mds[iu, ju] <= radius ** 2)
+    return np.stack([iu[mask], ju[mask]], axis=1)
+
+
+def restricted_localpdistinds(coords, radius, atoms):
+    """Like ``localpdistinds`` but only among ``atoms``
+    (reference ``src/utils/pairdists.jl:94-100``)."""
+    coords = np.asarray(coords)
+    if coords.ndim == 1:
+        coords = coords[None, :]
+    atoms = np.asarray(atoms)
+    sub = coords.reshape(coords.shape[0], -1, 3)[:, atoms, :]
+    pairs = localpdistinds(sub.reshape(coords.shape[0], -1), radius)
+    return np.stack([atoms[pairs[:, 0]], atoms[pairs[:, 1]]], axis=1)
+
+
+def localpdists(coords, radius):
+    """Convenience: (dists, pairs) (reference ``src/utils/pairdists.jl:130-134``)."""
+    inds = localpdistinds(coords, radius)
+    return pdists(coords, inds), inds
+
+
+# ==========================================================================
+# Pallas fused kernel (TPU): batched sqpairdist fwd + bwd with custom VJP.
+# Mirrors the reference CUDA kernels src/utils/pairdists.jl:137-196.
+# ==========================================================================
+
+def _should_use_pallas(b):
+    # Worth it only on TPU and for atom counts where the (N,N,3) fusion
+    # saves real HBM traffic; tiny systems stay on the MXU formulation.
+    try:
+        if jax.devices()[0].platform != "tpu":
+            return False
+    except Exception:
+        return False
+    return b.shape[1] >= 128
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def sqpairdist_fused(x):
+    """Fused batched squared pairwise distances via Pallas.
+
+    ``x``: (B, N, 3) -> (B, N, N).  Custom VJP:
+    dx[b,i] = 4 * sum_j (dp[b,i,j]) * (x[b,i] - x[b,j]) for symmetric dp;
+    generally dx = 2 * sum_j (dp[i,j]+dp[j,i]) (x_i - x_j)
+    (reference backward kernel ``src/utils/pairdists.jl:153-167``).
+    """
+    return _sqpairdist_fwd_impl(x)
+
+
+def _sqpairdist_fwd_impl(x):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, _ = x.shape
+    Np = _round_up(N, 128)
+    xp = jnp.zeros((B, Np, 8), x.dtype).at[:, :N, :3].set(x)
+
+    def kernel(x_ref, out_ref):
+        xs = x_ref[0]                     # (Np, 8)
+        acc = jnp.zeros((Np, Np), xs.dtype)
+        for k in range(3):
+            col = xs[:, k:k + 1]           # (Np, 1)
+            diff = col - col.T             # (Np, Np)
+            acc = acc + diff * diff
+        out_ref[0] = acc
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Np, Np), x.dtype),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, Np, 8), lambda b: (b, 0, 0))],
+        out_specs=pl.BlockSpec((1, Np, Np), lambda b: (b, 0, 0)),
+    )(xp)
+    return out[:, :N, :N]
+
+
+def _sqpairdist_bwd_impl(x, dp):
+    from jax.experimental import pallas as pl
+
+    B, N, _ = x.shape
+    Np = _round_up(N, 128)
+    xp = jnp.zeros((B, Np, 8), x.dtype).at[:, :N, :3].set(x)
+    dpp = jnp.zeros((B, Np, Np), dp.dtype).at[:, :N, :N].set(dp)
+
+    def kernel(x_ref, dp_ref, dx_ref):
+        xs = x_ref[0]                      # (Np, 8)
+        g = dp_ref[0]                      # (Np, Np)
+        s = g + g.T                        # (Np, Np)
+        rowsum = jnp.sum(s, axis=1, keepdims=True)   # (Np, 1)
+        out = jnp.zeros((Np, 8), xs.dtype)
+        # dx[i,k] = 2 * (x[i,k] * rowsum[i] - sum_j s[i,j] x[j,k])
+        sx = jnp.dot(s, xs, preferred_element_type=xs.dtype)  # (Np, 8)
+        out = 2.0 * (xs * rowsum - sx)
+        dx_ref[0] = out
+
+    dx = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Np, 8), x.dtype),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, Np, 8), lambda b: (b, 0, 0)),
+                  pl.BlockSpec((1, Np, Np), lambda b: (b, 0, 0))],
+        out_specs=pl.BlockSpec((1, Np, 8), lambda b: (b, 0, 0)),
+    )(xp, dpp)
+    return dx[:, :N, :3]
+
+
+def _fused_fwd(x):
+    return _sqpairdist_fwd_impl(x), x
+
+
+def _fused_bwd(x, dp):
+    return (_sqpairdist_bwd_impl(x, dp),)
+
+
+sqpairdist_fused.defvjp(_fused_fwd, _fused_bwd)

@@ -1,2 +1,3 @@
 from .base import IsoSimulation, ExternalSimulation
 from .langevin import Diffusion, Doublewell, Triplewell, MuellerBrown
+from .mdsim import MDSimulation, OpenMMSimulation

@@ -50,9 +50,10 @@ class IsoSimulation:
         ys = self.propagate(x0, n, key=key)
         return ys[0]
 
-    def defaultmodel(self, **kwargs):
+    def defaultmodel(self, n=None, nout=1, key=None, **kwargs):
         from ..models import pairnet
-        return pairnet(n=self.dim, **kwargs)
+        return pairnet(n=n if n is not None else self.dim, nout=nout,
+                       key=key, **kwargs)
 
     def __repr__(self):
         return f"{type(self).__name__} with {self.dim} dimensions"

@@ -132,9 +132,9 @@ class Diffusion(IsoSimulation):
         u = jax.random.uniform(key, (n, self.dim_), jnp.float32)
         return lo + u * (hi - lo)
 
-    def defaultmodel(self, **kwargs):
+    def defaultmodel(self, n=None, nout=1, key=None, **kwargs):
         from ..models import smallnet
-        return smallnet(self.dim_, **kwargs)
+        return smallnet(self.dim_, nout=nout, key=key, **kwargs)
 
     # -- integration ------------------------------------------------------
 

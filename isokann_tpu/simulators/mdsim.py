@@ -1,0 +1,324 @@
+"""MDSimulation: the TPU-native counterpart of the reference's
+OpenMMSimulation (``src/simulators/openmm.jl:96-143``).
+
+Wraps the built-in Amber-type force field (``isokann_tpu.md``) with the
+IsoSimulation interface.  Where the reference steps one OpenMM context at a
+time through Python FFI (``src/simulators/openmm.jl:286-315`` — serial
+nx x nk loops), every propagation here is a single jitted device program
+advancing all walkers at once.
+
+Defaults mirror the reference (``src/simulators/mopenmm.py:10-27``,
+``src/simulators/openmm.jl:103``): 310 K, friction 1/ps, 2 fs steps,
+steps=100 (lagtime 0.2 ps), LangevinMiddle integrator, no constraints,
+auto cutoff method.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import IsoSimulation
+from ..data import WeightedSamples
+from ..features import default_featurizer
+from ..md import integrators as I
+from ..md.forces import force_flat, potential_energy_flat
+from ..md.minimize import minimize_energy
+from ..md.pdbio import read_pdb
+from ..md.system import build_system, KB
+
+
+class MDSimulation(IsoSimulation):
+    """Batched TPU molecular dynamics simulation.
+
+    Arguments (mirroring OpenMMSimulation):
+    - pdb: path to a PDB file (default: bundled alanine dipeptide)
+    - steps: number of integrator steps per Koopman lag (default 100)
+    - temp [K], friction [1/ps], step [ps]
+    - integrator: "langevin" (LangevinMiddle) or "brownian" (overdamped EM)
+    - features: featurizer spec (None -> all-pairs if <100 atoms else 100
+      random pairs; int/float radius; pair list; atom list; callable)
+    - minimize: energy-minimize the initial state
+    - bias: optional bias force ``bias(x, t, sigma, F) -> u`` enabling
+      Girsanov-weighted sampling (ABOBA integrator)
+    - method/cutoff: nonbonded method override ("auto" per reference)
+    """
+
+    def __init__(self, pdb: Optional[str] = None, steps: int = 100,
+                 temp: float = 310.0, friction: float = 1.0,
+                 step: float = 0.002, integrator: str = "langevin",
+                 features=None, minimize: bool = False, bias=None,
+                 method: str = "auto", cutoff: float = 1.0,
+                 dtype=jnp.float32):
+        if pdb is None:
+            from ..md.fixtures import alanine_dipeptide_pdb
+            pdb = alanine_dipeptide_pdb()
+        self.constructor = dict(pdb=pdb, steps=steps, temp=temp,
+                                friction=friction, step=step,
+                                integrator=integrator, features=features,
+                                minimize=minimize, method=method,
+                                cutoff=cutoff)
+        self.pdbfile = pdb
+        self.steps = int(steps)
+        self.temp = float(temp)
+        self.friction = float(friction)
+        self.step = float(step)
+        self.integrator = integrator
+        self.bias = bias
+
+        self.structure = read_pdb(pdb)
+        self.system = build_system(pdb, method=method, cutoff=cutoff,
+                                   dtype=dtype)
+        self.masses3 = jnp.repeat(self.system.masses, 3)
+        self._x0 = jnp.asarray(self.structure.coords.reshape(-1), dtype)
+        if minimize:
+            self._x0 = self.minimize(self._x0)
+        self.featurizer = default_featurizer(pdb, self.natoms, features)
+        self._jit_cache = {}
+
+    # ---- basic accessors (reference src/simulators/openmm.jl:148-239) ----
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d["_jit_cache"] = {}
+        return d
+
+    @property
+    def natoms(self):
+        return self.system.natoms
+
+    @property
+    def dim(self):
+        return 3 * self.natoms
+
+    @property
+    def lagtime(self):
+        """Physical lag in ps (reference ``src/simulators/openmm.jl:156``)."""
+        return self.steps * self.step
+
+    @property
+    def coords(self):
+        return self._x0
+
+    def setcoords(self, x):
+        self._x0 = jnp.asarray(x).reshape(-1)
+
+    def masses(self):
+        return self.system.masses
+
+    def potential(self, x):
+        """Potential energy [kJ/mol] at flat coords (batched)
+        (reference ``src/simulators/openmm.jl:224-239``)."""
+        return potential_energy_flat(self.system, jnp.asarray(x))
+
+    def force(self, x):
+        """Forces [kJ/mol/nm] at flat coords (batched)."""
+        return force_flat(self.system, jnp.asarray(x))
+
+    def minimize(self, x=None, maxiter=500):
+        """FIRE energy minimization (OpenMM ``minimizeEnergy`` analog)."""
+        x = self._x0 if x is None else jnp.asarray(x)
+        return minimize_energy(
+            lambda z: potential_energy_flat(self.system, z), x,
+            maxiter=maxiter)
+
+    def defaultmodel(self, n=None, nout=1, key=None, **kwargs):
+        from ..models import pairnet
+        return pairnet(n=n if n is not None else self.dim, nout=nout,
+                       key=key, **kwargs)
+
+    def random_velocities(self, key, shape):
+        return I.maxwell_boltzmann(key, self.masses3, self.temp, shape)
+
+    # ---- propagation -----------------------------------------------------
+
+    def _force_fn(self):
+        sys = self.system
+        return lambda x: force_flat(sys, x)
+
+    def _propagate_fn(self, nwalkers: int, nsteps: int, biased: bool):
+        key_ = ("prop", nwalkers, nsteps, biased, self.integrator)
+        if key_ in self._jit_cache:
+            return self._jit_cache[key_]
+        force_fn = self._force_fn()
+        masses3, T, gamma, dt = self.masses3, self.temp, self.friction, self.step
+        bias = self.bias
+
+        if biased:
+            @jax.jit
+            def run(x0, key):
+                kv, ki = jax.random.split(key)
+                p0 = jax.random.normal(kv, x0.shape, x0.dtype) * jnp.sqrt(
+                    masses3 * I.KB * T)
+                q, p, logw = I.aboba_girsanov(force_fn, bias, x0, p0, masses3,
+                                              T, gamma, dt, nsteps, ki)
+                return q, jnp.exp(logw)
+        elif self.integrator == "brownian":
+            @jax.jit
+            def run(x0, key):
+                return I.brownian(force_fn, x0, masses3, T, gamma, dt,
+                                  nsteps, key)
+        else:
+            @jax.jit
+            def run(x0, key):
+                kv, ki = jax.random.split(key)
+                v0 = I.maxwell_boltzmann(kv, masses3, T, x0.shape)
+                x, v = I.langevin_middle(force_fn, x0, v0, masses3, T, gamma,
+                                         dt, nsteps, ki)
+                return x
+
+        self._jit_cache[key_] = run
+        return run
+
+    def propagate(self, x0, nk, key=None, steps=None):
+        """(n, 3N) -> (n, nk, 3N) Koopman burst propagation — one jitted
+        device program for all n*nk walkers (replaces the reference's serial
+        loop ``src/simulators/openmm.jl:286-315``).  With a bias, returns
+        Girsanov-weighted samples."""
+        key = _key(key)
+        x0 = jnp.asarray(x0)
+        n, d = x0.shape
+        nsteps = self.steps if steps is None else steps
+        xs = jnp.repeat(x0, nk, axis=0)
+        run = self._propagate_fn(n * nk, nsteps, self.bias is not None)
+        if self.bias is not None:
+            ys, w = run(xs, key)
+            return WeightedSamples(ys.reshape(n, nk, d), w.reshape(n, nk))
+        ys = run(xs, key)
+        return ys.reshape(n, nk, d)
+
+    # ---- fused data generation --------------------------------------------
+
+    def bootstrap_data(self, nx: int, nk: int, featurizer=None, key=None):
+        """Fused dataset bootstrap: ONE jitted program computing
+        - a chain of nx lagged frames from the default state (randx0),
+        - nk Koopman bursts per frame,
+        - features of both.
+        Returns (xs, ys, fxs, fys).  This replaces three separately
+        compiled programs (chain, bursts, featurize) — compile latency is
+        the dominant non-physics cost under remote-compiled TPU backends."""
+        key = _key(key)
+        featurizer = featurizer or self.featurizer
+        cache_key = ("bootstrap", nx, nk, self.steps, id(featurizer))
+        if cache_key not in self._jit_cache:
+            force_fn = self._force_fn()
+            masses3, T, gamma, dt = (self.masses3, self.temp, self.friction,
+                                     self.step)
+            nsteps = self.steps
+
+            @jax.jit
+            def run(x0, key):
+                kchain, kprop = jax.random.split(key)
+
+                def blockstep(x, k):
+                    kv, k2 = jax.random.split(k)
+                    v = I.maxwell_boltzmann(kv, masses3, T, x.shape)
+                    x, _ = I.langevin_middle(force_fn, x, v, masses3, T,
+                                             gamma, dt, nsteps, k2)
+                    return x, x
+
+                _, xs = jax.lax.scan(blockstep, x0[None, :],
+                                     jax.random.split(kchain, nx))
+                xs = xs[:, 0, :]                           # (nx, 3N)
+
+                kv, ki = jax.random.split(kprop)
+                yr = jnp.repeat(xs, nk, axis=0)
+                v0 = I.maxwell_boltzmann(kv, masses3, T, yr.shape)
+                ys, _ = I.langevin_middle(force_fn, yr, v0, masses3, T,
+                                          gamma, dt, nsteps, ki)
+                ys = ys.reshape(nx, nk, -1)
+                fxs = jnp.asarray(featurizer(xs), jnp.float32)
+                fys = jnp.asarray(featurizer(ys), jnp.float32)
+                return xs, ys, fxs, fys
+
+            self._jit_cache[cache_key] = run
+        return self._jit_cache[cache_key](self._x0, key)
+
+    # ---- trajectories ------------------------------------------------------
+
+    def _block_fn(self, batch: int, saveevery: int, resample_velocities: bool):
+        """One jitted trajectory block: advance (batch, 3N) by ``saveevery``
+        steps.  Trajectories host-loop over this single program — one
+        compile regardless of trajectory length, bounded memory."""
+        key_ = ("block", batch, saveevery, resample_velocities)
+        if key_ in self._jit_cache:
+            return self._jit_cache[key_]
+        force_fn = self._force_fn()
+        masses3, T, gamma, dt = self.masses3, self.temp, self.friction, self.step
+
+        @jax.jit
+        def block(x, v, k):
+            if resample_velocities:
+                kv, k = jax.random.split(k)
+                v = I.maxwell_boltzmann(kv, masses3, T, x.shape)
+            x, v = I.langevin_middle(force_fn, x, v, masses3, T, gamma,
+                                     dt, saveevery, k)
+            return x, v
+
+        self._jit_cache[key_] = block
+        return block
+
+    def trajectory(self, steps=None, saveevery=1, x0=None,
+                   sample_velocities=True, resample_velocities=False,
+                   key=None):
+        """(nsave, 3N) trajectory (reference ``src/simulators/openmm.jl:356-393``).
+
+        With a bias attached, runs the Girsanov ABOBA integrator and returns
+        WeightedSamples (reference ``langevin_girsanov!`` dispatch :546)."""
+        key = _key(key)
+        steps = self.steps if steps is None else steps
+        x0 = self._x0 if x0 is None else jnp.asarray(x0).reshape(-1)
+        nblocks = steps // saveevery
+        if self.bias is not None:
+            force_fn = self._force_fn()
+            kv, ki = jax.random.split(key)
+            p0 = jax.random.normal(kv, (1, self.dim)) * jnp.sqrt(
+                self.masses3 * KB * self.temp)
+            qs, logws, _ = I.aboba_girsanov(
+                force_fn, self.bias, x0[None, :], p0, self.masses3, self.temp,
+                self.friction, self.step, steps, ki, save_every=saveevery)
+            return WeightedSamples(qs[:, 0, :], jnp.exp(logws[:, 0]))
+        block = self._block_fn(1, saveevery, resample_velocities)
+        kv, key = jax.random.split(key)
+        x = x0[None, :]
+        v = (jnp.zeros_like(x) if not sample_velocities
+             else I.maxwell_boltzmann(kv, self.masses3, self.temp, x.shape))
+        saves = []
+        for k in jax.random.split(key, nblocks):
+            x, v = block(x, v, k)
+            saves.append(x[0])
+        return jnp.stack(saves)
+
+    def laggedtrajectory(self, lags, steps=None, x0=None,
+                         resample_velocities=True, key=None):
+        """lags frames separated by ``steps`` integrator steps, velocities
+        resampled per lag (reference ``src/simulators/openmm.jl:333``)."""
+        steps = self.steps if steps is None else steps
+        return self.trajectory(steps=lags * steps, saveevery=steps, x0=x0,
+                               resample_velocities=resample_velocities,
+                               key=key)
+
+    def randx0(self, n, key=None):
+        """n initial points from a lagged trajectory
+        (reference ``src/simulators/openmm.jl:273``)."""
+        return self.laggedtrajectory(n, key=key)
+
+    def __repr__(self):
+        return (f"MDSimulation({self.natoms} atoms, steps={self.steps}, "
+                f"temp={self.temp}K, friction={self.friction}/ps, "
+                f"dt={self.step}ps, {self.system.method})")
+
+
+# Alias mirroring the reference name
+OpenMMSimulation = MDSimulation
+
+
+def _key(key):
+    if key is None:
+        return jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+    if isinstance(key, int):
+        return jax.random.PRNGKey(key)
+    return key

@@ -1,0 +1,197 @@
+"""MD engine tests: topology, force field, integrators, MDSimulation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isokann_tpu.md.fixtures import build_alanine_dipeptide, alanine_dipeptide_pdb
+from isokann_tpu.md.pdbio import read_pdb, write_pdb, write_pdb_traj, read_pdb_traj
+from isokann_tpu.md.topology import build_topology
+from isokann_tpu.md.system import build_system, KB
+from isokann_tpu.md import forces, integrators as I
+from isokann_tpu.md.minimize import minimize_energy
+
+
+@pytest.fixture(scope="module")
+def ala(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("md") / "ala.pdb")
+    write_pdb(path, build_alanine_dipeptide())
+    return path
+
+
+@pytest.fixture(scope="module")
+def ala_sys(ala):
+    return build_system(ala)
+
+
+def test_pdb_roundtrip(ala, tmp_path):
+    s = read_pdb(ala)
+    assert s.natoms == 22
+    assert s.res_names[0] == "ACE" and s.res_names[-1] == "NME"
+    out = str(tmp_path / "rt.pdb")
+    write_pdb(out, s)
+    s2 = read_pdb(out)
+    assert s2.atom_names == s.atom_names
+    assert np.allclose(s2.coords, s.coords, atol=1e-4)
+
+
+def test_pdb_traj_roundtrip(ala, tmp_path):
+    s = read_pdb(ala)
+    traj = np.stack([s.coords.ravel(), s.coords.ravel() + 0.01])
+    out = str(tmp_path / "traj.pdb")
+    write_pdb_traj(out, s, traj)
+    back = read_pdb_traj(out)
+    assert back.shape == (2, 66)
+    assert np.allclose(back, traj, atol=1e-4)
+
+
+def test_topology(ala):
+    top = build_topology(read_pdb(ala))
+    assert top.natoms == 22
+    assert len(top.bonds) == 21           # tree: n-1 bonds for acyclic chain
+    assert len(top.angles) == 36
+    # peptide bonds exist: ACE C - ALA N
+    types = top.atom_types
+    assert types[4] == "C" and types[6] == "N"
+    assert (4, 6) in top.bonds or (6, 4) in top.bonds
+    assert abs(top.charges.sum()) < 1e-10
+    assert top.masses.sum() == pytest.approx(144.179, abs=0.5)
+
+
+def test_system_build(ala_sys):
+    assert ala_sys.natoms == 22
+    assert ala_sys.method == "CutoffPeriodic"
+    assert ala_sys.bond_idx.shape == (21, 2)
+    # exclusions: bonded pairs have zero scale, 1-4 pairs scaled
+    qq = np.asarray(ala_sys.qq_scale)
+    bi = np.asarray(ala_sys.bond_idx)
+    assert np.all(qq[bi[:, 0], bi[:, 1]] == 0)
+    assert np.any(np.isclose(qq, 1 / 1.2))
+
+
+def test_energy_finite_and_minimizable(ala, ala_sys):
+    x = jnp.asarray(read_pdb(ala).coords.reshape(-1), jnp.float32)
+    e0 = float(forces.potential_energy_flat(ala_sys, x))
+    assert np.isfinite(e0)
+    xm = minimize_energy(lambda z: forces.potential_energy_flat(ala_sys, z),
+                         x, maxiter=300)
+    e1 = float(forces.potential_energy_flat(ala_sys, xm))
+    assert e1 < e0
+    assert e1 < 500.0
+
+
+def test_force_is_negative_gradient(ala_sys, ala):
+    x = jnp.asarray(read_pdb(ala).coords.reshape(-1), jnp.float32)
+    f = np.asarray(forces.force_flat(ala_sys, x))
+    g = np.asarray(jax.grad(
+        lambda z: forces.potential_energy_flat(ala_sys, z))(x))
+    assert np.allclose(f, -g, atol=1e-3)
+
+
+def test_energy_invariances(ala, ala_sys):
+    """Bonded + NoCutoff nonbonded energy must be translation/rotation
+    invariant."""
+    sys2 = build_system(ala, method="NoCutoff")
+    x0 = jnp.asarray(read_pdb(ala).coords.reshape(-1), jnp.float32)
+    x = np.asarray(minimize_energy(
+        lambda z: forces.potential_energy_flat(sys2, z), x0,
+        maxiter=200)).reshape(-1, 3)
+    e = float(forces.potential_energy_flat(sys2, jnp.asarray(x.reshape(-1), jnp.float32)))
+    # translation
+    e_t = float(forces.potential_energy_flat(
+        sys2, jnp.asarray((x + 1.23).reshape(-1), jnp.float32)))
+    assert e_t == pytest.approx(e, abs=max(0.2, abs(e) * 1e-4))
+    # rotation
+    q, _ = np.linalg.qr(np.random.default_rng(0).normal(size=(3, 3)))
+    e_r = float(forces.potential_energy_flat(
+        sys2, jnp.asarray((x @ q.T).reshape(-1), jnp.float32)))
+    assert e_r == pytest.approx(e, abs=max(0.5, abs(e) * 1e-3))
+
+
+def test_langevin_middle_temperature(ala, ala_sys, key):
+    """Long LangevinMiddle run should equilibrate near the target T."""
+    x = jnp.asarray(read_pdb(ala).coords.reshape(-1), jnp.float32)
+    xm = minimize_energy(lambda z: forces.potential_energy_flat(ala_sys, z),
+                         x, maxiter=300)
+    m3 = jnp.repeat(ala_sys.masses, 3)
+    ff = lambda z: forces.force_flat(ala_sys, z)
+    B = 16
+    x0 = jnp.tile(xm[None, :], (B, 1))
+    v0 = I.maxwell_boltzmann(key, m3, 310.0, (B, 66))
+    xT, vT = I.langevin_middle(ff, x0, v0, m3, 310.0, 1.0, 0.002, 2000, key)
+    assert np.all(np.isfinite(np.asarray(xT)))
+    ke = 0.5 * jnp.sum(m3 * vT ** 2, axis=-1)
+    T_inst = float(jnp.mean(2 * ke / (66 * KB)))
+    assert 230 < T_inst < 400
+
+
+def test_girsanov_weights_unbiased(ala_sys, ala, key):
+    """Zero bias -> ABOBA girsanov weights must be exactly 1."""
+    x = jnp.asarray(read_pdb(ala).coords.reshape(-1), jnp.float32)
+    m3 = jnp.repeat(ala_sys.masses, 3)
+    ff = lambda z: forces.force_flat(ala_sys, z)
+    bias = lambda q, t, sigma, F: jnp.zeros_like(q)
+    p0 = jax.random.normal(key, (2, 66)) * jnp.sqrt(m3 * KB * 310.0)
+    q, p, logw = I.aboba_girsanov(ff, bias, jnp.tile(x[None], (2, 1)), p0,
+                                  m3, 310.0, 1.0, 0.002, 50, key)
+    assert np.allclose(np.asarray(logw), 0.0)
+    assert np.all(np.isfinite(np.asarray(q)))
+
+
+def test_brownian_girsanov_weights(ala_sys, ala, key):
+    x = jnp.asarray(read_pdb(ala).coords.reshape(-1), jnp.float32)
+    m3 = jnp.repeat(ala_sys.masses, 3)
+    ff = lambda z: forces.force_flat(ala_sys, z)
+    bias = lambda q, t, sigma, F: jnp.full_like(q, 0.01)
+    xT, logw = I.brownian_girsanov(ff, bias, jnp.tile(x[None], (3, 1)), m3,
+                                   310.0, 100.0, 1e-5, 20, key)
+    assert logw.shape == (3,)
+    assert np.all(np.isfinite(np.asarray(logw)))
+    assert not np.allclose(np.asarray(logw), 0.0)
+
+
+class TestMDSimulation:
+    def test_construct_and_propagate(self, key):
+        from isokann_tpu import MDSimulation
+        sim = MDSimulation(steps=20)
+        assert sim.natoms == 22
+        assert sim.lagtime == pytest.approx(0.04)
+        x0 = jnp.tile(sim.coords[None, :], (3, 1))
+        ys = sim.propagate(x0, 2, key=key)
+        assert ys.shape == (3, 2, 66)
+        assert np.all(np.isfinite(np.asarray(ys)))
+
+    def test_trajectory_and_lagged(self, key):
+        from isokann_tpu import MDSimulation
+        sim = MDSimulation(steps=10)
+        traj = sim.trajectory(steps=50, saveevery=10, key=key)
+        assert traj.shape == (5, 66)
+        lt = sim.laggedtrajectory(4, key=key)
+        assert lt.shape == (4, 66)
+
+    def test_featurizer_default(self):
+        from isokann_tpu import MDSimulation
+        from isokann_tpu.features import FeaturesAll
+        sim = MDSimulation(steps=10)
+        assert isinstance(sim.featurizer, FeaturesAll)
+        f = sim.featurizer(sim.coords[None, :])
+        assert f.shape == (1, 22 * 21 // 2)
+
+    def test_iso_on_md(self, key):
+        from isokann_tpu import Iso, MDSimulation, AdamRegularized
+        sim = MDSimulation(steps=10)
+        iso = Iso(sim=sim, nx=8, nk=2, key=1, minibatch=0,
+                  opt=AdamRegularized())
+        iso.run(5)
+        assert len(iso.losses) == 5
+        assert np.all(np.isfinite(iso.losses))
+
+    def test_girsanov_bias_gives_weighted_samples(self, key):
+        from isokann_tpu import MDSimulation
+        from isokann_tpu.data import WeightedSamples
+        bias = lambda q, t, sigma, F: jnp.zeros_like(q)
+        sim = MDSimulation(steps=5, bias=bias)
+        ys = sim.propagate(jnp.tile(sim.coords[None, :], (2, 1)), 2, key=key)
+        assert isinstance(ys, WeightedSamples)
+        assert np.allclose(np.asarray(ys.weights), 1.0)
