@@ -60,3 +60,26 @@ from .ops import (
     align, aligned_rmsd, pairwise_aligned_rmsd, aligntrajectory,
     dihedral, localpdistinds,
 )
+from .simulators.metadynamics import (
+    MetadynamicsSimulation, MetadynamicsState, MetadynamicsStateGridded,
+)
+from .simulators.bridge import (
+    GuidedLangevinBridge, LinearInterpolant, bridge_simplex, run_bridges,
+    resample_picking_features,
+)
+from .simulators.effective import EffectiveSimulation, KDEExpectation
+from .workflows import (
+    run_metadynamics, adaptive_metadynamics, run_kde_dash, run_both,
+)
+from .analysis import (
+    reactive_path, save_reactive_path, reactionpath_minimum, reactionpath_ode,
+    marginal_free_energy, constrained_free_energy, mutual_information,
+    solve_committor,
+)
+from .utils import (
+    plot_training, plot_chi, scatter_ramachandran, autoplot,
+    LazyTrajectory, LazyMultiTrajectory,
+    savecoords, saveextrema, load_trajectory, save_trajectory,
+    phi_psi, ca_rmsd, ReactionCoordsRMSD, standardform,
+)
+from .md.fixtures import alanine_dipeptide_pdb

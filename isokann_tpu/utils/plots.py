@@ -1,0 +1,229 @@
+"""Training dashboards and molecular plots (matplotlib).
+
+TPU-native rebuild of ``src/utils/plots.jl`` + the Makie dashboard: the
+reference uses Plots.jl (``plot_training`` ``src/utils/plots.jl:43-60``,
+``scatter_ramachandran`` ``:187-202``, ``vismodel`` ``:204-240``).
+All functions return matplotlib figures; nothing is displayed implicitly.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+
+def plot_training(iso, out=None):
+    """Dashboard: log-loss + chi values + chi-vs-Kchi fixpoint scatter
+    (reference ``plot_training``, ``src/utils/plots.jl:43-60``)."""
+    fig, axes = plt.subplots(1, 3, figsize=(12, 3.5))
+
+    ax = axes[0]
+    losses = np.asarray(iso.losses)
+    ax.semilogy(losses, label="train loss")
+    for lg in iso.loggers:
+        if hasattr(lg, "losses") and hasattr(lg, "iters") and len(lg.losses):
+            ax.semilogy(lg.iters, lg.losses, label="validation")
+    ax.set_xlabel("iteration")
+    ax.set_ylabel("loss")
+    ax.legend()
+
+    ax = axes[1]
+    chi = np.asarray(iso.chis())
+    order = np.argsort(chi[:, 0])
+    for d in range(chi.shape[1]):
+        ax.plot(chi[order, d], ".", ms=2)
+    ax.set_xlabel("frame (sorted)")
+    ax.set_ylabel(r"$\chi$")
+
+    ax = axes[2]
+    kchi = np.asarray(iso.koopman())
+    for d in range(chi.shape[1]):
+        ax.plot(chi[:, d], kchi[:, d], ".", ms=2)
+    lo = min(chi.min(), kchi.min())
+    hi = max(chi.max(), kchi.max())
+    ax.plot([lo, hi], [lo, hi], "k--", lw=0.5)
+    ax.set_xlabel(r"$\chi$")
+    ax.set_ylabel(r"$K\chi$")
+
+    fig.tight_layout()
+    if out:
+        fig.savefig(out, dpi=120)
+    return fig
+
+
+def plot_chi(iso, out=None):
+    """Sorted chi values (reference ``plot_chi``, ``src/utils/plots.jl:72-102``)."""
+    fig, ax = plt.subplots(figsize=(5, 3.5))
+    chi = np.asarray(iso.chis())
+    order = np.argsort(chi[:, 0])
+    for d in range(chi.shape[1]):
+        ax.plot(chi[order, d], ".", ms=2, label=f"chi{d + 1}")
+    ax.legend()
+    fig.tight_layout()
+    if out:
+        fig.savefig(out, dpi=120)
+    return fig
+
+
+def scatter_chifix(iso, out=None):
+    """chi vs Kchi fixed-point scatter (reference ``src/utils/plots.jl:150-163``)."""
+    fig, ax = plt.subplots(figsize=(4, 4))
+    chi = np.asarray(iso.chis())
+    kchi = np.asarray(iso.koopman())
+    ax.plot(chi.ravel(), kchi.ravel(), ".", ms=2)
+    ax.set_xlabel(r"$\chi$")
+    ax.set_ylabel(r"$K\chi$")
+    fig.tight_layout()
+    if out:
+        fig.savefig(out, dpi=120)
+    return fig
+
+
+def scatter_ramachandran(iso_or_coords, chi=None, pdb=None, out=None):
+    """phi/psi scatter colored by chi
+    (reference ``scatter_ramachandran``, ``src/utils/plots.jl:187-202``)."""
+    from ..features import FeaturesAngles
+    from ..ops.dihedrals import phi_psi_indices
+    from ..md.pdbio import read_pdb
+    from ..md.topology import build_topology
+    from ..ops.dihedrals import dihedrals_from_indices
+
+    if hasattr(iso_or_coords, "data"):       # an Iso
+        iso = iso_or_coords
+        coords = np.asarray(iso.data.coords)
+        chi = np.asarray(iso.chis()) if chi is None else np.asarray(chi)
+        pdb = pdb or iso.data.pdbfile
+    else:
+        coords = np.asarray(iso_or_coords)
+        chi = None if chi is None else np.asarray(chi)
+
+    top = build_topology(read_pdb(pdb))
+    phis, psis = phi_psi_indices(top)
+    phi = np.asarray(dihedrals_from_indices(coords, phis))
+    psi = np.asarray(dihedrals_from_indices(coords, psis))
+
+    d = 1 if chi is None else chi.shape[1]
+    fig, axes = plt.subplots(1, d, figsize=(4 * d, 4), squeeze=False)
+    for j in range(d):
+        ax = axes[0, j]
+        c = None if chi is None else chi[:, j]
+        sc = ax.scatter(phi[:, 0], psi[:, 0], c=c, s=6, cmap="viridis")
+        if c is not None:
+            fig.colorbar(sc, ax=ax)
+        ax.set_xlim(-np.pi, np.pi)
+        ax.set_ylim(-np.pi, np.pi)
+        ax.set_xlabel(r"$\phi$")
+        ax.set_ylabel(r"$\psi$")
+    fig.tight_layout()
+    if out:
+        fig.savefig(out, dpi=120)
+    return fig
+
+
+def plot_reactive_path(ids, xi, out=None):
+    """Reaction-coordinate profile of a reactive path
+    (reference ``src/utils/reactivepath.jl:192-198``)."""
+    xi = np.asarray(xi).ravel()
+    fig, axes = plt.subplots(1, 2, figsize=(8, 3.5))
+    axes[0].plot(xi, ".", ms=2)
+    axes[0].plot(ids, xi[ids], "o-", ms=4)
+    axes[0].set_xlabel("frame")
+    axes[0].set_ylabel(r"$\chi$")
+    axes[1].plot(xi[ids], "o-")
+    axes[1].set_xlabel("path step")
+    fig.tight_layout()
+    if out:
+        fig.savefig(out, dpi=120)
+    return fig
+
+
+def vismodel(model, grid=30, lims=(-2, 2), out=None):
+    """2-D chi-model surface (reference ``vismodel``, ``src/utils/plots.jl:204-240``)."""
+    import jax.numpy as jnp
+    xs = np.linspace(lims[0], lims[1], grid)
+    X, Y = np.meshgrid(xs, xs)
+    pts = jnp.asarray(np.stack([X.ravel(), Y.ravel()], axis=1), jnp.float32)
+    Z = np.asarray(model(pts))[:, 0].reshape(grid, grid)
+    fig, ax = plt.subplots(figsize=(5, 4))
+    pcm = ax.pcolormesh(X, Y, Z, cmap="viridis")
+    fig.colorbar(pcm, ax=ax)
+    fig.tight_layout()
+    if out:
+        fig.savefig(out, dpi=120)
+    return fig
+
+
+def plot_targets(iso, out=None):
+    """Current chi and target values (reference ``src/utils/plots.jl:242-260``)."""
+    from ..targets import isotarget
+    fig, ax = plt.subplots(figsize=(5, 3.5))
+    chi = np.asarray(iso.chis())
+    t = np.asarray(isotarget(iso))
+    order = np.argsort(chi[:, 0])
+    for d in range(chi.shape[1]):
+        ax.plot(chi[order, d], label=f"chi{d + 1}")
+        ax.plot(t[order, d], ".", ms=2, label=f"target{d + 1}")
+    ax.legend()
+    fig.tight_layout()
+    if out:
+        fig.savefig(out, dpi=120)
+    return fig
+
+
+def plot_potential(sim, grid=100, out=None):
+    """Potential landscape of an analytic Langevin system."""
+    import jax.numpy as jnp
+    box = sim._supportbox
+    fig, ax = plt.subplots(figsize=(5, 4))
+    if sim.dim == 1:
+        xs = np.linspace(box[0, 0], box[0, 1], grid)
+        V = np.asarray(sim.potential_batch(jnp.asarray(xs[:, None], jnp.float32)))
+        ax.plot(xs, V)
+        ax.set_xlabel("x")
+        ax.set_ylabel("V")
+    else:
+        xs = np.linspace(box[0, 0], box[0, 1], grid)
+        ys = np.linspace(box[1, 0], box[1, 1], grid)
+        X, Y = np.meshgrid(xs, ys)
+        pts = np.stack([X.ravel(), Y.ravel()], axis=1)
+        if sim.dim > 2:
+            pts = np.concatenate(
+                [pts, np.zeros((len(pts), sim.dim - 2))], axis=1)
+        V = np.asarray(sim.potential_batch(jnp.asarray(pts, jnp.float32))).reshape(grid, grid)
+        pcm = ax.pcolormesh(X, Y, np.clip(V, None, np.percentile(V, 95)),
+                            cmap="viridis")
+        fig.colorbar(pcm, ax=ax)
+    fig.tight_layout()
+    if out:
+        fig.savefig(out, dpi=120)
+    return fig
+
+
+class autoplot:
+    """Throttled training-plot logger (reference ``autoplot``,
+    ``src/utils/plots.jl:303-314``).  Saves the dashboard to ``out`` at most
+    every ``secs`` seconds."""
+
+    def __init__(self, secs=5, out="out/training.png"):
+        self.secs = secs
+        self.out = out
+        self.last = 0.0
+        self.logevery = 1
+
+    def log(self, iso):
+        now = time.time()
+        if now - self.last < self.secs:
+            return
+        self.last = now
+        import os
+        os.makedirs(os.path.dirname(os.path.abspath(self.out)), exist_ok=True)
+        fig = plot_training(iso, out=self.out)
+        plt.close(fig)
+
+    def diagnostic(self):
+        return ("autoplot", self.out)

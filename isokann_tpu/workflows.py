@@ -1,0 +1,67 @@
+"""High-level workflow runners.
+
+TPU-native rebuild of ``src/workflows.jl``: adaptive metadynamics,
+combined KDE + metadynamics training loops.  Plotting hooks are optional
+(pass ``plots=list`` to collect matplotlib figures).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .simulators.metadynamics import MetadynamicsSimulation
+
+
+def adaptive_metadynamics(iso, deposit=None, x0=None, maxnorm=20.0, key=None,
+                          **mdargs):
+    """One generation of chi-metadynamics sampling: run a biased trajectory
+    and deposit its frames into the training data
+    (reference ``adaptive_metadynamics``, ``src/workflows.jl:16-24``)."""
+    sim = iso.data.sim
+    deposit = sim.steps if deposit is None else deposit
+    if x0 is None:
+        x0 = np.asarray(iso.data.coords)[-1]
+    md = MetadynamicsSimulation(iso, **mdargs)
+    t = md.trajectory(x0=x0, steps=sim.steps * max(1, deposit // sim.steps),
+                      saveevery=deposit, key=key)
+    xnew = np.asarray(t.values)
+    drift = np.linalg.norm(xnew[-1] - np.asarray(x0))
+    assert drift < maxnorm, (
+        f"metadynamics trajectory drifted {drift:.2f} > maxnorm={maxnorm}")
+    iso.addcoords(xnew)
+    return dict(t=t, md=md, xnew=xnew)
+
+
+def run_metadynamics(iso, generations=100, iter=100, plots=None, **mdargs):
+    """generations x (metadynamics sampling -> train)
+    (reference ``run_metadynamics!``, ``src/workflows.jl:4-14``)."""
+    for _ in range(generations):
+        adaptive_metadynamics(iso, **mdargs)
+        iso.run(iter)
+        if plots is not None:
+            from .utils.plots import plot_training
+            plots.append(plot_training(iso))
+    return iso
+
+
+def run_kde_dash(iso, generations=1, plots=None, **kwargs):
+    """KDE-adaptive training with optional dashboard collection
+    (reference ``run_kde_dash!``, ``src/workflows.jl:39-49``)."""
+    for _ in range(generations):
+        iso.run_kde(generations=1, **kwargs)
+        if plots is not None:
+            from .utils.plots import plot_training
+            plots.append(plot_training(iso))
+    return plots
+
+
+def run_both(iso, generations=100, samples_kde=1, iter=100, plots=None,
+             **mdargs):
+    """Alternate KDE resampling and metadynamics generations
+    (reference ``run_both!``, ``src/workflows.jl:51-56``)."""
+    for _ in range(generations):
+        iso.run_kde(generations=1, kde=samples_kde, iter=iter)
+        run_metadynamics(iso, generations=1, iter=iter, plots=plots, **mdargs)
+    return iso
