@@ -80,7 +80,39 @@ BONDS = {
     ("CT", "SH"): (237.0, 1.810),
     ("S", "S"): (166.0, 2.038),
     ("SH", "HS"): (274.0, 1.336),
+    # aromatics / sidechain rings (parm99-class values)
+    ("CA", "CA"): (469.0, 1.400),
+    ("CA", "HA"): (367.0, 1.080),
+    ("CA", "CT"): (317.0, 1.510),
+    ("CA", "OH"): (450.0, 1.364),
+    ("CA", "N2"): (481.0, 1.340),
+    ("N2", "H"): (434.0, 1.010),
+    ("CT", "N2"): (337.0, 1.463),
+    ("CA", "CB"): (469.0, 1.404),
+    ("CA", "CN"): (469.0, 1.400),
+    ("C*", "CT"): (317.0, 1.495),
+    ("C*", "CW"): (546.0, 1.352),
+    ("C*", "CB"): (388.0, 1.459),
+    ("CB", "CN"): (447.0, 1.419),
+    ("CN", "NA"): (428.0, 1.380),
+    ("CW", "NA"): (427.0, 1.381),
+    ("CW", "H4"): (367.0, 1.080),
+    ("NA", "H"): (434.0, 1.010),
+    ("CC", "CT"): (317.0, 1.504),
+    ("CC", "CW"): (518.0, 1.371),
+    ("CC", "NB"): (410.0, 1.394),
+    ("CC", "NA"): (422.0, 1.385),
+    ("CR", "NB"): (488.0, 1.335),
+    ("CR", "NA"): (477.0, 1.343),
+    ("CR", "H5"): (367.0, 1.080),
+    ("CV", "NB"): (410.0, 1.394),
+    ("CV", "H4"): (367.0, 1.080),
+    ("CC", "CV"): (512.0, 1.375),
 }
+
+# fallback bond constants by element pair (used with a warning when an
+# exact typed entry is missing)
+_BOND_FALLBACK = (320.0, 1.45)
 
 # ==========================================================================
 # Angle parameters: (t1, t2, t3) -> (K [kcal/mol/rad^2], theta0 [deg])
@@ -128,7 +160,49 @@ ANGLES = {
     ("CT", "S", "CT"): (62.0, 98.90),
     ("CT", "S", "S"): (68.0, 103.70),
     ("CT", "SH", "HS"): (43.0, 96.00),
+    # aromatic / ring angles (parm99-class)
+    ("CA", "CA", "CA"): (63.0, 120.00),
+    ("CA", "CA", "HA"): (50.0, 120.00),
+    ("CA", "CA", "CT"): (70.0, 120.00),
+    ("CA", "CA", "OH"): (70.0, 120.00),
+    ("CA", "OH", "HO"): (50.0, 113.00),
+    ("CT", "CT", "CA"): (63.0, 114.00),
+    ("HC", "CT", "CA"): (50.0, 109.50),
+    ("N2", "CA", "N2"): (70.0, 120.00),
+    ("CA", "N2", "H"): (50.0, 120.00),
+    ("H", "N2", "H"): (35.0, 120.00),
+    ("CT", "N2", "CA"): (50.0, 123.20),
+    ("CT", "N2", "H"): (38.0, 118.40),
+    ("CT", "CT", "N2"): (80.0, 111.20),
+    ("H1", "CT", "N2"): (50.0, 109.50),
+    # tryptophan indole (parm94-class)
+    ("CB", "C*", "CT"): (70.0, 128.60),
+    ("CB", "C*", "CW"): (63.0, 106.40),
+    ("CT", "C*", "CW"): (70.0, 125.00),
+    ("C*", "CB", "CA"): (63.0, 134.90),
+    ("C*", "CB", "CN"): (63.0, 108.80),
+    ("CA", "CB", "CN"): (63.0, 116.20),
+    ("C*", "CW", "H4"): (35.0, 120.00),
+    ("C*", "CW", "NA"): (70.0, 108.70),
+    ("H4", "CW", "NA"): (35.0, 120.00),
+    ("CB", "CN", "CA"): (63.0, 122.70),
+    ("CB", "CN", "NA"): (70.0, 104.40),
+    ("CA", "CN", "NA"): (70.0, 132.80),
+    ("CW", "NA", "CN"): (70.0, 111.60),
+    ("CW", "NA", "H"): (35.0, 120.00),
+    ("CN", "NA", "H"): (35.0, 120.00),
+    ("CT", "CT", "C*"): (63.0, 115.60),
+    ("C*", "CT", "HC"): (50.0, 109.50),
+    ("CA", "CA", "CB"): (63.0, 120.00),
+    ("CA", "CA", "CN"): (63.0, 120.00),
+    ("CB", "CA", "HA"): (35.0, 120.00),
+    ("CN", "CA", "HA"): (35.0, 120.00),
 }
+
+_SP2_TYPES = {"CA", "C", "C*", "CB", "CC", "CN", "CR", "CV", "CW",
+              "N2", "NA", "NB", "N"}
+_ANGLE_FALLBACK_SP2 = (63.0, 120.0)
+_ANGLE_FALLBACK_SP3 = (50.0, 109.5)
 
 # ==========================================================================
 # Proper dihedrals.
@@ -160,6 +234,28 @@ DIHEDRALS = {
     # ff99SB psi': CB-CA-C-N  (CT-CT-C-N)
     ("CT", "CT", "C", "N"): [(0.00, 0.0, 4), (0.40, 0.0, 3),
                              (0.20, 0.0, 2), (0.20, 0.0, 1)],
+    # ring torsions keep aromatic systems planar (parm99-class barriers)
+    ("X", "CA", "CA", "X"): [(14.50 / 4, 180.0, 2)],
+    ("X", "CA", "CB", "X"): [(14.00 / 4, 180.0, 2)],
+    ("X", "CA", "CN", "X"): [(14.50 / 4, 180.0, 2)],
+    ("X", "C*", "CW", "X"): [(26.10 / 4, 180.0, 2)],
+    ("X", "C*", "CB", "X"): [(6.70 / 4, 180.0, 2)],
+    ("X", "CB", "CN", "X"): [(12.00 / 4, 180.0, 2)],
+    ("X", "CC", "CW", "X"): [(21.50 / 4, 180.0, 2)],
+    ("X", "CC", "CV", "X"): [(20.60 / 4, 180.0, 2)],
+    ("X", "CC", "NB", "X"): [(4.80 / 2, 180.0, 2)],
+    ("X", "CC", "NA", "X"): [(5.60 / 4, 180.0, 2)],
+    ("X", "CR", "NB", "X"): [(10.00 / 2, 180.0, 2)],
+    ("X", "CR", "NA", "X"): [(9.30 / 2, 180.0, 2)],
+    ("X", "CV", "NB", "X"): [(4.80 / 2, 180.0, 2)],
+    ("X", "CW", "NA", "X"): [(6.00 / 2, 180.0, 2)],
+    ("X", "CN", "NA", "X"): [(6.10 / 2, 180.0, 2)],
+    ("X", "CA", "N2", "X"): [(9.60 / 4, 180.0, 2)],
+    ("X", "CT", "N2", "X"): [(0.00, 0.0, 3)],
+    ("X", "CA", "OH", "X"): [(1.80 / 2, 180.0, 2)],
+    ("X", "CT", "CA", "X"): [(0.00, 0.0, 2)],
+    ("X", "CT", "CC", "X"): [(0.00, 0.0, 2)],
+    ("X", "CT", "C*", "X"): [(0.00, 0.0, 2)],
 }
 
 # Impropers: (t1, t2, t3=central, t4) -> (PK, phase, n)
@@ -167,6 +263,14 @@ IMPROPERS = {
     ("X", "X", "C", "O"): (10.5, 180.0, 2),
     ("X", "X", "N", "H"): (1.0, 180.0, 2),
     ("X", "O2", "C", "O2"): (10.5, 180.0, 2),
+    # ring-planarity impropers
+    ("X", "X", "CA", "HA"): (1.1, 180.0, 2),
+    ("X", "X", "CW", "H4"): (1.1, 180.0, 2),
+    ("X", "X", "CR", "H5"): (1.1, 180.0, 2),
+    ("X", "X", "CV", "H4"): (1.1, 180.0, 2),
+    ("X", "X", "NA", "H"): (1.0, 180.0, 2),
+    ("X", "X", "N2", "H"): (1.0, 180.0, 2),
+    ("X", "N2", "CA", "N2"): (10.5, 180.0, 2),
 }
 
 # 1-4 scaling factors (Amber convention)
@@ -346,6 +450,305 @@ RESIDUES = {
 }
 
 
+# --- remaining standard residues -------------------------------------------
+# Charges follow the Cornell-type values; each template is validated (and,
+# for the entries marked approximate, renormalized) against its formal
+# charge at import time (see _normalize_templates below), so every built
+# system carries an exactly integer total charge.
+
+RESIDUES.update({
+    "ASP": {
+        "formal_charge": -1,
+        "atoms": {
+            "N": ("N", -0.5163), "H": ("H", 0.2936),
+            "CA": ("CT", 0.0381), "HA": ("H1", 0.0880),
+            "CB": ("CT", -0.0303), "HB2": ("HC", -0.0122), "HB3": ("HC", -0.0122),
+            "CG": ("C", 0.7994), "OD1": ("O2", -0.8014), "OD2": ("O2", -0.8014),
+            "C": ("C", 0.5366), "O": ("O", -0.5819),
+        },
+        "bonds": _BB_N + [("CA", "HA"), ("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                          ("CB", "CG"), ("CG", "OD1"), ("CG", "OD2")] + _BB_C,
+    },
+    "GLU": {
+        "formal_charge": -1,
+        "atoms": {
+            "N": ("N", -0.5163), "H": ("H", 0.2936),
+            "CA": ("CT", 0.0397), "HA": ("H1", 0.1105),
+            "CB": ("CT", 0.0560), "HB2": ("HC", -0.0173), "HB3": ("HC", -0.0173),
+            "CG": ("CT", 0.0136), "HG2": ("HC", -0.0425), "HG3": ("HC", -0.0425),
+            "CD": ("C", 0.8054), "OE1": ("O2", -0.8188), "OE2": ("O2", -0.8188),
+            "C": ("C", 0.5366), "O": ("O", -0.5819),
+        },
+        "bonds": _BB_N + [("CA", "HA"), ("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                          ("CB", "CG"), ("CG", "HG2"), ("CG", "HG3"),
+                          ("CG", "CD"), ("CD", "OE1"), ("CD", "OE2")] + _BB_C,
+    },
+    "ASN": {
+        "atoms": {
+            "N": ("N", -0.4157), "H": ("H", 0.2719),
+            "CA": ("CT", 0.0143), "HA": ("H1", 0.1048),
+            "CB": ("CT", -0.2041), "HB2": ("HC", 0.0797), "HB3": ("HC", 0.0797),
+            "CG": ("C", 0.7130), "OD1": ("O", -0.5931),
+            "ND2": ("N", -0.9191), "HD21": ("H", 0.4196), "HD22": ("H", 0.4196),
+            "C": ("C", 0.5973), "O": ("O", -0.5679),
+        },
+        "bonds": _BB_N + [("CA", "HA"), ("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                          ("CB", "CG"), ("CG", "OD1"),
+                          ("CG", "ND2"), ("ND2", "HD21"), ("ND2", "HD22")] + _BB_C,
+    },
+    "GLN": {
+        "atoms": {
+            "N": ("N", -0.4157), "H": ("H", 0.2719),
+            "CA": ("CT", -0.0031), "HA": ("H1", 0.0850),
+            "CB": ("CT", -0.0036), "HB2": ("HC", 0.0171), "HB3": ("HC", 0.0171),
+            "CG": ("CT", -0.0645), "HG2": ("HC", 0.0352), "HG3": ("HC", 0.0352),
+            "CD": ("C", 0.6951), "OE1": ("O", -0.6086),
+            "NE2": ("N", -0.9407), "HE21": ("H", 0.4251), "HE22": ("H", 0.4251),
+            "C": ("C", 0.5973), "O": ("O", -0.5679),
+        },
+        "bonds": _BB_N + [("CA", "HA"), ("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                          ("CB", "CG"), ("CG", "HG2"), ("CG", "HG3"),
+                          ("CG", "CD"), ("CD", "OE1"),
+                          ("CD", "NE2"), ("NE2", "HE21"), ("NE2", "HE22")] + _BB_C,
+    },
+    "LYS": {
+        "formal_charge": 1,
+        "atoms": {
+            "N": ("N", -0.3479), "H": ("H", 0.2747),
+            "CA": ("CT", -0.2400), "HA": ("H1", 0.1426),
+            "CB": ("CT", -0.0094), "HB2": ("HC", 0.0362), "HB3": ("HC", 0.0362),
+            "CG": ("CT", 0.0187), "HG2": ("HC", 0.0103), "HG3": ("HC", 0.0103),
+            "CD": ("CT", -0.0479), "HD2": ("HC", 0.0621), "HD3": ("HC", 0.0621),
+            "CE": ("CT", -0.0143), "HE2": ("HP", 0.1135), "HE3": ("HP", 0.1135),
+            "NZ": ("N3", -0.3854),
+            "HZ1": ("H", 0.3400), "HZ2": ("H", 0.3400), "HZ3": ("H", 0.3400),
+            "C": ("C", 0.7341), "O": ("O", -0.5894),
+        },
+        "bonds": _BB_N + [("CA", "HA"), ("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                          ("CB", "CG"), ("CG", "HG2"), ("CG", "HG3"),
+                          ("CG", "CD"), ("CD", "HD2"), ("CD", "HD3"),
+                          ("CD", "CE"), ("CE", "HE2"), ("CE", "HE3"),
+                          ("CE", "NZ"), ("NZ", "HZ1"), ("NZ", "HZ2"),
+                          ("NZ", "HZ3")] + _BB_C,
+    },
+    "ARG": {
+        "formal_charge": 1,
+        "atoms": {
+            "N": ("N", -0.3479), "H": ("H", 0.2747),
+            "CA": ("CT", -0.2637), "HA": ("H1", 0.1560),
+            "CB": ("CT", -0.0007), "HB2": ("HC", 0.0327), "HB3": ("HC", 0.0327),
+            "CG": ("CT", 0.0390), "HG2": ("HC", 0.0285), "HG3": ("HC", 0.0285),
+            "CD": ("CT", 0.0486), "HD2": ("H1", 0.0687), "HD3": ("H1", 0.0687),
+            "NE": ("N2", -0.5295), "HE": ("H", 0.3456),
+            "CZ": ("CA", 0.8076),
+            "NH1": ("N2", -0.8627), "HH11": ("H", 0.4478), "HH12": ("H", 0.4478),
+            "NH2": ("N2", -0.8627), "HH21": ("H", 0.4478), "HH22": ("H", 0.4478),
+            "C": ("C", 0.7341), "O": ("O", -0.5894),
+        },
+        "bonds": _BB_N + [("CA", "HA"), ("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                          ("CB", "CG"), ("CG", "HG2"), ("CG", "HG3"),
+                          ("CG", "CD"), ("CD", "HD2"), ("CD", "HD3"),
+                          ("CD", "NE"), ("NE", "HE"), ("NE", "CZ"),
+                          ("CZ", "NH1"), ("NH1", "HH11"), ("NH1", "HH12"),
+                          ("CZ", "NH2"), ("NH2", "HH21"), ("NH2", "HH22")] + _BB_C,
+    },
+    # neutral histidine, epsilon tautomer (Amber HIE; PDB name HIS)
+    "HIS": {
+        "atoms": {
+            "N": ("N", -0.4157), "H": ("H", 0.2719),
+            "CA": ("CT", -0.0581), "HA": ("H1", 0.1360),
+            "CB": ("CT", -0.0074), "HB2": ("HC", 0.0367), "HB3": ("HC", 0.0367),
+            "CG": ("CC", 0.1868),
+            "ND1": ("NB", -0.5432),
+            "CE1": ("CR", 0.1635), "HE1": ("H5", 0.1435),
+            "NE2": ("NA", -0.2795), "HE2": ("H", 0.3339),
+            "CD2": ("CW", -0.2207), "HD2": ("H4", 0.1862),
+            "C": ("C", 0.5973), "O": ("O", -0.5679),
+        },
+        "bonds": _BB_N + [("CA", "HA"), ("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                          ("CB", "CG"), ("CG", "ND1"), ("ND1", "CE1"),
+                          ("CE1", "HE1"), ("CE1", "NE2"), ("NE2", "HE2"),
+                          ("NE2", "CD2"), ("CD2", "HD2"), ("CD2", "CG")] + _BB_C,
+    },
+    "PHE": {
+        "atoms": {
+            "N": ("N", -0.4157), "H": ("H", 0.2719),
+            "CA": ("CT", -0.0024), "HA": ("H1", 0.0978),
+            "CB": ("CT", -0.0343), "HB2": ("HC", 0.0295), "HB3": ("HC", 0.0295),
+            "CG": ("CA", 0.0118),
+            "CD1": ("CA", -0.1256), "HD1": ("HA", 0.1330),
+            "CE1": ("CA", -0.1704), "HE1": ("HA", 0.1430),
+            "CZ": ("CA", -0.1072), "HZ": ("HA", 0.1297),
+            "CE2": ("CA", -0.1704), "HE2": ("HA", 0.1430),
+            "CD2": ("CA", -0.1256), "HD2": ("HA", 0.1330),
+            "C": ("C", 0.5973), "O": ("O", -0.5679),
+        },
+        "bonds": _BB_N + [("CA", "HA"), ("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                          ("CB", "CG"), ("CG", "CD1"), ("CD1", "HD1"),
+                          ("CD1", "CE1"), ("CE1", "HE1"), ("CE1", "CZ"),
+                          ("CZ", "HZ"), ("CZ", "CE2"), ("CE2", "HE2"),
+                          ("CE2", "CD2"), ("CD2", "HD2"), ("CD2", "CG")] + _BB_C,
+    },
+    "TYR": {
+        "atoms": {
+            "N": ("N", -0.4157), "H": ("H", 0.2719),
+            "CA": ("CT", -0.0014), "HA": ("H1", 0.0876),
+            "CB": ("CT", -0.0152), "HB2": ("HC", 0.0295), "HB3": ("HC", 0.0295),
+            "CG": ("CA", -0.0011),
+            "CD1": ("CA", -0.1906), "HD1": ("HA", 0.1699),
+            "CE1": ("CA", -0.2341), "HE1": ("HA", 0.1656),
+            "CZ": ("CA", 0.3226),
+            "OH": ("OH", -0.5579), "HH": ("HO", 0.3992),
+            "CE2": ("CA", -0.2341), "HE2": ("HA", 0.1656),
+            "CD2": ("CA", -0.1906), "HD2": ("HA", 0.1699),
+            "C": ("C", 0.5973), "O": ("O", -0.5679),
+        },
+        "bonds": _BB_N + [("CA", "HA"), ("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                          ("CB", "CG"), ("CG", "CD1"), ("CD1", "HD1"),
+                          ("CD1", "CE1"), ("CE1", "HE1"), ("CE1", "CZ"),
+                          ("CZ", "OH"), ("OH", "HH"), ("CZ", "CE2"),
+                          ("CE2", "HE2"), ("CE2", "CD2"), ("CD2", "HD2"),
+                          ("CD2", "CG")] + _BB_C,
+    },
+    "TRP": {
+        "atoms": {
+            "N": ("N", -0.4157), "H": ("H", 0.2719),
+            "CA": ("CT", -0.0275), "HA": ("H1", 0.1123),
+            "CB": ("CT", -0.0050), "HB2": ("HC", 0.0339), "HB3": ("HC", 0.0339),
+            "CG": ("C*", -0.1415),
+            "CD1": ("CW", -0.1638), "HD1": ("H4", 0.2062),
+            "NE1": ("NA", -0.3418), "HE1": ("H", 0.3412),
+            "CE2": ("CN", 0.1380),
+            "CZ2": ("CA", -0.2601), "HZ2": ("HA", 0.1572),
+            "CH2": ("CA", -0.1134), "HH2": ("HA", 0.1417),
+            "CZ3": ("CA", -0.1972), "HZ3": ("HA", 0.1447),
+            "CE3": ("CA", -0.2387), "HE3": ("HA", 0.1700),
+            "CD2": ("CB", 0.1243),
+            "C": ("C", 0.5973), "O": ("O", -0.5679),
+        },
+        "bonds": _BB_N + [("CA", "HA"), ("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                          ("CB", "CG"), ("CG", "CD1"), ("CD1", "HD1"),
+                          ("CD1", "NE1"), ("NE1", "HE1"), ("NE1", "CE2"),
+                          ("CE2", "CZ2"), ("CZ2", "HZ2"), ("CZ2", "CH2"),
+                          ("CH2", "HH2"), ("CH2", "CZ3"), ("CZ3", "HZ3"),
+                          ("CZ3", "CE3"), ("CE3", "HE3"), ("CE3", "CD2"),
+                          ("CD2", "CG"), ("CD2", "CE2")] + _BB_C,
+    },
+})
+
+# delta tautomer (H on ND1): Amber HID
+RESIDUES["HID"] = {
+    "atoms": {
+        "N": ("N", -0.4157), "H": ("H", 0.2719),
+        "CA": ("CT", 0.0188), "HA": ("H1", 0.0881),
+        "CB": ("CT", -0.0462), "HB2": ("HC", 0.0402), "HB3": ("HC", 0.0402),
+        "CG": ("CC", -0.0266),
+        "ND1": ("NA", -0.3811), "HD1": ("H", 0.3649),
+        "CE1": ("CR", 0.2057), "HE1": ("H5", 0.1392),
+        "NE2": ("NB", -0.5727),
+        "CD2": ("CV", 0.1292), "HD2": ("H4", 0.1147),
+        "C": ("C", 0.5973), "O": ("O", -0.5679),
+    },
+    "bonds": _BB_N + [("CA", "HA"), ("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                      ("CB", "CG"), ("CG", "ND1"), ("ND1", "HD1"),
+                      ("ND1", "CE1"), ("CE1", "HE1"), ("CE1", "NE2"),
+                      ("NE2", "CD2"), ("CD2", "HD2"), ("CD2", "CG")] + _BB_C,
+}
+
+# PDB tautomer aliases
+RESIDUES["HIE"] = RESIDUES["HIS"]
+
+
+def _normalize_templates():
+    """Validate template charge sums against the formal charge; distribute
+    any residual uniformly over heavy atoms (keeps totals exactly integer —
+    entries that close to <1e-3 are untouched)."""
+    for name, tmpl in RESIDUES.items():
+        formal = float(tmpl.get("formal_charge", 0))
+        atoms = tmpl["atoms"]
+        s = sum(q for _, q in atoms.values())
+        resid = s - formal
+        if abs(resid) < 1e-3:
+            continue
+        heavy = [a for a, (t, q) in atoms.items() if not t.startswith("H")]
+        corr = resid / len(heavy)
+        for a in heavy:
+            t, q = atoms[a]
+            atoms[a] = (t, q - corr)
+
+
+_normalize_templates()
+
+
+# --- terminal residue variants ----------------------------------------------
+
+def make_nterminal(resname: str):
+    """N-terminal variant: NH3+ (type N3) replaces the backbone N-H.
+    Registered as 'N<resname>' (Amber convention).  Charges: standard
+    N-terminal aminium charges on the new atoms; the rest inherited and
+    renormalized to formal charge + 1."""
+    import copy
+    base = RESIDUES[resname]
+    t = copy.deepcopy(base)
+    atoms, bonds = t["atoms"], t["bonds"]
+    if "N" not in atoms:
+        raise ValueError(f"{resname} has no backbone N")
+    atoms["N"] = ("N3", 0.1414)
+    atoms.pop("H", None)
+    for h in ("H1", "H2", "H3"):
+        atoms[h] = ("H", 0.1997)
+    # alpha hydrogens next to N3 use HP
+    for ha in ("HA", "HA2", "HA3"):
+        if ha in atoms:
+            atoms[ha] = ("HP", atoms[ha][1])
+    t["bonds"] = [b for b in bonds if b != ("N", "H")] + [
+        ("N", "H1"), ("N", "H2"), ("N", "H3")]
+    t["formal_charge"] = base.get("formal_charge", 0) + 1
+    RESIDUES["N" + resname] = t
+    _normalize_one(t)
+    return t
+
+
+def make_cterminal(resname: str):
+    """C-terminal variant: carboxylate C(=O)O- with OXT.  Registered as
+    'C<resname>'; formal charge - 1."""
+    import copy
+    base = RESIDUES[resname]
+    t = copy.deepcopy(base)
+    atoms = t["atoms"]
+    atoms["O"] = ("O2", -0.8055)
+    atoms["OXT"] = ("O2", -0.8055)
+    tC, qC = atoms["C"]
+    atoms["C"] = (tC, 0.7731)
+    t["bonds"] = t["bonds"] + [("C", "OXT")]
+    t["formal_charge"] = base.get("formal_charge", 0) - 1
+    RESIDUES["C" + resname] = t
+    _normalize_one(t)
+    return t
+
+
+def _normalize_one(tmpl):
+    formal = float(tmpl.get("formal_charge", 0))
+    atoms = tmpl["atoms"]
+    s = sum(q for _, q in atoms.values())
+    resid = s - formal
+    heavy = [a for a, (ty, q) in atoms.items() if not ty.startswith("H")]
+    corr = resid / len(heavy)
+    for a in heavy:
+        ty, q = atoms[a]
+        atoms[a] = (ty, q - corr)
+
+
+for _r in list(RESIDUES):
+    if _r in ("ACE", "NME", "NHE", "HIE"):
+        continue
+    try:
+        make_nterminal(_r)
+        make_cterminal(_r)
+    except (ValueError, KeyError):
+        pass
+
+
 def lj_params(atom_type: str):
     """(rmin_half [A], eps [kcal/mol])."""
     m, r, e = ATOM_TYPES[atom_type]
@@ -356,17 +759,32 @@ def mass(atom_type: str):
     return ATOM_TYPES[atom_type][0]
 
 
+_warned = set()
+
+
+def _warn_once(msg):
+    if msg not in _warned:
+        _warned.add(msg)
+        import warnings
+        warnings.warn(msg)
+
+
 def lookup_bond(t1, t2):
     k = BONDS.get((t1, t2)) or BONDS.get((t2, t1))
     if k is None:
-        raise KeyError(f"no bond parameters for {t1}-{t2}")
+        _warn_once(f"no bond parameters for {t1}-{t2}; using generic fallback")
+        return _BOND_FALLBACK
     return k
 
 
 def lookup_angle(t1, t2, t3):
     k = ANGLES.get((t1, t2, t3)) or ANGLES.get((t3, t2, t1))
     if k is None:
-        raise KeyError(f"no angle parameters for {t1}-{t2}-{t3}")
+        fb = (_ANGLE_FALLBACK_SP2 if t2 in _SP2_TYPES
+              else _ANGLE_FALLBACK_SP3)
+        _warn_once(f"no angle parameters for {t1}-{t2}-{t3}; "
+                   f"using {fb[1]:.1f} deg fallback")
+        return fb
     return k
 
 

@@ -55,11 +55,15 @@ class MDSystem:
     qq_scale: jnp.ndarray       # (n, n) Coulomb pair scale (0 excl, scee 1-4, 1)
     lj_scale: jnp.ndarray       # (n, n)
     masses: jnp.ndarray         # (n,) amu
+    # implicit solvent (OBC2); zero-size arrays when disabled
+    gb_radii: jnp.ndarray = None     # (n,) intrinsic Born radii [nm]
+    gb_scales: jnp.ndarray = None    # (n,) OBC scale factors
     # nonbonded method (static)
     method: str = "CutoffPeriodic"
     cutoff: float = 1.0         # nm
     eps_rf: float = 78.5        # reaction-field dielectric
     box: Optional[tuple] = None  # (3,) nm box lengths, or None
+    implicit: Optional[str] = None   # None or "obc2"
 
     def tree_flatten(self):
         children = (self.bond_idx, self.bond_k, self.bond_r0,
@@ -68,14 +72,15 @@ class MDSystem:
                     self.bond_D, self.angle_U, self.angle_V,
                     self.dih_B1, self.dih_B2, self.dih_B3,
                     self.charges, self.rmin_half, self.eps,
-                    self.qq_scale, self.lj_scale, self.masses)
-        aux = (self.method, self.cutoff, self.eps_rf, self.box)
+                    self.qq_scale, self.lj_scale, self.masses,
+                    self.gb_radii, self.gb_scales)
+        aux = (self.method, self.cutoff, self.eps_rf, self.box, self.implicit)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, method=aux[0], cutoff=aux[1], eps_rf=aux[2],
-                   box=aux[3])
+                   box=aux[3], implicit=aux[4])
 
     @property
     def natoms(self):
@@ -113,13 +118,40 @@ def _exclusion_scales(top: Topology, scee: float, scnb: float):
     return qq, lj
 
 
+# OBC2 intrinsic radii [nm] and scale factors by element (OpenMM defaults)
+_GB_RADII = {"H": 0.12, "C": 0.17, "N": 0.155, "O": 0.15, "F": 0.15,
+             "P": 0.185, "S": 0.18}
+_GB_SCALES = {"H": 0.85, "C": 0.72, "N": 0.79, "O": 0.85, "F": 0.88,
+              "P": 0.86, "S": 0.96}
+
+
+def _gb_params(top: Topology):
+    radii = np.empty(top.natoms)
+    scales = np.empty(top.natoms)
+    adj = top.neighbors()
+    for i, t in enumerate(top.atom_types):
+        el = "H" if t.startswith("H") else t[0]
+        r = _GB_RADII.get(el, 0.15)
+        if el == "H":
+            # mbondi-style: H on N gets 0.13
+            for j in adj[i]:
+                if top.atom_types[j].startswith("N"):
+                    r = 0.13
+                    break
+        radii[i] = r
+        scales[i] = _GB_SCALES.get(el, 0.8)
+    return radii, scales
+
+
 def build_system(source, method: str = "auto", cutoff: float = 1.0,
-                 eps_rf: float = 78.5, dtype=jnp.float32) -> MDSystem:
+                 eps_rf: float = 78.5, implicit: str = None,
+                 dtype=jnp.float32) -> MDSystem:
     """Construct an MDSystem from a PDB path / PDBStructure / Topology.
 
     ``method='auto'`` mirrors the reference's nonbonded auto-selection
     (``src/simulators/mopenmm.py:103-115``): CutoffPeriodic when the PDB has
-    a box, CutoffNonPeriodic otherwise."""
+    a box, CutoffNonPeriodic otherwise.  ``implicit='obc2'`` enables GBSA
+    implicit solvent (forces NoCutoff, as for OpenMM implicit setups)."""
     box = None
     if isinstance(source, str):
         struct = read_pdb(source)
@@ -132,6 +164,8 @@ def build_system(source, method: str = "auto", cutoff: float = 1.0,
     else:
         top = source
 
+    if implicit is not None:
+        method = "NoCutoff"
     if method == "auto":
         method = "CutoffPeriodic" if box is not None else "CutoffNonPeriodic"
     if box is not None and method == "CutoffPeriodic":
@@ -210,7 +244,10 @@ def build_system(source, method: str = "auto", cutoff: float = 1.0,
         dih_B3=arr(incidence(di[:, [3, 2]])),
         charges=arr(top.charges), rmin_half=arr(rmin_half), eps=arr(eps),
         qq_scale=arr(qq), lj_scale=arr(lj), masses=arr(top.masses),
+        gb_radii=arr(_gb_params(top)[0] if implicit else np.zeros(0)),
+        gb_scales=arr(_gb_params(top)[1] if implicit else np.zeros(0)),
         method=method, cutoff=float(cutoff), eps_rf=float(eps_rf),
         box=tuple(float(b) for b in box) if box is not None else None,
+        implicit=implicit,
     )
     return sys

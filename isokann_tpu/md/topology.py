@@ -47,6 +47,10 @@ class Topology:
         return adj
 
 
+# residue-name aliases (Maestro / tautomer conventions)
+_RES_ALIASES = {"NMA": "NME", "NMET": "NME", "HSD": "HID", "HSE": "HIS",
+                "CYX": "CYS"}
+
 # Alternate atom names seen in PDB files -> template names
 _ALIASES = {
     ("NME", "C"): "CH3",
@@ -54,26 +58,84 @@ _ALIASES = {
     ("ACE", "CA"): "CH3",
     ("ACE", "H1"): "HH31", ("ACE", "H2"): "HH32", ("ACE", "H3"): "HH33",
     ("NME", "H1"): "HH31", ("NME", "H2"): "HH32", ("NME", "H3"): "HH33",
+    ("NME", "HA1"): "HH31", ("NME", "HA2"): "HH32", ("NME", "HA3"): "HH33",
 }
 
-_TERMINAL_EQUIV = {"HB1": "HB3", "HA1": "HA3", "HG1": "HG3", "HD1": "HD3",
-                   "HE1": "HE3", "1H": "H1"}
+_EQUIV = {"HB1": "HB3", "HA1": "HA3", "HG1": "HG3", "HD1": "HD3",
+          "HE1": "HE3", "HG11": "HG13",
+          # Maestro-style backbone amide H naming
+          "HN": "H", "H2": "H", "H3": "H"}
 
 
-def _template_atom_name(resname: str, atom: str, template_atoms) -> str:
-    if atom in template_atoms:
-        return atom
-    if (resname, atom) in _ALIASES:
-        return _ALIASES[(resname, atom)]
-    # old PDB H naming: 1HB2 -> HB21 etc.
-    if atom and atom[0].isdigit():
-        rot = atom[1:] + atom[0]
-        if rot in template_atoms:
-            return rot
-    if atom in _TERMINAL_EQUIV and _TERMINAL_EQUIV[atom] in template_atoms:
-        return _TERMINAL_EQUIV[atom]
-    raise KeyError(f"atom {atom} not found in template {resname} "
-                   f"(has {sorted(template_atoms)})")
+def _template_atom_name(resname: str, atom: str, template_atoms):
+    """Resolve a PDB atom name against a template, following aliases,
+    old-style digit-prefix rotations and terminal-H equivalences.
+    Returns None if unresolvable."""
+    seen = set()
+    cand = [atom]
+    while cand:
+        a = cand.pop(0)
+        if a in seen:
+            continue
+        seen.add(a)
+        if a in template_atoms:
+            return a
+        if (resname, a) in _ALIASES:
+            cand.append(_ALIASES[(resname, a)])
+        if a and a[0].isdigit():                  # 1HB -> HB1, 1H -> H1
+            cand.append(a[1:] + a[0])
+        if a in _EQUIV:
+            cand.append(_EQUIV[a])
+        if a == "H" and "H1" in template_atoms:   # N-terminal H -> H1
+            cand.append("H1")
+    return None
+
+
+def _try_match(resname_tmpl: str, atom_names, indices):
+    """Try to map residue atoms onto a template; returns (name_to_idx,
+    missing) or None on unresolvable atoms/duplicates."""
+    tmpl = amber.RESIDUES.get(resname_tmpl)
+    if tmpl is None:
+        return None
+    name_to_idx = {}
+    for idx, pdbname in zip(indices, atom_names):
+        t = _template_atom_name(resname_tmpl, pdbname, tmpl["atoms"])
+        if t is None or t in name_to_idx:
+            return None
+        name_to_idx[t] = idx
+    missing = set(tmpl["atoms"]) - set(name_to_idx)
+    if missing:
+        return None
+    return name_to_idx
+
+
+def _resolve_residue(res, struct, is_first: bool, is_last: bool):
+    """Pick the matching template (base / HIS tautomers / terminal
+    variants).  Returns (template_name, name_to_idx)."""
+    name = _RES_ALIASES.get(res.name, res.name)
+    atom_names = [struct.atom_names[i] for i in res.atom_indices]
+
+    candidates = [name]
+    if name == "HIS":
+        candidates = ["HIS", "HID", "HIP" if "HIP" in amber.RESIDUES else "HID"]
+    if is_first and name not in ("ACE", "NME"):
+        candidates = ["N" + c for c in candidates] + candidates
+    if is_last and name not in ("ACE", "NME", "NHE"):
+        candidates = ["C" + c for c in candidates] + candidates
+
+    for cand in candidates:
+        m = _try_match(cand, atom_names, res.atom_indices)
+        if m is not None:
+            return cand, m
+    # build a helpful error
+    tried = ", ".join(candidates)
+    tmpl = amber.RESIDUES.get(name)
+    if tmpl is None:
+        raise KeyError(f"no residue template for {res.name}; add it to "
+                       f"isokann_tpu.md.amber.RESIDUES")
+    raise KeyError(
+        f"could not match residue {res.name}{res.resid} (atoms {atom_names}) "
+        f"against templates [{tried}]")
 
 
 def build_topology(struct: PDBStructure) -> Topology:
@@ -95,36 +157,27 @@ def build_topology(struct: PDBStructure) -> Topology:
     masses = np.zeros(n)
     bonds: List[Tuple[int, int]] = []
 
+    prev_map = None
     for ri, res in enumerate(residues):
-        if res.name not in amber.RESIDUES:
-            raise KeyError(f"no residue template for {res.name}; add it to "
-                           f"isokann_tpu.md.amber.RESIDUES")
-        tmpl = amber.RESIDUES[res.name]
-        name_to_idx = {}
-        for idx in res.atom_indices:
-            tname = _template_atom_name(res.name, struct.atom_names[idx],
-                                        tmpl["atoms"])
-            if tname in name_to_idx:
-                raise ValueError(f"duplicate atom {tname} in residue {res.name}")
-            name_to_idx[tname] = idx
-            t, q = tmpl["atoms"][tname]
+        is_first = ri == 0 or struct.chain_ids[res.atom_indices[0]] != \
+            struct.chain_ids[residues[ri - 1].atom_indices[0]]
+        is_last = ri == len(residues) - 1 or \
+            struct.chain_ids[res.atom_indices[0]] != \
+            struct.chain_ids[residues[ri + 1].atom_indices[0]]
+        tname, name_to_idx = _resolve_residue(res, struct, is_first, is_last)
+        tmpl = amber.RESIDUES[tname]
+        res.name = tname
+        for t_atom, idx in name_to_idx.items():
+            t, q = tmpl["atoms"][t_atom]
             atom_types[idx] = t
             charges[idx] = q
             masses[idx] = amber.mass(t)
-        missing = set(tmpl["atoms"]) - set(name_to_idx)
-        if missing:
-            raise ValueError(f"residue {res.name} missing atoms {sorted(missing)}")
         for a, b in tmpl["bonds"]:
             bonds.append((name_to_idx[a], name_to_idx[b]))
         # peptide bond to previous residue: prev C -- this N
-        if ri > 0:
-            prev = residues[ri - 1]
-            prev_tmpl_atoms = {
-                _template_atom_name(prev.name, struct.atom_names[idx],
-                                    amber.RESIDUES[prev.name]["atoms"]): idx
-                for idx in prev.atom_indices}
-            if "C" in prev_tmpl_atoms and "N" in name_to_idx:
-                bonds.append((prev_tmpl_atoms["C"], name_to_idx["N"]))
+        if prev_map is not None and "C" in prev_map and "N" in name_to_idx:
+            bonds.append((prev_map["C"], name_to_idx["N"]))
+        prev_map = name_to_idx
 
     top = Topology(
         atom_names=list(struct.atom_names),
@@ -161,16 +214,17 @@ def _derive_bonded_terms(top: Topology):
                 propers.append((i, j, k, l))
     top.propers = propers
 
-    # impropers: each trigonal center (C with O, peptide N with H)
+    # impropers at trigonal sp2 centers: carbonyl/carboxylate C, amide and
+    # aromatic N-H, aromatic C-H ring planarity, guanidinium CZ
     impropers = []
     types = top.atom_types
+    sp2_CH = ("CA", "CW", "CR", "CV")
     for c in range(top.natoms):
         nb = sorted(adj[c])
         if len(nb) != 3:
             continue
         tc = types[c]
         if tc == "C":
-            # carbonyl / carboxyl: improper keeps O in the plane (X-X-C-O)
             os_ = [a for a in nb if types[a] in ("O", "O2")]
             rest = [a for a in nb if types[a] not in ("O", "O2")]
             if len(os_) == 1:
@@ -182,4 +236,11 @@ def _derive_bonded_terms(top: Topology):
             rest = [a for a in nb if not types[a].startswith("H")]
             if len(hs) == 1 and len(rest) == 2:
                 impropers.append((rest[0], rest[1], c, hs[0]))
+        elif tc in sp2_CH:
+            hs = [a for a in nb if types[a].startswith("H")]
+            rest = [a for a in nb if not types[a].startswith("H")]
+            if len(hs) == 1 and len(rest) == 2:
+                impropers.append((rest[0], rest[1], c, hs[0]))
+            elif tc == "CA" and all(types[a] == "N2" for a in nb):
+                impropers.append((nb[0], nb[1], c, nb[2]))  # guanidinium
     top.impropers = impropers

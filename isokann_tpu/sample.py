@@ -122,10 +122,13 @@ class ASH:
     @property
     def density(self):
         if getattr(self, "_density", None) is None:
-            m = self.m
+            m = min(self.m, self.nbins)
             kern = 1.0 - np.abs(np.arange(-m + 1, m)) / m
             h = m * self.step
             conv = np.convolve(self.counts, kern, mode="same")
+            if len(conv) != self.nbins:      # kernel longer than grid
+                lo = (len(conv) - self.nbins) // 2
+                conv = conv[lo:lo + self.nbins]
             self._density = conv / (self.n * h)
         return self._density
 
@@ -149,15 +152,19 @@ def resample_kde_ash(xs, ys, n=10, m=20, bandwidth=None, target=None):
 
     closure = np.concatenate([xs, -xs, 2.0 - xs])   # periodic closure of [0,1]
     kde = ASH(closure, m=m)
-    # heuristic window growth for large gaps (reference :139-143)
-    guard = 0
+    # heuristic window growth for large gaps (reference :139-143); the
+    # window is capped at half the grid so the estimate stays meaningful
+    mmax = kde.nbins // 2
     while (kde.density[kde_interior(kde)].min() <= 0.1
-           or kde.density.max() > 3) and guard < 50:
-        m = int(round(m * 1.2)) + 1
+           or kde.density.max() > 3) and m < mmax:
+        m = min(int(round(m * 1.2)) + 1, mmax)
         kde = ASH(closure, m=m)
-        guard += 1
 
     p = target_pdf(ys)
+    if _HAVE_NATIVE:
+        counts = kde.counts.copy()
+        return ash_resample_native(ys, p.copy(), counts, kde.lo, kde.step,
+                                   kde.m, kde.n, n)
     iys = np.zeros(n, dtype=int)
     for i in range(n):
         delta = p - kde.pdf(ys)
@@ -212,6 +219,12 @@ def picking(X, n, dists: Optional[Callable] = None):
     npts = X.shape[0]
     assert npts >= n
     if dists is None:
+        if _HAVE_NATIVE:
+            from .native import picking_native
+            qs, mins = picking_native(np.asarray(X, np.float64), n)
+            # distance matrix on demand for API parity
+            d = ((X[None, qs, :] - X[:, None, :]) ** 2).sum(-1)
+            return X[qs], qs, d
         dists = lambda x, Xs: ((Xs - x) ** 2).sum(axis=-1)
 
     d = np.zeros((npts, n))

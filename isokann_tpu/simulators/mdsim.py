@@ -52,7 +52,7 @@ class MDSimulation(IsoSimulation):
                  step: float = 0.002, integrator: str = "langevin",
                  features=None, minimize: bool = False, bias=None,
                  method: str = "auto", cutoff: float = 1.0,
-                 dtype=jnp.float32):
+                 implicit: Optional[str] = None, dtype=jnp.float32):
         if pdb is None:
             from ..md.fixtures import alanine_dipeptide_pdb
             pdb = alanine_dipeptide_pdb()
@@ -60,7 +60,7 @@ class MDSimulation(IsoSimulation):
                                 friction=friction, step=step,
                                 integrator=integrator, features=features,
                                 minimize=minimize, method=method,
-                                cutoff=cutoff)
+                                cutoff=cutoff, implicit=implicit)
         self.pdbfile = pdb
         self.steps = int(steps)
         self.temp = float(temp)
@@ -71,7 +71,7 @@ class MDSimulation(IsoSimulation):
 
         self.structure = read_pdb(pdb)
         self.system = build_system(pdb, method=method, cutoff=cutoff,
-                                   dtype=dtype)
+                                   implicit=implicit, dtype=dtype)
         self.masses3 = jnp.repeat(self.system.masses, 3)
         self._x0 = jnp.asarray(self.structure.coords.reshape(-1), dtype)
         if minimize:

