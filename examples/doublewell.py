@@ -1,0 +1,33 @@
+"""Minimal end-to-end ISOKANN on the 1-D doublewell (BASELINE config 1).
+
+Equivalent of the reference quickstart on an analytic potential
+(``test/runtests.jl:43-56``).  Runs in seconds on any backend.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+import isokann_tpu as itk
+
+
+def main():
+    sim = itk.Doublewell(sigma=1.0)
+    iso = itk.Iso(sim=sim, nx=128, nk=8, key=0, minibatch=64,
+                  opt=itk.AdamRegularized())
+    iso.run(300)
+    print(f"loss {iso.losses[0]:.4f} -> {iso.losses[-1]:.4f}")
+
+    xs = jnp.linspace(-1.3, 1.3, 101)[:, None]
+    chi = np.asarray(iso.chicoords(xs))[:, 0]
+    chi = (chi - chi.min()) / (chi.max() - chi.min())
+    if chi[0] > 0.5:
+        chi = 1 - chi
+    print(f"chi(-1.3)={chi[0]:.3f} chi(0)={chi[50]:.3f} chi(1.3)={chi[-1]:.3f}")
+    print("rates:\n", iso.rates())
+
+    itk.plot_training(iso, out="out/doublewell_training.png")
+    return iso
+
+
+if __name__ == "__main__":
+    main()

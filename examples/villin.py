@@ -1,0 +1,45 @@
+"""Villin headpiece folding — the reference's production config
+(``scripts/villin.jl``): implicit solvent, long lag, 1000 initial points,
+per generation 30 stratified + 30 KDE resamples, 300 train iterations,
+data cutoff 10000, checkpoint every 10 generations.
+
+The full production run needs a villin PDB (e.g. the reference's
+``villin nowater.pdb``); pass its path.  ``small=True`` runs a scaled-down
+smoke version.
+"""
+
+import os
+
+import isokann_tpu as itk
+
+
+def main(pdb, small=False, out="out/villin"):
+    os.makedirs(out, exist_ok=True)
+    steps = 50 if small else 10_000       # reference lagtime: 20 ns = 1e4 x 2fs
+    sim = itk.MDSimulation(pdb=pdb, steps=steps, implicit="obc2",
+                           minimize=True,
+                           features=0.5)  # pair features within 0.5 nm
+    nx, nk = (8, 1) if small else (1000, 1)
+    iso = itk.Iso(sim=sim, nx=nx, nk=nk, key=0, opt=itk.NesterovRegularized())
+
+    generations = 2 if small else 2500
+    iters = 10 if small else 300
+    cutoff = 100 if small else 10_000
+    nresample = 2 if small else 30
+    for g in range(generations):
+        iso.resample_strat(nresample)
+        iso.resample_kde(nresample)
+        if len(iso.data) > cutoff:
+            iso.data = iso.data[len(iso.data) - cutoff:]
+        iso.run(iters)
+        print(f"gen {g}: n={len(iso.data)} loss={iso.losses[-1]:.4f} "
+              f"simtime={iso.simulationtime():.1f} ps")
+        if g % 10 == 0:
+            iso.save(f"{out}/iso_gen{g}.pkl")
+    iso.save(f"{out}/iso_final.pkl")
+    return iso
+
+
+if __name__ == "__main__":
+    import sys
+    main(sys.argv[1] if len(sys.argv) > 1 else None, small=True)

@@ -156,15 +156,21 @@ def data_from_trajectories(xss, **kwargs):
 
 def subsample_inds(model, xs, n, keepedges=True):
     """Indices such that ``model(xs[inds])`` is approximately uniform, per
-    chi-dimension (reference ``src/data.jl:38-42``)."""
+    chi-dimension (reference ``src/data.jl:38-42``).  A (near-)constant chi
+    degrades to uniform random selection instead of failing."""
     from .sample import subsample_uniformgrid
-    from .targets import shiftscale
 
     chi = np.asarray(model(xs))          # (m, d)
     inds = []
     for j in range(chi.shape[-1]):
-        inds.extend(subsample_uniformgrid(np.asarray(shiftscale(chi[:, j:j + 1]))[:, 0],
-                                          n, keepedges=keepedges))
+        col = chi[:, j]
+        lo, hi = col.min(), col.max()
+        if hi - lo < 1e-12:
+            inds.extend(np.random.default_rng().choice(
+                len(col), size=min(n, len(col)), replace=False))
+            continue
+        inds.extend(subsample_uniformgrid((col - lo) / (hi - lo), n,
+                                          keepedges=keepedges))
     return np.asarray(inds, dtype=int)
 
 

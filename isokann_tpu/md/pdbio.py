@@ -96,6 +96,9 @@ def _format_atom_line(i, name, resname, chain, resid, x, y, z, element):
 
 def write_pdb(path: str, struct: PDBStructure, coords=None):
     """Write a single-model PDB; ``coords`` (natoms, 3) in nm overrides."""
+    import os
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
     xyz = np.asarray(coords if coords is not None else struct.coords) * 10.0
     with open(path, "w") as f:
         if struct.box is not None:

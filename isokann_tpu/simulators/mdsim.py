@@ -188,6 +188,23 @@ class MDSimulation(IsoSimulation):
             ys, w = run(xs, key)
             return WeightedSamples(ys.reshape(n, nk, d), w.reshape(n, nk))
         ys = run(xs, key)
+        # failure handling: retry diverged walkers with fresh noise, then
+        # fall back to their start state (reference retries PyExceptions and
+        # NaN-fills failures, src/simulators/openmm.jl:286-315,
+        # mopenmm.py:139-143)
+        for _ in range(3):
+            bad = ~jnp.all(jnp.isfinite(ys), axis=-1)
+            if not bool(jnp.any(bad)):
+                break
+            key, sub = jax.random.split(key)
+            retry = run(xs, sub)
+            ys = jnp.where(bad[:, None], retry, ys)
+        bad = ~jnp.all(jnp.isfinite(ys), axis=-1)
+        if bool(jnp.any(bad)):
+            import warnings
+            warnings.warn(f"{int(jnp.sum(bad))} walkers diverged after "
+                          f"retries; falling back to their start states")
+            ys = jnp.where(bad[:, None], xs, ys)
         return ys.reshape(n, nk, d)
 
     # ---- fused data generation --------------------------------------------
@@ -235,7 +252,14 @@ class MDSimulation(IsoSimulation):
                 return xs, ys, fxs, fys
 
             self._jit_cache[cache_key] = run
-        return self._jit_cache[cache_key](self._x0, key)
+        out = self._jit_cache[cache_key](self._x0, key)
+        if not bool(jnp.all(jnp.isfinite(out[0]))):
+            raise FloatingPointError(
+                "dataset bootstrap diverged (non-finite coordinates): the "
+                "initial structure appears unstable at this timestep — "
+                "construct the simulation with minimize=True or a smaller "
+                "`step`")
+        return out
 
     # ---- trajectories ------------------------------------------------------
 
@@ -289,7 +313,19 @@ class MDSimulation(IsoSimulation):
         saves = []
         for k in jax.random.split(key, nblocks):
             x, v = block(x, v, k)
+            if not bool(jnp.all(jnp.isfinite(x))):
+                # partial-result recovery (reference trajectory catches
+                # failures and returns the frames so far,
+                # src/simulators/openmm.jl:384-391)
+                import warnings
+                warnings.warn(f"trajectory diverged after {len(saves)} of "
+                              f"{nblocks} frames; returning partial result")
+                break
             saves.append(x[0])
+        if not saves:
+            raise FloatingPointError(
+                "trajectory diverged immediately; minimize the structure or "
+                "reduce the timestep")
         return jnp.stack(saves)
 
     def laggedtrajectory(self, lags, steps=None, x0=None,
@@ -303,8 +339,11 @@ class MDSimulation(IsoSimulation):
 
     def randx0(self, n, key=None):
         """n initial points from a lagged trajectory
-        (reference ``src/simulators/openmm.jl:273``)."""
-        return self.laggedtrajectory(n, key=key)
+        (reference ``src/simulators/openmm.jl:273``).  With a bias attached
+        the Girsanov weights of the warmup trajectory are discarded
+        (reference ``randx0(sim, nx) = values(laggedtrajectory(...))``)."""
+        from ..data import values
+        return values(self.laggedtrajectory(n, key=key))
 
     def __repr__(self):
         return (f"MDSimulation({self.natoms} atoms, steps={self.steps}, "

@@ -17,6 +17,13 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
 
+def _savefig(fig, out):
+    import os
+    d = os.path.dirname(os.path.abspath(out))
+    os.makedirs(d, exist_ok=True)
+    fig.savefig(out, dpi=120)
+
+
 def plot_training(iso, out=None):
     """Dashboard: log-loss + chi values + chi-vs-Kchi fixpoint scatter
     (reference ``plot_training``, ``src/utils/plots.jl:43-60``)."""
@@ -52,7 +59,7 @@ def plot_training(iso, out=None):
 
     fig.tight_layout()
     if out:
-        fig.savefig(out, dpi=120)
+        _savefig(fig, out)
     return fig
 
 
@@ -66,7 +73,7 @@ def plot_chi(iso, out=None):
     ax.legend()
     fig.tight_layout()
     if out:
-        fig.savefig(out, dpi=120)
+        _savefig(fig, out)
     return fig
 
 
@@ -80,7 +87,7 @@ def scatter_chifix(iso, out=None):
     ax.set_ylabel(r"$K\chi$")
     fig.tight_layout()
     if out:
-        fig.savefig(out, dpi=120)
+        _savefig(fig, out)
     return fig
 
 
@@ -121,7 +128,7 @@ def scatter_ramachandran(iso_or_coords, chi=None, pdb=None, out=None):
         ax.set_ylabel(r"$\psi$")
     fig.tight_layout()
     if out:
-        fig.savefig(out, dpi=120)
+        _savefig(fig, out)
     return fig
 
 
@@ -138,7 +145,7 @@ def plot_reactive_path(ids, xi, out=None):
     axes[1].set_xlabel("path step")
     fig.tight_layout()
     if out:
-        fig.savefig(out, dpi=120)
+        _savefig(fig, out)
     return fig
 
 
@@ -154,7 +161,7 @@ def vismodel(model, grid=30, lims=(-2, 2), out=None):
     fig.colorbar(pcm, ax=ax)
     fig.tight_layout()
     if out:
-        fig.savefig(out, dpi=120)
+        _savefig(fig, out)
     return fig
 
 
@@ -171,7 +178,7 @@ def plot_targets(iso, out=None):
     ax.legend()
     fig.tight_layout()
     if out:
-        fig.savefig(out, dpi=120)
+        _savefig(fig, out)
     return fig
 
 
@@ -200,7 +207,7 @@ def plot_potential(sim, grid=100, out=None):
         fig.colorbar(pcm, ax=ax)
     fig.tight_layout()
     if out:
-        fig.savefig(out, dpi=120)
+        _savefig(fig, out)
     return fig
 
 

@@ -1,0 +1,101 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from isokann_tpu.models import pairnet, smallnet
+from isokann_tpu.optim import AdamRegularized
+from isokann_tpu.parallel import (
+    make_mesh, shard_batch, replicate, sharded_train_step,
+    sharded_propagate, distributed_iso_step,
+)
+from isokann_tpu.simulators import Doublewell, MDSimulation
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest should provide 8 CPU devices"
+    return make_mesh(8)
+
+
+def test_shard_batch_places_on_mesh(mesh):
+    x = jnp.zeros((16, 4))
+    xs = shard_batch(mesh, x)
+    assert len(xs.sharding.device_set) == 8
+
+
+def test_sharded_train_step_matches_single_device(mesh, key):
+    """The sharded step must be numerically identical to the local step."""
+    model = smallnet(2, key=key)
+    opt = AdamRegularized()
+    opt_state = opt.init(model.params)
+
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.normal(size=(16, 2)), jnp.float32)
+    ys = jnp.asarray(rng.normal(size=(16, 3, 2)), jnp.float32)
+    yw = jnp.ones((16, 3), jnp.float32)
+
+    step = sharded_train_step(mesh, model.apply, opt)
+    p1, s1, loss1 = step(replicate(mesh, model.params),
+                         replicate(mesh, opt_state),
+                         shard_batch(mesh, xs), shard_batch(mesh, ys),
+                         shard_batch(mesh, yw), key)
+
+    # local reference computation
+    def local(params, opt_state):
+        kchi = jnp.mean(model.apply(params, ys), axis=1)
+        lo, hi = jnp.min(kchi), jnp.max(kchi)
+        target = (kchi - lo) / (hi - lo)
+        def lossf(p):
+            return jnp.sum((model.apply(p, xs) - target) ** 2) / xs.shape[0]
+        loss, g = jax.value_and_grad(lossf)(params)
+        up, opt_state = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, up), opt_state, loss
+
+    p2, s2, loss2 = local(model.params, opt_state)
+    assert float(loss1) == pytest.approx(float(loss2), rel=1e-5)
+    l1 = jax.tree_util.tree_leaves(p1)
+    l2 = jax.tree_util.tree_leaves(p2)
+    for a, b in zip(l1, l2):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sharded_propagate(mesh, key):
+    dw = Doublewell()
+    stepper = dw._stepper(dw.steps)
+    x0 = dw.randx0(32, key=key)
+    y = sharded_propagate(mesh, lambda x, k: stepper(x, k), x0, key)
+    assert y.shape == (32, 1)
+    assert len(y.sharding.device_set) == 8
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_distributed_iso_step_md(mesh, key):
+    """Full fused distributed step on the MD system."""
+    sim = MDSimulation(steps=2)
+    model = pairnet(n=231, nout=1, key=key)
+    opt = AdamRegularized()
+    step = distributed_iso_step(mesh, sim, model.apply, opt, nk=2,
+                                featurizer=sim.featurizer)
+    x0 = shard_batch(mesh, jnp.tile(sim.coords[None, :], (16, 1)))
+    params = replicate(mesh, model.params)
+    opt_state = replicate(mesh, opt.init(model.params))
+    params, opt_state, loss, ys = step(params, opt_state, x0, key)
+    assert np.isfinite(float(loss))
+    assert ys.shape == (16, 2, 66)
+
+
+def test_distributed_iso_step_langevin(mesh, key):
+    sim = Doublewell()
+    model = smallnet(1, key=key)
+    opt = AdamRegularized()
+    step = distributed_iso_step(mesh, sim, model.apply, opt, nk=4)
+    x0 = shard_batch(mesh, sim.randx0(16, key=key))
+    params = replicate(mesh, model.params)
+    opt_state = replicate(mesh, opt.init(model.params))
+    params, opt_state, loss, ys = step(params, opt_state, x0, key)
+    assert np.isfinite(float(loss))
+    assert ys.shape == (16, 4, 1)

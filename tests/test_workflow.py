@@ -1,0 +1,79 @@
+"""Full user-journey workflow test mirroring the reference
+``test/workflow.jl:3-17``: sim -> trajectorydata_bursts -> Iso ->
+save/load roundtrip -> train -> adaptive -> save_reactive_path.
+Plus the Girsanov-weighted training path (WeightedSamples end-to-end).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import isokann_tpu as itk
+from isokann_tpu.data import trajectorydata_bursts, WeightedSamples
+
+
+def test_full_workflow(tmp_path, key):
+    sim = itk.MDSimulation(steps=10)
+    data = trajectorydata_bursts(sim, 12, 2, key=key)
+    assert len(data) == 12
+
+    iso = itk.Iso(data=data, key=1, minibatch=0, opt=itk.AdamRegularized())
+    iso.run(5)
+
+    # save / load roundtrip mid-workflow
+    path = str(tmp_path / "iso.pkl")
+    iso.save(path)
+    iso = itk.load(path)
+    iso.run(10)
+    assert len(iso.losses) == 15
+
+    # adaptive sampling
+    iso.run_kde(generations=1, iter=5, kde=2)
+    assert len(iso.losses) == 20
+
+    # reactive path extraction end-to-end
+    out = str(tmp_path / "rp.pdb")
+    ids = itk.save_reactive_path(iso, sigma=1.0, maxjump=1.0, out=out,
+                                 method=itk.analysis.QuantilePath(0.2))
+    if len(ids) > 0:
+        assert os.path.exists(out)
+
+    # rates on the final model
+    Q = iso.rates()
+    assert np.all(np.isfinite(Q))
+
+
+def test_girsanov_weighted_training(key):
+    """Training with a biased sim produces WeightedSamples data and the
+    fused loop handles the weighted Koopman expectation."""
+    bias = lambda q, t, sigma, F: 0.01 * jnp.ones_like(q)
+    sim = itk.MDSimulation(steps=5, bias=bias)
+    iso = itk.Iso(sim=sim, nx=8, nk=2, key=2, minibatch=0,
+                  opt=itk.AdamRegularized())
+    assert isinstance(iso.data.propfeatures, WeightedSamples)
+    w = np.asarray(iso.data.propfeatures.weights)
+    assert not np.allclose(w, 1.0)       # nonzero bias reweights
+    iso.run(5)
+    assert np.all(np.isfinite(iso.losses))
+
+    # koopman expectation uses the weights
+    k = np.asarray(iso.koopman())
+    assert np.all(np.isfinite(k))
+
+
+def test_metadynamics_workflow(key):
+    """Reference test/metadynamics.jl: build from trained iso, one biased
+    trajectory, one run_metadynamics generation."""
+    sim = itk.MDSimulation(steps=5)
+    iso = itk.Iso(sim=sim, nx=8, nk=2, key=3, minibatch=0,
+                  opt=itk.AdamRegularized())
+    iso.run(5)
+    md = itk.MetadynamicsSimulation(iso, height=0.1, sigma=0.2)
+    t = md.trajectory(steps=5, key=key)
+    assert np.all(np.isfinite(np.asarray(t.values)))
+    itk.run_metadynamics(iso, generations=1, iter=3, deposit=5,
+                         height=0.1, sigma=0.2)
+    assert len(iso.losses) == 8
