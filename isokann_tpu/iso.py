@@ -396,12 +396,28 @@ class Iso:
     def run_kde(self, generations=1, iter=100, cutoff=np.inf, kde=1,
                 unique=True, showprogress=False):
         """Adaptive training: generations x (kde resample -> cutoff -> train)
+        with per-generation timing/rate diagnostics
         (reference ``run_kde!``, ``src/iso.jl:278-307``)."""
+        t_kde = t_train = 0.0
         for g in range(generations):
+            t0 = time.time()
             self.resample_kde(kde, unique=unique)
+            t_kde += time.time() - t0
             if len(self.data) > cutoff:
                 self.data = self.data[len(self.data) - int(cutoff):]
+            t0 = time.time()
             self.run(iter)
+            t_train += time.time() - t0
+            if showprogress:
+                try:
+                    macrorates = np.round(self.exit_rates(), 4).tolist()
+                except Exception:
+                    macrorates = None
+                print(f"[run_kde] gen {g + 1}/{generations} "
+                      f"loss={self.losses[-1]:.4g} n={len(self.data)} "
+                      f"t_train={t_train:.1f}s t_kde={t_kde:.1f}s "
+                      f"simtime={self.simulationtime():.3g} "
+                      f"macrorates={macrorates}", flush=True)
         return self
 
     # ---- rates & diagnostics (reference src/iso.jl:322-373) ---------------
