@@ -41,6 +41,68 @@ def _key(key):
 
 
 # ==========================================================================
+# Fused training program builder
+# ==========================================================================
+
+def make_fused_run(apply, opt, fused_target, d, minibatch,
+                   nx, nk, n, epochs, weighted):
+    """Build the jitted whole-run program: n Koopman iterations x epochs of
+    minibatch SGD, all in one lax.scan."""
+    mb = minibatch
+    bs = nx if (mb == 0 or nx < mb) else mb
+    nb = nx // bs
+
+    def epoch_fn(params, opt_state, xs, target, w, key):
+        perm = jax.random.permutation(key, nx)[:nb * bs].reshape(nb, bs)
+
+        def batch_step(carry, idx):
+            params, opt_state = carry
+            x, y = xs[idx], target[idx]
+
+            def lossf(p):
+                pred = apply(p, x)
+                return jnp.sum(((pred - y) * w) ** 2)
+
+            l, g = jax.value_and_grad(lossf)(params)
+            updates, opt_state = opt.update(g, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), l
+
+        (params, opt_state), ls = jax.lax.scan(batch_step, (params, opt_state), perm)
+        return params, opt_state, jnp.sum(ls) / nx
+
+    @jax.jit
+    def run(params, opt_state, xs, ys, yw, key):
+        def iteration(carry, k):
+            params, opt_state = carry
+            chi_y = apply(params, ys)                       # (nx, nk, d)
+            if weighted:
+                kchi = jnp.sum(chi_y * yw[..., None], axis=1) / nk
+            else:
+                kchi = jnp.mean(chi_y, axis=1)
+            target = fused_target(kchi)
+            if d > 1:
+                w = 1.0 / (jnp.std(target, axis=0) + 1e-12)
+            else:
+                w = jnp.ones((1,))
+            ks = jax.random.split(k, epochs)
+
+            def ep(carry, kk):
+                params, opt_state = carry
+                params, opt_state, loss = epoch_fn(params, opt_state, xs, target, w, kk)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(ep, (params, opt_state), ks)
+            return (params, opt_state), losses
+
+        keys = jax.random.split(key, n)
+        (params, opt_state), losses = jax.lax.scan(iteration, (params, opt_state), keys)
+        return params, opt_state, losses.reshape(-1)
+
+    return run
+
+
+# ==========================================================================
 # Loggers (reference src/iso.jl:99-177)
 # ==========================================================================
 
@@ -230,65 +292,30 @@ class Iso:
     def _fused_run_fn(self, nx, nk, nfeat, n, epochs, weighted, cache_key):
         if cache_key in self._jit_cache:
             return self._jit_cache[cache_key]
-
-        apply = self.model.apply
-        opt = self.opt
-        d = self.model.outputdim
-        mb = self.minibatch
-        fused_target = self.target.fused_target
-
-        bs = nx if (mb == 0 or nx < mb) else mb
-        nb = nx // bs
-
-        def epoch_fn(params, opt_state, xs, target, w, key):
-            perm = jax.random.permutation(key, nx)[:nb * bs].reshape(nb, bs)
-
-            def batch_step(carry, idx):
-                params, opt_state = carry
-                x, y = xs[idx], target[idx]
-
-                def lossf(p):
-                    pred = apply(p, x)
-                    return jnp.sum(((pred - y) * w) ** 2)
-
-                l, g = jax.value_and_grad(lossf)(params)
-                updates, opt_state = opt.update(g, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), l
-
-            (params, opt_state), ls = jax.lax.scan(batch_step, (params, opt_state), perm)
-            return params, opt_state, jnp.sum(ls) / nx
-
-        @jax.jit
-        def run(params, opt_state, xs, ys, yw, key):
-            def iteration(carry, k):
-                params, opt_state = carry
-                chi_y = apply(params, ys)                       # (nx, nk, d)
-                if weighted:
-                    kchi = jnp.sum(chi_y * yw[..., None], axis=1) / nk
-                else:
-                    kchi = jnp.mean(chi_y, axis=1)
-                target = fused_target(kchi)
-                if d > 1:
-                    w = 1.0 / (jnp.std(target, axis=0) + 1e-12)
-                else:
-                    w = jnp.ones((1,))
-                ks = jax.random.split(k, epochs)
-
-                def ep(carry, kk):
-                    params, opt_state = carry
-                    params, opt_state, loss = epoch_fn(params, opt_state, xs, target, w, kk)
-                    return (params, opt_state), loss
-
-                (params, opt_state), losses = jax.lax.scan(ep, (params, opt_state), ks)
-                return (params, opt_state), losses
-
-            keys = jax.random.split(key, n)
-            (params, opt_state), losses = jax.lax.scan(iteration, (params, opt_state), keys)
-            return params, opt_state, losses.reshape(-1)
-
+        run = make_fused_run(self.model.apply, self.opt,
+                             self.target.fused_target, self.model.outputdim,
+                             self.minibatch, nx, nk, n, epochs, weighted)
         self._jit_cache[cache_key] = run
         return run
+
+    def precompile_fused(self, nx, nk, n, epochs=1, weighted=False):
+        """AOT-compile the fused training program for the given data shape
+        (e.g. on a thread, overlapping with data generation — remote-compile
+        backends don't serialize concurrent compilations)."""
+        nfeat = self.model.inputdim
+        cache_key = ("fused", nx, nk, nfeat, n, epochs, weighted)
+        run = make_fused_run(self.model.apply, self.opt,
+                             self.target.fused_target, self.model.outputdim,
+                             self.minibatch, nx, nk, n, epochs, weighted)
+        sds = lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x))
+        args = (jax.tree_util.tree_map(sds, self.model.params),
+                jax.tree_util.tree_map(sds, self.opt_state),
+                jax.ShapeDtypeStruct((nx, nfeat), jnp.float32),
+                jax.ShapeDtypeStruct((nx, nk, nfeat), jnp.float32),
+                jax.ShapeDtypeStruct((nx, nk), jnp.float32),
+                jax.ShapeDtypeStruct((2,), jnp.uint32))
+        self._jit_cache[cache_key] = run.lower(*args).compile()
+        return self._jit_cache[cache_key]
 
     def _run_fused(self, n, epochs):
         ysf = self.data.propfeatures

@@ -57,6 +57,19 @@ def constants(masses3, T, gamma, overdamped: bool):
 # Core steppers.  force_fn: (B, 3N) -> (B, 3N).
 # ==========================================================================
 
+def langevin_middle_step(force_fn, x, v, masses3, T, gamma, dt, key):
+    """One LangevinMiddle step (exposed for flat single-level scans)."""
+    a = math.exp(-gamma * dt)
+    b = math.sqrt(1.0 - a * a)
+    vstd = jnp.sqrt(KB * T / masses3)
+    f = force_fn(x)
+    v = v + dt * f / masses3
+    x = x + 0.5 * dt * v
+    v = a * v + b * vstd * jax.random.normal(key, v.shape, v.dtype)
+    x = x + 0.5 * dt * v
+    return x, v
+
+
 def langevin_middle(force_fn: Callable, x0, v0, masses3, T, gamma, dt,
                     nsteps: int, key, save_every: Optional[int] = None):
     """OpenMM LangevinMiddleIntegrator scheme, batched.

@@ -144,7 +144,9 @@ def _should_use_pallas(b):
             return False
     except Exception:
         return False
-    return b.shape[1] >= 128
+    # measured on v5e: XLA's Gram formulation wins below ~512 atoms; at and
+    # above both are HBM-bound and equal
+    return b.shape[1] >= 512
 
 
 def _round_up(x, m):
@@ -203,11 +205,14 @@ def _sqpairdist_bwd_impl(x, dp):
         g = dp_ref[0]                      # (Np, Np)
         s = g + g.T                        # (Np, Np)
         rowsum = jnp.sum(s, axis=1, keepdims=True)   # (Np, 1)
-        out = jnp.zeros((Np, 8), xs.dtype)
-        # dx[i,k] = 2 * (x[i,k] * rowsum[i] - sum_j s[i,j] x[j,k])
-        sx = jnp.dot(s, xs, preferred_element_type=xs.dtype)  # (Np, 8)
-        out = 2.0 * (xs * rowsum - sx)
-        dx_ref[0] = out
+        # dx[i,k] = 2 * (x[i,k] * rowsum[i] - sum_j s[i,j] x[j,k]);
+        # HIGHEST precision: the MXU's default bf16 pass loses coordinate
+        # bits (same issue as the bonded-force incidence matmuls)
+        sx = jax.lax.dot_general(
+            s, xs, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=xs.dtype)         # (Np, 8)
+        dx_ref[0] = 2.0 * (xs * rowsum - sx)
 
     dx = pl.pallas_call(
         kernel,

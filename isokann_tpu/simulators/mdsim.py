@@ -230,16 +230,25 @@ class MDSimulation(IsoSimulation):
             def run(x0, key):
                 kchain, kprop = jax.random.split(key)
 
-                def blockstep(x, k):
+                # flat single-level chain scan: velocities are resampled
+                # every `nsteps` steps via a where-mask (nested scans
+                # compile an order of magnitude slower on remote-compiled
+                # TPU backends)
+                def chainstep(carry, inp):
+                    x, v, i = carry
+                    k = inp
                     kv, k2 = jax.random.split(k)
-                    v = I.maxwell_boltzmann(kv, masses3, T, x.shape)
-                    x, _ = I.langevin_middle(force_fn, x, v, masses3, T,
-                                             gamma, dt, nsteps, k2)
-                    return x, x
+                    vnew = I.maxwell_boltzmann(kv, masses3, T, x.shape)
+                    v = jnp.where(i % nsteps == 0, vnew, v)
+                    x, v = I.langevin_middle_step(force_fn, x, v, masses3,
+                                                  T, gamma, dt, k2)
+                    return (x, v, i + 1), x
 
-                _, xs = jax.lax.scan(blockstep, x0[None, :],
-                                     jax.random.split(kchain, nx))
-                xs = xs[:, 0, :]                           # (nx, 3N)
+                keys = jax.random.split(kchain, nx * nsteps)
+                v0 = jnp.zeros_like(x0)[None, :]
+                (_, _, _), traj = jax.lax.scan(
+                    chainstep, (x0[None, :], v0, 0), keys)
+                xs = traj[nsteps - 1::nsteps, 0, :]         # (nx, 3N)
 
                 kv, ki = jax.random.split(kprop)
                 yr = jnp.repeat(xs, nk, axis=0)
