@@ -354,6 +354,52 @@ class MDSimulation(IsoSimulation):
         from ..data import values
         return values(self.laggedtrajectory(n, key=key))
 
+    # ---- direct integrator access (reference module-level functions,
+    #      src/simulators/openmm.jl:440-637) -------------------------------
+
+    def integrate_langevin(self, x0=None, steps=None, perturbation=None,
+                           key=None):
+        """Underdamped EM integration with optional force perturbation
+        (reference ``integrate_langevin`` :440-464)."""
+        key = _key(key)
+        x0 = jnp.atleast_2d(self._x0 if x0 is None else jnp.asarray(x0))
+        steps = self.steps if steps is None else steps
+        kv, ki = jax.random.split(key)
+        v0 = I.maxwell_boltzmann(kv, self.masses3, self.temp, x0.shape)
+        x, v = I.langevin_em(self._force_fn(), x0, v0, self.masses3,
+                             self.temp, self.friction, self.step, steps, ki,
+                             perturbation=perturbation)
+        return x
+
+    def integrate_girsanov(self, x0=None, steps=None, bias=None, key=None):
+        """Overdamped EM with Girsanov weights; returns (x, logw)
+        (reference ``integrate_girsanov`` :510-536)."""
+        key = _key(key)
+        x0 = jnp.atleast_2d(self._x0 if x0 is None else jnp.asarray(x0))
+        steps = self.steps if steps is None else steps
+        bias = bias or self.bias
+        return I.brownian_girsanov(self._force_fn(), bias, x0, self.masses3,
+                                   self.temp, self.friction, self.step,
+                                   steps, key)
+
+    def langevin_girsanov(self, x0=None, steps=None, bias=None, saveevery=1,
+                          sigmascaled=True, key=None):
+        """Underdamped ABOBA with Girsanov reweighting; returns
+        WeightedSamples of the saved frames
+        (reference ``langevin_girsanov!`` :569-637)."""
+        key = _key(key)
+        x0 = jnp.asarray(self._x0 if x0 is None else x0).reshape(-1)
+        steps = self.steps if steps is None else steps
+        bias = bias or self.bias or (lambda q, t, sigma, F: jnp.zeros_like(q))
+        kv, ki = jax.random.split(key)
+        p0 = jax.random.normal(kv, (1, self.dim)) * jnp.sqrt(
+            self.masses3 * KB * self.temp)
+        qs, logws, _ = I.aboba_girsanov(
+            self._force_fn(), bias, x0[None, :], p0, self.masses3, self.temp,
+            self.friction, self.step, steps, ki, save_every=saveevery,
+            sigmascaled=sigmascaled)
+        return WeightedSamples(qs[:, 0, :], jnp.exp(logws[:, 0]))
+
     def __repr__(self):
         return (f"MDSimulation({self.natoms} atoms, steps={self.steps}, "
                 f"temp={self.temp}K, friction={self.friction}/ps, "

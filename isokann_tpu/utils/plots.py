@@ -211,6 +211,31 @@ def plot_potential(sim, grid=100, out=None):
     return fig
 
 
+def scatter_chi_simplex(iso, chi=None, out=None):
+    """3-dim chi values projected onto the 2-simplex (barycentric plot,
+    reference simplex plots ``src/utils/plots.jl:92-102``)."""
+    chi = np.asarray(iso.chis() if chi is None else chi)
+    assert chi.shape[1] >= 3, "simplex plot needs chi dimension >= 3"
+    c = chi[:, :3]
+    c = c / np.clip(c.sum(axis=1, keepdims=True), 1e-9, None)
+    # barycentric -> 2D: corners (0,0), (1,0), (0.5, sqrt(3)/2)
+    corners = np.array([[0.0, 0.0], [1.0, 0.0], [0.5, np.sqrt(3) / 2]])
+    xy = c @ corners
+    fig, ax = plt.subplots(figsize=(5, 4.5))
+    tri = np.vstack([corners, corners[0]])
+    ax.plot(tri[:, 0], tri[:, 1], "k-", lw=0.5)
+    sc = ax.scatter(xy[:, 0], xy[:, 1], c=np.argmax(c, axis=1), s=8,
+                    cmap="viridis")
+    for i, lbl in enumerate([r"$\chi_1$", r"$\chi_2$", r"$\chi_3$"]):
+        ax.annotate(lbl, corners[i], fontsize=12)
+    ax.set_aspect("equal")
+    ax.axis("off")
+    fig.tight_layout()
+    if out:
+        _savefig(fig, out)
+    return fig
+
+
 class autoplot:
     """Throttled training-plot logger (reference ``autoplot``,
     ``src/utils/plots.jl:303-314``).  Saves the dashboard to ``out`` at most

@@ -112,3 +112,23 @@ def test_chi_exit_rate_consistent(trained):
     model (a different estimator than -log(lambda)/tau)."""
     r = trained.chi_exit_rate()
     assert np.isfinite(r) and r > 0
+
+
+def test_triplewell_isa_memberships():
+    """Multi-dim ISA on the triplewell: chi converges to simplex membership
+    functions (rows sum to 1) and the three wells map to three distinct
+    chi dimensions."""
+    from isokann_tpu import Triplewell, DomainError
+
+    iso = Iso(sim=Triplewell(sigma=0.8), nx=512, nk=32, nout=3, key=3,
+              minibatch=256, opt=AdamRegularized(1e-3, 1e-5))
+    try:
+        iso.run(1500)
+    except DomainError:
+        pytest.skip("ISA degenerate for this seed (tolerated)")
+    chi = np.asarray(iso.chis())
+    assert chi.sum(axis=1).mean() == pytest.approx(1.0, abs=0.05)
+    wells = jnp.asarray([[-1.0, 0.0], [1.0, 0.0], [0.0, 1.6]])
+    cw = np.asarray(iso.chicoords(wells))
+    assert sorted(np.argmax(cw, axis=1).tolist()) == [0, 1, 2], \
+        f"wells not separated: {cw}"
