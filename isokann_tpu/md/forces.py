@@ -70,6 +70,10 @@ def nonbonded_energy(sys: MDSystem, x):
       applies minimum-image convention first.
     1-4 pairs always use straight (scaled) Coulomb, as in OpenMM.
     """
+    # NOTE (measured on v5e): the elementwise (n, n, 3) diff formulation
+    # beats the Gram-trick matmul variant ~4x under vmap+grad here — tiny
+    # per-walker (22x22x3) batched matmuls can't tile the MXU, while the
+    # diff tensor fuses cleanly on the VPU.
     n = sys.natoms
     diff = x[:, None, :] - x[None, :, :]
     if sys.method == "CutoffPeriodic" and sys.box is not None:

