@@ -39,7 +39,7 @@ from .data import (
 )
 from .iso import (
     Iso, run, run_kde, chis, chicoords,
-    FunctionLogger, ValidationLossLogger, validationloss,
+    FunctionLogger, ValidationLogger, ValidationLossLogger, validationloss,
     rates, chi_exit_rate, simulationtime, save, load,
 )
 from .sample import (

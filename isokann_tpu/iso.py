@@ -148,6 +148,13 @@ class ValidationLossLogger:
         return ("validation loss", self.losses[-1] if self.losses else None)
 
 
+def ValidationLogger(valdata, logevery=1):
+    """FunctionLogger wrapper reporting the validation loss
+    (reference ``ValidationLogger``, ``src/iso.jl:126-130``)."""
+    return FunctionLogger(f=lambda iso: validationloss(iso, valdata),
+                          name="validation loss", logevery=logevery)
+
+
 def validationloss(iso, valdata):
     """Reference ``src/iso.jl:160-170``."""
     vx, vy = T.features(valdata), T.propfeatures(valdata)
@@ -268,6 +275,7 @@ class Iso:
     def run(self, n=1, epochs=1, showprogress=False):
         """n outer Koopman iterations x inner SGD epochs
         (reference ``run!``, ``src/iso.jl:72-94``)."""
+        t0 = time.time()
         fused = getattr(self.target, "fused", False)
         if fused:
             chunk = n if not self.loggers else min(
@@ -279,13 +287,23 @@ class Iso:
                 done += c
                 for logger in self.loggers:
                     logger.log(self)
+                if showprogress:
+                    self._progress(done, n, t0)
         else:
-            for _ in range(n):
+            for i in range(n):
                 target = isotarget(self)
                 self._train_iteration(target, epochs)
                 for logger in self.loggers:
                     logger.log(self)
+                if showprogress:
+                    self._progress(i + 1, n, t0)
         return self
+
+    def _progress(self, done, n, t0):
+        dt = time.time() - t0
+        print(f"\r[run] {done}/{n} loss={self.losses[-1]:.4g} "
+              f"n_data={len(self.data)} {done / max(dt, 1e-9):.1f} it/s",
+              end="\n" if done == n else "", flush=True)
 
     # -- fused path: everything in one lax.scan ----------------------------
 
