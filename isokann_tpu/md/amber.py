@@ -655,6 +655,27 @@ RESIDUES["HID"] = {
                       ("NE2", "CD2"), ("CD2", "HD2"), ("CD2", "CG")] + _BB_C,
 }
 
+# doubly protonated histidine (+1): Amber HIP
+RESIDUES["HIP"] = {
+    "formal_charge": 1,
+    "atoms": {
+        "N": ("N", -0.3479), "H": ("H", 0.2747),
+        "CA": ("CT", -0.1354), "HA": ("H1", 0.1212),
+        "CB": ("CT", -0.0414), "HB2": ("HC", 0.0810), "HB3": ("HC", 0.0810),
+        "CG": ("CC", -0.0012),
+        "ND1": ("NA", -0.1513), "HD1": ("H", 0.3866),
+        "CE1": ("CR", -0.0170), "HE1": ("H5", 0.2681),
+        "NE2": ("NA", -0.1718), "HE2": ("H", 0.3911),
+        "CD2": ("CW", -0.1141), "HD2": ("H4", 0.2317),
+        "C": ("C", 0.7341), "O": ("O", -0.5894),
+    },
+    "bonds": _BB_N + [("CA", "HA"), ("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                      ("CB", "CG"), ("CG", "ND1"), ("ND1", "HD1"),
+                      ("ND1", "CE1"), ("CE1", "HE1"), ("CE1", "NE2"),
+                      ("NE2", "HE2"), ("NE2", "CD2"), ("CD2", "HD2"),
+                      ("CD2", "CG")] + _BB_C,
+}
+
 # PDB tautomer aliases
 RESIDUES["HIE"] = RESIDUES["HIS"]
 

@@ -21,7 +21,6 @@ workloads (no GBSA inside the kernel yet).
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -153,7 +152,7 @@ def make_forces_fn(plan: PallasMDPlan, consts=None):
     use_rf = plan.method != "NoCutoff"
     rc = plan.cutoff
     krf = (1.0 / rc ** 3) * (plan.eps_rf - 1.0) / (2 * plan.eps_rf + 1.0)
-    crf = (1.0 / rc) * (3.0 * plan.eps_rf) / (2 * plan.eps_rf + 1.0)
+    # (the RF constant-shift crf contributes no force)
 
     spr, sbd = plan.sl_pairs, plan.sl_bonds
     su, sv = plan.sl_ang_u, plan.sl_ang_v
