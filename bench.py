@@ -24,6 +24,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
 
 
+_PROCESS_T0 = time.time()
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -115,13 +118,19 @@ def main():
     ok = bool(np.all(np.isfinite(chi)))
     log("chi finite:", ok, "range", float(chi.min()), float(chi.max()))
 
-    # walker-throughput telemetry (hot-path MD speed, excluded from metric)
+    # walker-throughput telemetry (hot-path MD speed, excluded from metric);
+    # skipped when compiles already ate the wall-clock budget
     from isokann_tpu.md import integrators as I
     m3, T = sim.masses3, sim.temp
     B = 16384
+    if time.time() - _PROCESS_T0 > 500:
+        log("skipping throughput telemetry (compile budget exhausted)")
+        B = 0
     x = jnp.tile(sim.coords[None, :], (B, 1))
     v = I.maxwell_boltzmann(jax.random.PRNGKey(2), m3, T, x.shape)
     try:
+        if B == 0:
+            raise TimeoutError("budget")
         from isokann_tpu.md.pallas_md import langevin_middle_fused
         run1k = jax.jit(lambda x, v, k: langevin_middle_fused(
             sim.system, x, v, T, sim.friction, sim.step, 1000, k, block=256))

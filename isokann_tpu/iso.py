@@ -25,7 +25,7 @@ import numpy as np
 import optax
 
 from . import targets as T
-from .data import SimulationData, WeightedSamples, values, getobs
+from .data import SimulationData, WeightedSamples, values
 from .models import MLP
 from .optim import NesterovRegularized
 from .targets import DomainError, TransformShiftscale, TransformISA, isotarget

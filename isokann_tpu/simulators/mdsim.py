@@ -147,6 +147,10 @@ class MDSimulation(IsoSimulation):
             return False
         if self.system.implicit is not None:
             return False
+        # the kernel's dense difference operator scales with all-pairs rows:
+        # small-molecule systems only (<=64 atoms keeps D under ~10 MB)
+        if self.natoms > 64:
+            return False
         try:
             return jax.devices()[0].platform == "tpu" and nwalkers >= 512
         except Exception:
