@@ -30,9 +30,11 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
-    """1-D device mesh over the first ``n_devices`` devices."""
-    devices = jax.devices()
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data",
+              devices=None) -> Mesh:
+    """1-D device mesh over the first ``n_devices`` devices (or an explicit
+    device list)."""
+    devices = jax.devices() if devices is None else list(devices)
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
