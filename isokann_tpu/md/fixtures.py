@@ -99,6 +99,10 @@ def build_peptide(sequence, phi=-120.0, psi=120.0, capped=True):
         seq = list(sequence)
     if capped:
         seq = ["ACE"] + seq + ["NME"]
+    else:
+        # zwitterionic termini (NH3+ / COO-) via the terminal templates
+        seq = ["N" + seq[0]] + seq[1:]
+        seq = seq[:-1] + ["C" + seq[-1]]
 
     names, resn, resi, elements = [], [], [], []
     pos = {}           # (ri, atomname) -> xyz
@@ -181,12 +185,15 @@ def build_peptide(sequence, phi=-120.0, psi=120.0, capped=True):
                                      r, 109.5, dih)
                 placed.add(a)
 
-    # assemble in template order per residue
+    # assemble in template order per residue; terminal variants keep the
+    # base PDB residue name (PDB resname is 3 chars; the topology builder
+    # re-detects terminals from the present atoms)
     for ri, res in enumerate(seq):
         tmpl = amber.RESIDUES[res]
+        pdbname = res[1:] if (len(res) == 4 and res[0] in "NC") else res
         for a in tmpl["atoms"]:
             names.append(a)
-            resn.append(res)
+            resn.append(pdbname)
             resi.append(ri + 1)
             elements.append("H" if tmpl["atoms"][a][0].startswith("H")
                             else tmpl["atoms"][a][0][0])

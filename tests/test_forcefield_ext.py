@@ -144,3 +144,27 @@ class TestNative:
         finally:
             sample._HAVE_NATIVE = old
         assert np.array_equal(qs_native, qs_py)
+
+
+def test_uncapped_peptide_zwitterion(tmp_path):
+    """capped=False builds zwitterionic termini (NH3+/COO-) that the
+    topology auto-detects from the present atoms."""
+    import jax.numpy as jnp
+    from isokann_tpu.md.fixtures import build_peptide
+    from isokann_tpu.md.pdbio import write_pdb
+
+    s = build_peptide("GAG", capped=False)
+    path = str(tmp_path / "gag.pdb")
+    write_pdb(path, s)
+    sys = build_system(path)
+    assert s.natoms == 27            # 9 + 10 + 8 with terminal atoms
+    assert abs(float(jnp.sum(sys.charges))) < 1e-5
+    # N-terminal has 3 amine protons, C-terminal has OXT
+    assert "OXT" in {a for a in s.atom_names}
+    assert sum(1 for a in s.atom_names if a in ("H1", "H2", "H3")) == 3
+
+
+def test_hip_template():
+    assert amber.RESIDUES["HIP"]["formal_charge"] == 1
+    s = sum(q for _, q in amber.RESIDUES["HIP"]["atoms"].values())
+    assert s == pytest.approx(1.0, abs=1e-6)
