@@ -115,6 +115,47 @@ def sharded_train_step(mesh: Mesh, apply, opt, axis: str = "data",
         out_shardings=(rep, rep, rep))
 
 
+def shardmap_train_step(mesh: Mesh, apply, opt, axis: str = "data"):
+    """Explicitly-collective variant of ``sharded_train_step`` via
+    ``shard_map``: every cross-chip reduction is written out —
+    ``lax.pmin``/``lax.pmax`` for the shift-scale normalization and
+    ``lax.pmean`` for the gradients (SURVEY.md §2.11: the only
+    latency-critical collectives of the algorithm, riding ICI).
+
+    Numerically identical to the GSPMD version; exists to make the
+    communication pattern explicit and hand-tunable."""
+    from jax.experimental.shard_map import shard_map
+
+    def step(params, opt_state, xs, ys, yw, key):
+        # xs/ys/yw are the local shards; params/opt_state replicated
+        chi_y = apply(params, ys)
+        kchi = jnp.mean(chi_y, axis=1)
+        lo = jax.lax.pmin(jnp.min(kchi), axis)
+        hi = jax.lax.pmax(jnp.max(kchi), axis)
+        target = (kchi - lo) / (hi - lo)
+
+        n_local = xs.shape[0]
+
+        def lossf(p):
+            pred = apply(p, xs)
+            return jnp.sum((pred - target) ** 2) / n_local
+
+        loss, grads = jax.value_and_grad(lossf)(params)
+        grads = jax.tree_util.tree_map(lambda g: jax.lax.pmean(g, axis), grads)
+        loss = jax.lax.pmean(loss, axis)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    pspec = P()
+    bspec = P(axis)
+    return jax.jit(shard_map(
+        step, mesh=mesh,
+        in_specs=(pspec, pspec, bspec, bspec, bspec, pspec),
+        out_specs=(pspec, pspec, pspec),
+        check_rep=False))
+
+
 # ==========================================================================
 # Full distributed ISOKANN step: propagate + featurize + train
 # ==========================================================================

@@ -132,3 +132,85 @@ def test_triplewell_isa_memberships():
     cw = np.asarray(iso.chicoords(wells))
     assert sorted(np.argmax(cw, axis=1).tolist()) == [0, 1, 2], \
         f"wells not separated: {cw}"
+
+
+def _mueller_brown_golden(nx=80, ny=80):
+    """Second eigenfunction of the 2-D Mueller-Brown generator via sparse
+    FD + shift-invert eigs (reflecting boundaries)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+    from isokann_tpu.simulators.langevin import mueller_brown
+
+    xs = np.linspace(-1.4, 1.1, nx)
+    ys = np.linspace(-0.25, 2.0, ny)
+    hx, hy = xs[1] - xs[0], ys[1] - ys[0]
+    D = 7.0 ** 2 / 2
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    pts = np.stack([X.ravel(), Y.ravel()], 1)
+    gradV = jax.vmap(jax.grad(mueller_brown))(jnp.asarray(pts, jnp.float32))
+    bx = -np.asarray(gradV)[:, 0].reshape(nx, ny)
+    by = -np.asarray(gradV)[:, 1].reshape(nx, ny)
+
+    rows, cols, vals = [], [], []
+
+    def idx(i, j):
+        return i * ny + j
+
+    def add(i, j, i2, j2, v):
+        rows.append(idx(i, j))
+        cols.append(idx(i2, j2))
+        vals.append(v)
+
+    for i in range(nx):
+        for j in range(ny):
+            diag = 0.0
+            if 0 < i < nx - 1:
+                add(i, j, i - 1, j, D / hx**2 - bx[i, j] / (2 * hx))
+                add(i, j, i + 1, j, D / hx**2 + bx[i, j] / (2 * hx))
+                diag += -2 * D / hx**2
+            elif i == 0:
+                c = D / hx**2 + max(bx[i, j], 0) / hx
+                add(i, j, i + 1, j, c)
+                diag += -c
+            else:
+                c = D / hx**2 - min(bx[i, j], 0) / hx
+                add(i, j, i - 1, j, c)
+                diag += -c
+            if 0 < j < ny - 1:
+                add(i, j, i, j - 1, D / hy**2 - by[i, j] / (2 * hy))
+                add(i, j, i, j + 1, D / hy**2 + by[i, j] / (2 * hy))
+                diag += -2 * D / hy**2
+            elif j == 0:
+                c = D / hy**2 + max(by[i, j], 0) / hy
+                add(i, j, i, j + 1, c)
+                diag += -c
+            else:
+                c = D / hy**2 - min(by[i, j], 0) / hy
+                add(i, j, i, j - 1, c)
+                diag += -c
+            add(i, j, i, j, diag)
+
+    L = sp.coo_matrix((vals, (rows, cols)), shape=(nx * ny, nx * ny)).tocsr()
+    w, v = spla.eigs(L, k=3, sigma=0.1, which="LM")
+    order = np.argsort(-np.real(w))
+    phi = np.real(v[:, order[1]])
+    phi = (phi - phi.min()) / (phi.max() - phi.min())
+    V = np.asarray(jax.vmap(mueller_brown)(jnp.asarray(pts, jnp.float32)))
+    return pts, phi, V
+
+
+def test_mueller_brown_chi_matches_eigenfunction():
+    """2-D golden test: chi on the Mueller-Brown system correlates > 0.98
+    with the exact slowest generator eigenfunction over the thermally
+    accessible region."""
+    from isokann_tpu import MuellerBrown
+
+    pts, phi, V = _mueller_brown_golden()
+    iso = Iso(sim=MuellerBrown(), nx=512, nk=32, key=0, minibatch=256,
+              opt=AdamRegularized(1e-3, 1e-5))
+    iso.run(3000)
+    chi = np.asarray(iso.chicoords(jnp.asarray(pts, jnp.float32)))[:, 0]
+    chi = (chi - chi.min()) / (chi.max() - chi.min())
+    mask = V < V.min() + 100.0
+    r = abs(np.corrcoef(chi[mask], phi[mask])[0, 1])
+    assert r > 0.98, f"MB chi correlation {r:.4f}"

@@ -99,3 +99,34 @@ def test_distributed_iso_step_langevin(mesh, key):
     params, opt_state, loss, ys = step(params, opt_state, x0, key)
     assert np.isfinite(float(loss))
     assert ys.shape == (16, 4, 1)
+
+
+def test_shardmap_explicit_collectives_matches_gspmd(mesh, key):
+    """shard_map step with hand-written pmin/pmax/pmean == the GSPMD
+    sharded step == the local computation."""
+    from isokann_tpu.parallel.mesh import shardmap_train_step
+
+    model = smallnet(2, key=key)
+    opt = AdamRegularized()
+    opt_state = opt.init(model.params)
+    rng = np.random.default_rng(1)
+    xs = jnp.asarray(rng.normal(size=(16, 2)), jnp.float32)
+    ys = jnp.asarray(rng.normal(size=(16, 3, 2)), jnp.float32)
+    yw = jnp.ones((16, 3), jnp.float32)
+
+    s1 = sharded_train_step(mesh, model.apply, opt)
+    p1, _, loss1 = s1(replicate(mesh, model.params), replicate(mesh, opt_state),
+                      shard_batch(mesh, xs), shard_batch(mesh, ys),
+                      shard_batch(mesh, yw), key)
+
+    s2 = shardmap_train_step(mesh, model.apply, opt)
+    p2, _, loss2 = s2(replicate(mesh, model.params), replicate(mesh, opt_state),
+                      shard_batch(mesh, xs), shard_batch(mesh, ys),
+                      shard_batch(mesh, yw), key)
+
+    # GSPMD step divides by global n with global-sum grads; shardmap uses
+    # pmean of local-mean grads = same thing for equal shards
+    assert float(loss1) == pytest.approx(float(loss2), rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
