@@ -77,3 +77,33 @@ def test_metadynamics_workflow(key):
     itk.run_metadynamics(iso, generations=1, iter=3, deposit=5,
                          height=0.1, sigma=0.2)
     assert len(iso.losses) == 8
+
+
+def test_optcontrol_bias_workflow(key):
+    """chi-derived optimal-control importance sampling: train, build the
+    optcontrol bias, run Girsanov-weighted sampling with it
+    (reference ``optcontrol``, ``src/simulators/openmm.jl:640-667``)."""
+    from isokann_tpu.md.integrators import optcontrol
+
+    sim = itk.MDSimulation(steps=10)
+    iso = itk.Iso(sim=sim, nx=16, nk=2, key=5, minibatch=0,
+                  opt=itk.AdamRegularized())
+    iso.run(30)
+    try:
+        bias = optcontrol(iso, forcescale=0.1)
+    except AssertionError:
+        pytest.skip("Koopman slope >= 1 on this tiny run (q>0)")
+    ws = sim.langevin_girsanov(steps=10, bias=bias, key=key)
+    w = np.asarray(ws.weights)
+    assert np.all(np.isfinite(w)) and np.all(w > 0)
+    assert not np.allclose(w, 1.0)     # bias actually reweights
+
+
+def test_shift_and_scale():
+    from isokann_tpu.md.integrators import shift_and_scale
+    xs = np.linspace(0, 1, 50)
+    ys = 0.2 + 0.5 * xs
+    bias, scale, limit = shift_and_scale(xs, ys)
+    assert bias == pytest.approx(0.2, abs=1e-8)
+    assert scale == pytest.approx(0.5, abs=1e-8)
+    assert limit == pytest.approx(0.4, abs=1e-6)
