@@ -139,10 +139,12 @@ def reactionforce(iso, sim, x, direction, orth=0.01):
 
 
 def reactionpath_ode(iso, x0, steps=101, minimize=False, extrapolate=0.0,
-                     orth=0.01, substeps=20):
+                     orth=0.01, substeps=20, maxspeed=50.0):
     """Integrate the reaction force with fixed-step RK4 in chi-time
     (TPU-friendly replacement of the reference's Tsit5 integration,
-    ``src/utils/minimumpath.jl:96-144``).  Returns (steps, 3N)."""
+    ``src/utils/minimumpath.jl:96-144``).  ``maxspeed`` caps |dx/dchi|
+    (trust region: grad(chi) -> 0 in saturated regions makes the exact
+    reaction force blow up).  Returns (steps, 3N)."""
     sim = iso.data.sim
     x0 = jnp.asarray(x0)
     if minimize:
@@ -155,8 +157,12 @@ def reactionpath_ode(iso, x0, steps=101, minimize=False, extrapolate=0.0,
     def rk4_to(x, t_from, t_to, direction):
         h = (t_to - t_from) / substeps
 
+        def f(z):
+            v = reactionforce(iso, sim, z, direction, orth)
+            n = jnp.linalg.norm(v)
+            return jnp.where(n > maxspeed, v / n * maxspeed, v)
+
         def body(x, _):
-            f = lambda z: reactionforce(iso, sim, z, direction, orth)
             k1 = f(x)
             k2 = f(x + h / 2 * k1)
             k3 = f(x + h / 2 * k2)

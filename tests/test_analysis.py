@@ -163,3 +163,14 @@ def test_reactionpath_minimum(trained_iso):
     chis = np.asarray(trained_iso.chicoords(path)).ravel()
     # chi should sweep a substantial range along the path
     assert chis.max() - chis.min() > 0.25
+
+
+def test_reactionpath_ode(trained_iso):
+    from isokann_tpu.analysis import reactionpath_ode
+    path = np.asarray(reactionpath_ode(trained_iso, jnp.asarray([0.1]),
+                                       steps=21, orth=0.001))
+    assert path.shape == (21, 1)
+    assert np.all(np.isfinite(path))
+    chis = np.asarray(trained_iso.chicoords(path)).ravel()
+    # chi increases along most of the path (saturated plateaus at the ends)
+    assert np.sum(np.diff(chis) > 0) >= 12
