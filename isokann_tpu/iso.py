@@ -52,6 +52,19 @@ def make_fused_run(apply, opt, fused_target, d, minibatch,
     nb = nx // bs
 
     def epoch_fn(params, opt_state, xs, target, w, key):
+        if nb == 1 and bs == nx:
+            # full batch: shuffling is a no-op for the gradient; skipping
+            # the permutation also avoids a gather (keeps sharded data
+            # local under data parallelism)
+            def lossf(p):
+                pred = apply(p, xs)
+                return jnp.sum(((pred - target) * w) ** 2)
+
+            l, g = jax.value_and_grad(lossf)(params)
+            updates, opt_state = opt.update(g, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, l / nx
+
         perm = jax.random.permutation(key, nx)[:nb * bs].reshape(nb, bs)
 
         def batch_step(carry, idx):
@@ -183,7 +196,7 @@ class Iso:
 
     def __init__(self, data=None, sim=None, nx=100, nk=2, model=None, opt=None,
                  target=None, minibatch=100, loggers=None, validation=None,
-                 nout=1, key=None, transform=None):
+                 nout=1, key=None, transform=None, shard=True):
         key = _key(key)
         kd, km, self.key = jax.random.split(key, 3)
         if data is None:
@@ -211,6 +224,8 @@ class Iso:
         self.target = target
 
         self.minibatch = minibatch
+        # automatic data parallelism over all visible devices (fused path)
+        self.shard = shard
         self.losses: List[float] = []
         self.loggers = list(loggers) if loggers else []
         if validation is not None:
@@ -343,7 +358,19 @@ class Iso:
         cache_key = ("fused", nx, nk, xs.shape[-1], n, epochs, weighted)
         run = self._fused_run_fn(nx, nk, xs.shape[-1], n, epochs, weighted, cache_key)
         self.key, sub = jax.random.split(self.key)
-        params, opt_state, losses = run(self.model.params, self.opt_state, xs, ys, yw, sub)
+        params, opt_state = self.model.params, self.opt_state
+        if self.shard and jax.device_count() > 1 and nx % jax.device_count() == 0:
+            # automatic data parallelism: batch dims sharded over all
+            # devices, params replicated; XLA GSPMD inserts the gradient
+            # psum and the global min/max shift-scale reductions
+            from .parallel import make_mesh, shard_batch, replicate
+            mesh = make_mesh()
+            xs = shard_batch(mesh, xs)
+            ys = shard_batch(mesh, ys)
+            yw = shard_batch(mesh, yw)
+            params = replicate(mesh, params)
+            opt_state = replicate(mesh, opt_state)
+        params, opt_state, losses = run(params, opt_state, xs, ys, yw, sub)
         losses = np.asarray(losses)
         if not np.all(np.isfinite(losses)):
             raise DomainError(
