@@ -83,3 +83,61 @@ from .utils import (
     phi_psi, ca_rmsd, ReactionCoordsRMSD, standardform,
 )
 from .md.fixtures import alanine_dipeptide_pdb
+from .data import flattenfirst
+
+
+# --- thin module-level conveniences mirroring the reference exports -------
+
+def propagate(sim, xs, nk, key=None):
+    """Module-level alias of ``sim.propagate`` (reference export)."""
+    return sim.propagate(xs, nk, key=key)
+
+
+def trajectory(sim, *args, **kwargs):
+    """Module-level alias of ``sim.trajectory`` (reference export)."""
+    return sim.trajectory(*args, **kwargs)
+
+
+def laggedtrajectory(sim_or_data, n, **kwargs):
+    """Module-level alias of ``.laggedtrajectory`` (reference export)."""
+    return sim_or_data.laggedtrajectory(n, **kwargs)
+
+
+def cpu(tree):
+    """Move a pytree to host numpy (reference ``cpu`` export).  jax manages
+    placement automatically; this exists for API familiarity."""
+    import numpy as _np
+    import jax as _jax
+    return _jax.tree_util.tree_map(
+        lambda x: _np.asarray(x) if isinstance(x, _jax.Array) else x, tree)
+
+
+def device(tree, dev=None):
+    """Move a pytree onto a device (reference ``gpu`` export analog)."""
+    import jax as _jax
+    dev = dev or _jax.devices()[0]
+    return _jax.tree_util.tree_map(
+        lambda x: _jax.device_put(x, dev) if hasattr(x, "shape") else x, tree)
+
+
+gpu = device     # reference name
+
+
+def atom_indices(pdb: str, selector: str = "all"):
+    """Atom indices for a selector (reference ``atom_indices`` via mdtraj;
+    selectors: 'all', 'heavy', 'name CA'/'calpha', 'backbone')."""
+    from .features import _select_atoms
+    from .md.pdbio import read_pdb
+    return _select_atoms(read_pdb(pdb), selector)
+
+
+# chemfile-style trajectory I/O aliases (reference readchemfile/writechemfile)
+def readchemfile(path, frame=None):
+    from .utils.save import load_trajectory
+    traj = load_trajectory(path)
+    return traj if frame is None else traj[frame]
+
+
+def writechemfile(path, traj, top=None):
+    from .utils.save import save_trajectory
+    return save_trajectory(path, traj, top=top)
