@@ -3,6 +3,11 @@
 100 training episodes, Ramachandran-colored chi, rates, reactive path.
 """
 
+import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
 import numpy as np
 
 import isokann_tpu as itk

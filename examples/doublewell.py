@@ -4,6 +4,11 @@ Equivalent of the reference quickstart on an analytic potential
 (``test/runtests.jl:43-56``).  Runs in seconds on any backend.
 """
 
+import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
 import numpy as np
 import jax.numpy as jnp
 

@@ -3,6 +3,11 @@
 nk=8, adaptive generations with stratified resampling, data cutoff 2000).
 """
 
+import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
 import isokann_tpu as itk
 from isokann_tpu.md.fixtures import peptide_pdb
 

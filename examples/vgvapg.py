@@ -3,6 +3,11 @@ reference's ``scripts/vgvapg.jl`` config (500-step lag, nx=100 x nk=10,
 100 + 10x100 adaptive iterations with chi-extrapolation).
 """
 
+import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
 import isokann_tpu as itk
 from isokann_tpu.md.fixtures import peptide_pdb
 

@@ -9,6 +9,11 @@ smoke version.
 """
 
 import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+import os
 
 import isokann_tpu as itk
 
