@@ -137,21 +137,39 @@ def shortestchain(xs, xi, from_, to, sigma=1.0, minjump=0.0, maxjump=1.0,
 
 
 def shortestpath_sparse(n, i, j, w, sources, targets):
-    """Host shortest path on the sparse DAG via scipy (replaces the
-    reference's Graphs.bellman_ford, :172-187)."""
+    """Host shortest path on the sparse DAG: native C++ CSR Bellman-Ford
+    (the host analog of the reference's CUDA kernel, :252-296) with a
+    scipy fallback."""
     from scipy.sparse import coo_matrix
-    from scipy.sparse.csgraph import dijkstra
 
     A = coo_matrix((w, (i, j)), shape=(n, n)).tocsr()
-    dists, pred = dijkstra(A, directed=True, indices=np.asarray(sources),
+    sources = np.asarray(sources)
+    targets = np.asarray(targets)
+    try:
+        from ..native import bellman_ford_csr_native
+        dist, parent = bellman_ford_csr_native(
+            A.indptr.astype(np.int64), A.indices.astype(np.int64),
+            A.data.astype(np.float64), n, sources.astype(np.int64))
+        t = int(targets[np.argmin(dist[targets])])
+        if not np.isfinite(dist[t]):
+            return []
+        path = [t]
+        while parent[path[-1]] >= 0:
+            path.append(int(parent[path[-1]]))
+        return path[::-1]
+    except ImportError:
+        pass
+
+    from scipy.sparse.csgraph import dijkstra
+    dists, pred = dijkstra(A, directed=True, indices=sources,
                            return_predecessors=True)
     # best (source, target) pair
-    sub = dists[:, np.asarray(targets)]
+    sub = dists[:, targets]
     si, ti = np.unravel_index(np.argmin(sub), sub.shape)
     if not np.isfinite(sub[si, ti]):
         return []
-    path = [int(np.asarray(targets)[ti])]
-    while path[-1] != np.asarray(sources)[si]:
+    path = [int(targets[ti])]
+    while path[-1] != sources[si]:
         p = pred[si, path[-1]]
         if p < 0:
             break
