@@ -107,3 +107,39 @@ def test_plan_shapes(sim):
     # pairs + bonds + 2*angles + 3*dihedrals rows
     n = 231 + 21 + 2 * 36 + 3 * int(sim.system.dih_idx.shape[0])
     assert plan.nrows == n
+
+
+class TestAnalyticGBSA:
+    """Analytic OBC2/nonbonded forces (md/gbsa_force.py) vs autodiff —
+    groundwork validation for the future in-VMEM GBSA kernel."""
+
+    @pytest.fixture(scope="class")
+    def gbsys(self):
+        return itk.MDSimulation(steps=5, implicit="obc2")
+
+    def test_nonbonded_direct(self, gbsys, xs):
+        from isokann_tpu.md.gbsa_force import nonbonded_force_direct
+        s = gbsys.system
+        ref = -np.asarray(jax.vmap(jax.grad(
+            lambda z: itk.md.forces.nonbonded_energy(s, z)))(
+                xs.reshape(-1, 22, 3)))
+        new = np.asarray(jax.vmap(
+            lambda z: nonbonded_force_direct(s, z))(xs.reshape(-1, 22, 3)))
+        assert np.abs(ref - new).max() / np.abs(ref).max() < 1e-5
+
+    def test_obc2_force(self, gbsys, xs):
+        from isokann_tpu.md.gbsa_force import obc2_force
+        s = gbsys.system
+        ref = -np.asarray(jax.vmap(jax.grad(
+            lambda z: itk.md.forces.gbsa_obc2_energy(s, z)))(
+                xs.reshape(-1, 22, 3)))
+        new = np.asarray(jax.vmap(
+            lambda z: obc2_force(s, z))(xs.reshape(-1, 22, 3)))
+        assert np.abs(ref - new).max() / np.abs(ref).max() < 1e-4
+
+    def test_total_force(self, gbsys, xs):
+        from isokann_tpu.md.gbsa_force import force_flat_analytic
+        s = gbsys.system
+        ref = np.asarray(itk.md.forces.force_flat(s, xs))
+        new = np.asarray(force_flat_analytic(s, xs))
+        assert np.abs(ref - new).max() / np.abs(ref).max() < 1e-4
