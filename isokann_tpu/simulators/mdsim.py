@@ -25,6 +25,7 @@ from .base import IsoSimulation
 from ..data import WeightedSamples
 from ..features import default_featurizer
 from ..md import integrators as I
+from ..md.constraints import ConstraintSet
 from ..md.forces import force_flat, potential_energy_flat
 from ..md.minimize import minimize_energy
 from ..md.pdbio import read_pdb
@@ -52,7 +53,8 @@ class MDSimulation(IsoSimulation):
                  step: float = 0.002, integrator: str = "langevin",
                  features=None, minimize: bool = False, bias=None,
                  method: str = "auto", cutoff: float = 1.0,
-                 implicit: Optional[str] = None, dtype=jnp.float32):
+                 implicit: Optional[str] = None,
+                 constraints: Optional[str] = None, dtype=jnp.float32):
         if pdb is None:
             from ..md.fixtures import alanine_dipeptide_pdb
             pdb = alanine_dipeptide_pdb()
@@ -60,7 +62,8 @@ class MDSimulation(IsoSimulation):
                                 friction=friction, step=step,
                                 integrator=integrator, features=features,
                                 minimize=minimize, method=method,
-                                cutoff=cutoff, implicit=implicit)
+                                cutoff=cutoff, implicit=implicit,
+                                constraints=constraints)
         self.pdbfile = pdb
         self.steps = int(steps)
         self.temp = float(temp)
@@ -73,6 +76,11 @@ class MDSimulation(IsoSimulation):
         self.system = build_system(pdb, method=method, cutoff=cutoff,
                                    implicit=implicit, dtype=dtype)
         self.masses3 = jnp.repeat(self.system.masses, 3)
+        # holonomic constraints (reference mopenmm.py:117-125 pass-through)
+        if constraints is not None and integrator != "langevin":
+            raise ValueError("constraints require the langevin integrator")
+        self.constraint_set = (None if constraints is None else
+                               ConstraintSet(self.system, constraints))
         self._x0 = jnp.asarray(self.structure.coords.reshape(-1), dtype)
         if minimize:
             self._x0 = self.minimize(self._x0)
@@ -137,7 +145,23 @@ class MDSimulation(IsoSimulation):
 
     def _force_fn(self):
         sys = self.system
+        if self._nb_kernel_eligible():
+            from ..md.pallas_gb import force_flat_hybrid
+            return lambda x: force_flat_hybrid(sys, x)
         return lambda x: force_flat(sys, x)
+
+    def _nb_kernel_eligible(self) -> bool:
+        """Medium systems (villin-class) on TPU use the VMEM nonbonded(+GBSA)
+        force kernel (md/pallas_gb.py): the XLA path streams (B, n, n)
+        intermediates through HBM, the kernel keeps them in VMEM.  Small
+        systems use the fully fused trajectory kernel instead
+        (``_pallas_eligible``); very large ones exceed the VMEM budget."""
+        if not (64 < self.natoms <= 600):
+            return False
+        try:
+            return jax.devices()[0].platform == "tpu"
+        except Exception:
+            return False
 
     def _pallas_eligible(self, nwalkers: int) -> bool:
         """Use the fused VMEM trajectory kernel when it applies: TPU
@@ -145,7 +169,7 @@ class MDSimulation(IsoSimulation):
         batch large enough to fill blocks (2.8x the XLA scan on v5e)."""
         if self.bias is not None or self.integrator != "langevin":
             return False
-        if self.system.implicit is not None:
+        if self.system.implicit is not None or self.constraint_set is not None:
             return False
         # the kernel's dense difference operator scales with all-pairs rows:
         # small-molecule systems only (<=64 atoms keeps D under ~10 MB)
@@ -164,6 +188,7 @@ class MDSimulation(IsoSimulation):
         force_fn = self._force_fn()
         masses3, T, gamma, dt = self.masses3, self.temp, self.friction, self.step
         bias = self.bias
+        cset = self.constraint_set
 
         if not biased and self._pallas_eligible(nwalkers):
             from ..md.pallas_md import langevin_middle_fused
@@ -207,7 +232,7 @@ class MDSimulation(IsoSimulation):
                 kv, ki = jax.random.split(key)
                 v0 = I.maxwell_boltzmann(kv, masses3, T, x0.shape)
                 x, v = I.langevin_middle(force_fn, x0, v0, masses3, T, gamma,
-                                         dt, nsteps, ki)
+                                         dt, nsteps, ki, constraints=cset)
                 return x
 
         self._jit_cache[key_] = run
@@ -265,6 +290,7 @@ class MDSimulation(IsoSimulation):
             masses3, T, gamma, dt = (self.masses3, self.temp, self.friction,
                                      self.step)
             nsteps = self.steps
+            cset = self.constraint_set
 
             @jax.jit
             def run(x0, key):
@@ -281,7 +307,8 @@ class MDSimulation(IsoSimulation):
                     vnew = I.maxwell_boltzmann(kv, masses3, T, x.shape)
                     v = jnp.where(i % nsteps == 0, vnew, v)
                     x, v = I.langevin_middle_step(force_fn, x, v, masses3,
-                                                  T, gamma, dt, k2)
+                                                  T, gamma, dt, k2,
+                                                  constraints=cset)
                     return (x, v, i + 1), x
 
                 keys = jax.random.split(kchain, nx * nsteps)
@@ -294,7 +321,8 @@ class MDSimulation(IsoSimulation):
                 yr = jnp.repeat(xs, nk, axis=0)
                 v0 = I.maxwell_boltzmann(kv, masses3, T, yr.shape)
                 ys, _ = I.langevin_middle(force_fn, yr, v0, masses3, T,
-                                          gamma, dt, nsteps, ki)
+                                          gamma, dt, nsteps, ki,
+                                          constraints=cset)
                 ys = ys.reshape(nx, nk, -1)
                 fxs = jnp.asarray(featurizer(xs), jnp.float32)
                 fys = jnp.asarray(featurizer(ys), jnp.float32)
@@ -321,6 +349,7 @@ class MDSimulation(IsoSimulation):
             return self._jit_cache[key_]
         force_fn = self._force_fn()
         masses3, T, gamma, dt = self.masses3, self.temp, self.friction, self.step
+        cset = self.constraint_set
 
         @jax.jit
         def block(x, v, k):
@@ -328,7 +357,7 @@ class MDSimulation(IsoSimulation):
                 kv, k = jax.random.split(k)
                 v = I.maxwell_boltzmann(kv, masses3, T, x.shape)
             x, v = I.langevin_middle(force_fn, x, v, masses3, T, gamma,
-                                     dt, saveevery, k)
+                                     dt, saveevery, k, constraints=cset)
             return x, v
 
         self._jit_cache[key_] = block

@@ -143,3 +143,65 @@ class TestAnalyticGBSA:
         ref = np.asarray(itk.md.forces.force_flat(s, xs))
         new = np.asarray(force_flat_analytic(s, xs))
         assert np.abs(ref - new).max() / np.abs(ref).max() < 1e-4
+
+
+class TestGBKernel:
+    """Medium-system VMEM nonbonded(+GBSA) force kernel (md/pallas_gb.py),
+    interpret mode — the per-chunk arithmetic must match the XLA autodiff
+    force exactly."""
+
+    def _check(self, sim, nb=4, tol=1e-5):
+        from isokann_tpu.md.pallas_gb import force_flat_hybrid
+        s = sim.system
+        rng = np.random.default_rng(0)
+        xs = jnp.asarray(np.asarray(sim.coords)[None, :]
+                         + rng.normal(scale=0.005, size=(nb, 3 * s.natoms)),
+                         jnp.float32)
+        ref = np.asarray(itk.md.forces.force_flat(s, xs))
+        new = np.asarray(force_flat_hybrid(s, xs, interpret=True))
+        assert np.abs(ref - new).max() / np.abs(ref).max() < tol
+
+    def test_alanine_obc2(self):
+        self._check(itk.MDSimulation(steps=5, implicit="obc2"))
+
+    def test_alanine_rf_cutoff(self):
+        self._check(itk.MDSimulation(steps=5))
+
+    def test_alanine_nocutoff(self):
+        self._check(itk.MDSimulation(steps=5, method="NoCutoff"))
+
+    def test_medium_peptide_obc2(self, tmp_path):
+        """>128 padded atoms exercises the multi-chunk J loop."""
+        from isokann_tpu.md.fixtures import peptide_pdb
+        pdb = peptide_pdb("AQGSAELAKV", str(tmp_path / "pep.pdb"),
+                          minimize=True, maxiter=200)
+        self._check(itk.MDSimulation(pdb=pdb, steps=5, implicit="obc2"), nb=2)
+
+    def test_plan_padding(self):
+        from isokann_tpu.md.pallas_gb import GBPlan
+        s = itk.MDSimulation(steps=5, implicit="obc2").system
+        plan = GBPlan(s)
+        assert plan.Ap % 128 == 0 and plan.Ap >= s.natoms
+        assert plan.qq_scale.shape == (plan.Ap, plan.Ap)
+        assert float(np.abs(np.diagonal(plan.qq_scale)).max()) == 0.0
+
+
+def test_cterm_gromacs_oxygen_names(tmp_path):
+    """OC1/OC2 C-terminal naming (GROMACS convention, used by the
+    reference's villin PDB) resolves to the O/OXT template atoms."""
+    from isokann_tpu.md.system import build_system
+    # the uncapped (zwitterionic) variant has the O/OXT carboxylate
+    from isokann_tpu.md.fixtures import build_peptide
+    from isokann_tpu.md.pdbio import write_pdb
+    struct = build_peptide("AG", capped=False)
+    p1 = str(tmp_path / "std.pdb")
+    write_pdb(p1, struct)
+    s_std = build_system(p1)
+    last = max(struct.res_ids)
+    struct.atom_names = [
+        {"O": "OC1", "OXT": "OC2"}.get(n, n) if struct.res_ids[i] == last else n
+        for i, n in enumerate(struct.atom_names)]
+    p2 = str(tmp_path / "gmx.pdb")
+    write_pdb(p2, struct)
+    s_gmx = build_system(p2)
+    assert np.allclose(np.asarray(s_std.charges), np.asarray(s_gmx.charges))
