@@ -197,6 +197,32 @@ ANGLES = {
     ("CA", "CA", "CN"): (63.0, 120.00),
     ("CB", "CA", "HA"): (35.0, 120.00),
     ("CN", "CA", "HA"): (35.0, 120.00),
+    # histidine imidazole ring (parm99-class; HIE/HID/HIP tautomer types)
+    ("CC", "CT", "CT"): (63.0, 113.10),
+    ("CC", "CT", "HC"): (50.0, 109.50),
+    ("CT", "CC", "CV"): (70.0, 120.00),
+    ("CT", "CC", "CW"): (70.0, 120.00),
+    ("CT", "CC", "NA"): (70.0, 120.00),
+    ("CT", "CC", "NB"): (70.0, 120.00),
+    ("CV", "CC", "NA"): (70.0, 120.00),
+    ("CW", "CC", "NA"): (70.0, 120.00),
+    ("CW", "CC", "NB"): (70.0, 120.00),
+    ("CC", "CV", "H4"): (50.0, 120.00),
+    ("CC", "CV", "NB"): (70.0, 120.00),
+    ("H4", "CV", "NB"): (50.0, 120.00),
+    ("CC", "CW", "H4"): (50.0, 120.00),
+    ("CC", "CW", "NA"): (70.0, 120.00),
+    ("H4", "CW", "NA"): (50.0, 120.00),
+    ("CC", "NA", "CR"): (70.0, 120.00),
+    ("CC", "NA", "H"): (30.0, 120.00),
+    ("CR", "NA", "CW"): (70.0, 120.00),
+    ("CR", "NA", "H"): (30.0, 120.00),
+    ("CC", "NB", "CR"): (70.0, 117.00),
+    ("CR", "NB", "CV"): (70.0, 117.00),
+    ("H5", "CR", "NA"): (50.0, 120.00),
+    ("H5", "CR", "NB"): (50.0, 120.00),
+    ("NA", "CR", "NA"): (70.0, 120.00),
+    ("NA", "CR", "NB"): (70.0, 120.00),
 }
 
 _SP2_TYPES = {"CA", "C", "C*", "CB", "CC", "CN", "CR", "CV", "CW",
@@ -219,6 +245,7 @@ DIHEDRALS = {
     ("X", "CT", "N3", "X"): [(1.40 / 9, 0.0, 3)],
     ("X", "CT", "OH", "X"): [(0.50 / 3, 0.0, 3)],
     ("X", "CT", "S", "X"): [(1.00 / 3, 0.0, 3)],
+    ("X", "S", "S", "X"): [(3.50, 0.0, 2), (0.60, 0.0, 3)],
     ("X", "CT", "SH", "X"): [(0.75 / 3, 0.0, 3)],
     # parm99 specific peptide terms
     ("H", "N", "C", "O"): [(2.50, 180.0, 2), (2.00, 0.0, 1)],
@@ -430,6 +457,20 @@ RESIDUES = {
         },
         "bonds": _BB_N + [("CA", "HA"), ("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
                           ("CB", "SG"), ("SG", "HG")] + _BB_C,
+    },
+    # disulfide-bonded cysteine (no HG; the SG-SG bond is added by the
+    # topology builder from geometry).  amber94-class charges; SG absorbs
+    # the residual so the template sums exactly to 0 (documented fallback).
+    "CYX": {
+        "atoms": {
+            "N": ("N", -0.4157), "H": ("H", 0.2719),
+            "CA": ("CT", 0.0429), "HA": ("H1", 0.0766),
+            "CB": ("CT", -0.0790), "HB2": ("H1", 0.0950), "HB3": ("H1", 0.0950),
+            "SG": ("S", -0.1161),
+            "C": ("C", 0.5973), "O": ("O", -0.5679),
+        },
+        "bonds": _BB_N + [("CA", "HA"), ("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                          ("CB", "SG")] + _BB_C,
     },
     "MET": {
         "atoms": {

@@ -48,8 +48,7 @@ class Topology:
 
 
 # residue-name aliases (Maestro / tautomer conventions)
-_RES_ALIASES = {"NMA": "NME", "NMET": "NME", "HSD": "HID", "HSE": "HIS",
-                "CYX": "CYS"}
+_RES_ALIASES = {"NMA": "NME", "NMET": "NME", "HSD": "HID", "HSE": "HIS"}
 
 # Alternate atom names seen in PDB files -> template names
 _ALIASES = {
@@ -63,8 +62,12 @@ _ALIASES = {
 
 _EQUIV = {"HB1": "HB3", "HA1": "HA3", "HG1": "HG3", "HD1": "HD3",
           "HE1": "HE3", "HG11": "HG13",
-          # Maestro-style backbone amide H naming
-          "HN": "H", "H2": "H", "H3": "H"}
+          # Maestro-style backbone amide H naming (mid-chain residues whose
+          # single amide H is written H1/H2/H3; template membership is
+          # checked first, so true N-terminal H1..H3 are unaffected)
+          "HN": "H", "H1": "H", "H2": "H", "H3": "H",
+          # GROMACS/CHARMM-style C-terminal carboxylate naming
+          "OC1": "O", "OC2": "OXT", "OT1": "O", "OT2": "OXT"}
 
 
 def _template_atom_name(resname: str, atom: str, template_atoms):
@@ -118,6 +121,8 @@ def _resolve_residue(res, struct, is_first: bool, is_last: bool):
     candidates = [name]
     if name == "HIS":
         candidates = ["HIS", "HID", "HIP" if "HIP" in amber.RESIDUES else "HID"]
+    if name == "CYS":
+        candidates = ["CYS", "CYX"]   # no HG -> disulfide-bonded cysteine
     if is_first and name not in ("ACE", "NME"):
         candidates = ["N" + c for c in candidates] + candidates
     if is_last and name not in ("ACE", "NME", "NHE"):
@@ -178,6 +183,30 @@ def build_topology(struct: PDBStructure) -> Topology:
         if prev_map is not None and "C" in prev_map and "N" in name_to_idx:
             bonds.append((prev_map["C"], name_to_idx["N"]))
         prev_map = name_to_idx
+
+    # disulfide bridges: pair CYX sulfurs by proximity (< 2.5 A), the same
+    # geometric criterion OpenMM's PDB loader uses for SSBOND inference
+    sgs = [res.atom_indices[[struct.atom_names[i] for i in
+                             res.atom_indices].index("SG")]
+           for res in residues if res.name.endswith("CYX")]
+    used = set()
+    for a in sgs:
+        if a in used:
+            continue
+        best, bestd = None, 0.25
+        for b in sgs:
+            if b == a or b in used:
+                continue
+            d = float(np.linalg.norm(struct.coords[a] - struct.coords[b]))
+            if d < bestd:
+                best, bestd = b, d
+        if best is None:
+            import warnings
+            warnings.warn(f"CYX sulfur atom {a} has no disulfide partner "
+                          f"within 2.5 A; leaving it unbonded")
+        else:
+            bonds.append((a, best))
+            used.update((a, best))
 
     top = Topology(
         atom_names=list(struct.atom_names),

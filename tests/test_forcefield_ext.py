@@ -168,3 +168,58 @@ def test_hip_template():
     assert amber.RESIDUES["HIP"]["formal_charge"] == 1
     s = sum(q for _, q in amber.RESIDUES["HIP"]["atoms"].values())
     assert s == pytest.approx(1.0, abs=1e-6)
+
+
+def test_histidine_ring_angles_no_fallback(tmp_path):
+    """HIE/HID imidazole ring angle types must all be parameterized (the
+    villin PDB exposed 13 missing CC/NB/CR/NA/CW entries)."""
+    import warnings
+    from isokann_tpu.md.fixtures import build_peptide
+    from isokann_tpu.md.pdbio import write_pdb
+
+    s = build_peptide("GHG")
+    path = str(tmp_path / "ghg.pdb")
+    write_pdb(path, s)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        build_system(path)
+    msgs = [str(w.message) for w in rec if "angle parameters" in str(w.message)]
+    assert msgs == []
+
+
+def test_disulfide_cyx(tmp_path):
+    """Cysteines without HG match the CYX template and get a geometric
+    SG-SG bond (reference systems: 7UL4-class disulfide proteins)."""
+    import jax.numpy as jnp
+    from isokann_tpu.md.fixtures import build_peptide
+    from isokann_tpu.md.pdbio import write_pdb
+    from isokann_tpu.md.topology import build_topology
+    from isokann_tpu.md.pdbio import read_pdb
+
+    s = build_peptide("CGC")
+    # strip the thiol hydrogens and pull the sulfurs together
+    import numpy as np
+    keep = [i for i, n in enumerate(s.atom_names) if n != "HG"]
+    sg = [i for i, n in enumerate(s.atom_names) if n == "SG"]
+    mid = s.coords[sg].mean(axis=0)
+    for a in sg:
+        s.coords[a] = mid + (s.coords[a] - mid) * (0.1 / np.linalg.norm(
+            s.coords[sg[0]] - s.coords[sg[1]]))
+    s.atom_names = [s.atom_names[i] for i in keep]
+    s.res_names = [s.res_names[i] for i in keep]
+    s.res_ids = [s.res_ids[i] for i in keep]
+    s.chain_ids = [s.chain_ids[i] for i in keep]
+    s.elements = [s.elements[i] for i in keep]
+    s.coords = s.coords[keep]
+    path = str(tmp_path / "cgc.pdb")
+    write_pdb(path, s)
+    top = build_topology(read_pdb(path))
+    names = [r.name for r in top.residues]
+    assert names.count("CYX") == 2
+    sg2 = [i for i, n in enumerate(top.atom_names) if n == "SG"]
+    assert tuple(sorted(sg2)) in {tuple(sorted(b)) for b in top.bonds}
+    sys = build_system(path)
+    assert abs(float(jnp.sum(sys.charges))) < 1e-5
+    E = float(__import__("isokann_tpu").md.forces.potential_energy_flat(
+        sys, jnp.asarray(read_pdb(path).coords.reshape(-1), jnp.float32)))
+    assert np.isfinite(E)
