@@ -23,6 +23,9 @@ def main(pdb, small=False, out="out/villin"):
     steps = 50 if small else 10_000       # reference lagtime: 20 ns = 1e4 x 2fs
     sim = itk.MDSimulation(pdb=pdb, steps=steps, implicit="obc2",
                            minimize=True,
+                           # H-bond SHAKE keeps 2 fs stable at this size
+                           # (unconstrained 2 fs heats; see ROADMAP item 6)
+                           constraints="HBonds",
                            features=0.5)  # pair features within 0.5 nm
     nx, nk = (8, 1) if small else (1000, 1)
     iso = itk.Iso(sim=sim, nx=nx, nk=nk, key=0, opt=itk.NesterovRegularized())

@@ -1,0 +1,108 @@
+"""Holonomic bond constraints: vectorized SHAKE / RATTLE.
+
+The reference exposes OpenMM's constraint options through its simulation
+constructor (``src/simulators/mopenmm.py:117-125``: None / HBonds /
+AllBonds); this module is the TPU-native equivalent.  Constraints are the
+standard cure for the 2 fs instability of unconstrained hydrogen
+stretches (period ~10 fs).
+
+All constraints are relaxed simultaneously (Jacobi iteration with
+``jnp.ndarray.at[].add`` scatter accumulation) for a fixed number of
+sweeps — data-independent trip count, so the whole solver jits into the
+integrator ``lax.scan``.  H-bond constraints form star clusters (one
+heavy atom, <=3 hydrogens), for which Jacobi converges geometrically;
+25 sweeps reach ~1e-7 nm residual.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ConstraintSet:
+    """Distance constraints (i, j, r0) + mass metadata for SHAKE/RATTLE.
+
+    ``which``: "HBonds" (bonds involving a hydrogen) or "AllBonds".
+    """
+
+    def __init__(self, system, which: str = "HBonds", iters: int = 25):
+        masses = np.asarray(system.masses)
+        bidx = np.asarray(system.bond_idx)
+        r0 = np.asarray(system.bond_r0)
+        if which == "HBonds":
+            is_h = masses < 3.5
+            sel = is_h[bidx[:, 0]] | is_h[bidx[:, 1]]
+        elif which == "AllBonds":
+            sel = np.ones(len(bidx), bool)
+        else:
+            raise ValueError(f"unsupported constraints {which!r}; use "
+                             f"'HBonds' or 'AllBonds'")
+        self.which = which
+        self.iters = int(iters)
+        self.idx_i = jnp.asarray(bidx[sel, 0], jnp.int32)
+        self.idx_j = jnp.asarray(bidx[sel, 1], jnp.int32)
+        self.r0 = jnp.asarray(r0[sel], jnp.float32)
+        invm = 1.0 / masses
+        self.invm_i = jnp.asarray(invm[bidx[sel, 0]], jnp.float32)
+        self.invm_j = jnp.asarray(invm[bidx[sel, 1]], jnp.float32)
+        self.ncons = int(sel.sum())
+        self.natoms = len(masses)
+
+    # -- position constraints (SHAKE) -------------------------------------
+
+    def shake(self, x_ref, x):
+        """Project flat positions ``x`` (..., 3N) onto the constraint
+        manifold, displacing along the pre-update bond directions
+        ``x_ref`` (classic SHAKE linearization)."""
+        shape = x.shape
+        xr = x_ref.reshape(*shape[:-1], self.natoms, 3)
+        xn = x.reshape(*shape[:-1], self.natoms, 3)
+        d_ref = xr[..., self.idx_i, :] - xr[..., self.idx_j, :]
+        wi = self.invm_i[:, None]
+        wj = self.invm_j[:, None]
+        r02 = self.r0 ** 2
+
+        def sweep(_, xc):
+            d = xc[..., self.idx_i, :] - xc[..., self.idx_j, :]
+            c = jnp.sum(d * d, axis=-1) - r02
+            denom = 2.0 * (self.invm_i + self.invm_j) * jnp.sum(
+                d * d_ref, axis=-1)
+            lam = (c / denom)[..., None] * d_ref
+            xc = xc.at[..., self.idx_i, :].add(-wi * lam)
+            xc = xc.at[..., self.idx_j, :].add(wj * lam)
+            return xc
+
+        xn = jax.lax.fori_loop(0, self.iters, sweep, xn)
+        return xn.reshape(shape)
+
+    # -- velocity constraints (RATTLE) -------------------------------------
+
+    def rattle(self, x, v):
+        """Remove velocity components along constrained bonds (..., 3N)."""
+        shape = v.shape
+        xc = x.reshape(*shape[:-1], self.natoms, 3)
+        vn = v.reshape(*shape[:-1], self.natoms, 3)
+        d = xc[..., self.idx_i, :] - xc[..., self.idx_j, :]
+        dd = jnp.sum(d * d, axis=-1)
+        wi = self.invm_i[:, None]
+        wj = self.invm_j[:, None]
+
+        def sweep(_, vc):
+            rv = jnp.sum((vc[..., self.idx_i, :]
+                          - vc[..., self.idx_j, :]) * d, axis=-1)
+            lam = (rv / ((self.invm_i + self.invm_j) * dd))[..., None] * d
+            vc = vc.at[..., self.idx_i, :].add(-wi * lam)
+            vc = vc.at[..., self.idx_j, :].add(wj * lam)
+            return vc
+
+        vn = jax.lax.fori_loop(0, max(1, self.iters // 2), sweep, vn)
+        return vn.reshape(shape)
+
+    def max_violation(self, x):
+        """Largest |r - r0| over constraints (diagnostic)."""
+        xc = jnp.asarray(x).reshape(-1, self.natoms, 3)
+        d = xc[:, self.idx_i, :] - xc[:, self.idx_j, :]
+        r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+        return jnp.max(jnp.abs(r - self.r0))

@@ -57,38 +57,51 @@ def constants(masses3, T, gamma, overdamped: bool):
 # Core steppers.  force_fn: (B, 3N) -> (B, 3N).
 # ==========================================================================
 
-def langevin_middle_step(force_fn, x, v, masses3, T, gamma, dt, key):
+def langevin_middle_step(force_fn, x, v, masses3, T, gamma, dt, key,
+                         constraints=None):
     """One LangevinMiddle step (exposed for flat single-level scans)."""
     a = math.exp(-gamma * dt)
     b = math.sqrt(1.0 - a * a)
     vstd = jnp.sqrt(KB * T / masses3)
+    h = 0.5 * dt
+
+    def drift(x, v):
+        xn = x + h * v
+        if constraints is None:
+            return xn, v
+        xn = constraints.shake(x, xn)
+        return xn, (xn - x) / h
+
     f = force_fn(x)
     v = v + dt * f / masses3
-    x = x + 0.5 * dt * v
+    if constraints is not None:
+        v = constraints.rattle(x, v)
+    x, v = drift(x, v)
     v = a * v + b * vstd * jax.random.normal(key, v.shape, v.dtype)
-    x = x + 0.5 * dt * v
+    if constraints is not None:
+        v = constraints.rattle(x, v)
+    x, v = drift(x, v)
     return x, v
 
 
 def langevin_middle(force_fn: Callable, x0, v0, masses3, T, gamma, dt,
-                    nsteps: int, key, save_every: Optional[int] = None):
+                    nsteps: int, key, save_every: Optional[int] = None,
+                    constraints=None):
     """OpenMM LangevinMiddleIntegrator scheme, batched.
 
     One step: v += dt f/m;  x += dt/2 v;  v = a v + b sqrt(kBT/m) R;
     x += dt/2 v   with a = exp(-gamma dt), b = sqrt(1 - a^2).
 
-    Returns (x, v) after nsteps, or (xs_saved, (x, v)) if save_every."""
-    a = math.exp(-gamma * dt)
-    b = math.sqrt(1.0 - a * a)
-    vstd = jnp.sqrt(KB * T / masses3)
+    With ``constraints`` (a ``md.constraints.ConstraintSet``), follows the
+    constrained variant (OpenMM's scheme): RATTLE after the kick and after
+    the random stage; SHAKE after each drift with the velocity recovered
+    from the constrained displacement.
 
+    Returns (x, v) after nsteps, or (xs_saved, (x, v)) if save_every."""
     def step(carry, k):
         x, v = carry
-        f = force_fn(x)
-        v = v + dt * f / masses3
-        x = x + 0.5 * dt * v
-        v = a * v + b * vstd * jax.random.normal(k, v.shape, v.dtype)
-        x = x + 0.5 * dt * v
+        x, v = langevin_middle_step(force_fn, x, v, masses3, T, gamma, dt,
+                                    k, constraints=constraints)
         return (x, v), None
 
     def step_save(carry, k):

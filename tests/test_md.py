@@ -195,3 +195,59 @@ class TestMDSimulation:
         ys = sim.propagate(jnp.tile(sim.coords[None, :], (2, 1)), 2, key=key)
         assert isinstance(ys, WeightedSamples)
         assert np.allclose(np.asarray(ys.weights), 1.0)
+
+
+class TestConstraints:
+    """SHAKE/RATTLE H-bond constraints (reference exposes OpenMM's
+    constraints option, mopenmm.py:117-125)."""
+
+    @pytest.fixture(scope="class")
+    def csim(self):
+        import isokann_tpu as itk
+        return itk.MDSimulation(steps=20, constraints="HBonds")
+
+    def test_constraint_set(self, csim):
+        from isokann_tpu.md.constraints import ConstraintSet
+        cs = csim.constraint_set
+        # every bond with an H is constrained (alanine dipeptide: 12 H)
+        masses = np.asarray(csim.system.masses)
+        nH = int((masses < 3.5).sum())
+        assert cs.ncons == nH
+        with pytest.raises(ValueError):
+            ConstraintSet(csim.system, "HAngles")
+
+    def test_shake_projects_back(self, csim):
+        cs = csim.constraint_set
+        x0 = jnp.tile(csim.coords[None], (4, 1))
+        rng = np.random.default_rng(0)
+        x = x0 + jnp.asarray(rng.normal(scale=3e-3, size=x0.shape), jnp.float32)
+        xs = cs.shake(x0, x)
+        assert float(cs.max_violation(xs)) < 1e-5
+        # heavy-atom displacements stay small (mass weighting)
+        assert float(jnp.abs(xs - x).max()) < 2e-2
+
+    def test_rattle_removes_bond_velocity(self, csim):
+        cs = csim.constraint_set
+        x = jnp.tile(csim.coords[None], (2, 1))
+        v = jnp.asarray(np.random.default_rng(1).normal(
+            scale=1.0, size=x.shape), jnp.float32)
+        vc = cs.rattle(x, v)
+        xr = x.reshape(2, -1, 3)
+        vr = vc.reshape(2, -1, 3)
+        d = xr[:, cs.idx_i] - xr[:, cs.idx_j]
+        rel = jnp.sum((vr[:, cs.idx_i] - vr[:, cs.idx_j]) * d, axis=-1)
+        assert float(jnp.abs(rel).max()) < 1e-4
+
+    def test_constrained_propagate(self, csim, key):
+        """2 fs constrained dynamics keeps bonds at r0 and energies sane."""
+        x0 = jnp.tile(csim.coords[None], (6, 1))
+        ys = csim.propagate(x0, 1, key=key)
+        y = ys[:, 0, :]
+        assert bool(jnp.all(jnp.isfinite(y)))
+        assert float(csim.constraint_set.max_violation(y)) < 1e-4
+        E = np.asarray(csim.potential(y))
+        E0 = float(csim.potential(csim.coords))
+        assert np.all(E < E0 + 3 * 1.5 * KB * 310 * csim.natoms)
+
+    def test_pallas_path_disabled(self, csim):
+        assert not csim._pallas_eligible(4096)
