@@ -54,6 +54,11 @@ ATOM_TYPES = {
     "CB": (12.010, 1.9080, 0.0860),
     "CN": (12.010, 1.9080, 0.0860),
     "C*": (12.010, 1.9080, 0.0860),
+    # TIP3P water (Jorgensen 1983) and parm99 monovalent ions
+    "OW": (16.000, 1.7683, 0.1520),
+    "HW": (1.008, 0.0001, 0.0000),
+    "IP": (22.990, 1.8680, 0.00277),   # Na+
+    "IM": (35.450, 2.4700, 0.1000),    # Cl-
 }
 
 # ==========================================================================
@@ -108,6 +113,7 @@ BONDS = {
     ("CV", "NB"): (410.0, 1.394),
     ("CV", "H4"): (367.0, 1.080),
     ("CC", "CV"): (512.0, 1.375),
+    ("OW", "HW"): (553.0, 0.9572),    # flexible-TIP3P fallback (rigid by default)
 }
 
 # fallback bond constants by element pair (used with a warning when an
@@ -223,6 +229,7 @@ ANGLES = {
     ("H5", "CR", "NB"): (50.0, 120.00),
     ("NA", "CR", "NA"): (70.0, 120.00),
     ("NA", "CR", "NB"): (70.0, 120.00),
+    ("HW", "OW", "HW"): (100.0, 104.52),   # flexible-TIP3P fallback
 }
 
 _SP2_TYPES = {"CA", "C", "C*", "CB", "CC", "CN", "CR", "CV", "CW",
@@ -488,6 +495,17 @@ RESIDUES = {
                           ("CG", "SD"), ("SD", "CE"),
                           ("CE", "HE1"), ("CE", "HE2"), ("CE", "HE3")] + _BB_C,
     },
+    # TIP3P water (rigid by default through ConstraintSet water triplets;
+    # flexible bond/angle params exist as fallback)
+    "HOH": {
+        "atoms": {
+            "O": ("OW", -0.834), "H1": ("HW", 0.417), "H2": ("HW", 0.417),
+        },
+        "bonds": [("O", "H1"), ("O", "H2")],
+    },
+    # monovalent counterions (parm99 IP/IM)
+    "NA": {"atoms": {"NA": ("IP", 1.0)}, "bonds": [], "formal_charge": 1},
+    "CL": {"atoms": {"CL": ("IM", -1.0)}, "bonds": [], "formal_charge": -1},
 }
 
 

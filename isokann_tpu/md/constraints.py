@@ -27,7 +27,8 @@ class ConstraintSet:
     ``which``: "HBonds" (bonds involving a hydrogen) or "AllBonds".
     """
 
-    def __init__(self, system, which: str = "HBonds", iters: int = 25):
+    def __init__(self, system, which: str | None = "HBonds",
+                 water: np.ndarray | None = None, iters: int = 25):
         masses = np.asarray(system.masses)
         bidx = np.asarray(system.bond_idx)
         r0 = np.asarray(system.bond_r0)
@@ -36,18 +37,36 @@ class ConstraintSet:
             sel = is_h[bidx[:, 0]] | is_h[bidx[:, 1]]
         elif which == "AllBonds":
             sel = np.ones(len(bidx), bool)
+        elif which is None:
+            sel = np.zeros(len(bidx), bool)
         else:
             raise ValueError(f"unsupported constraints {which!r}; use "
-                             f"'HBonds' or 'AllBonds'")
+                             f"'HBonds', 'AllBonds' or None")
+        pairs = [tuple(sorted(p)) for p in bidx[sel]]
+        lens = {p: float(l) for p, l in zip(pairs, r0[sel])}
+        if water is not None and len(water):
+            # rigid TIP3P: two O-H rods + the H-H distance closing the
+            # triangle (SETTLE geometry solved by the same Jacobi sweeps)
+            from .solvate import R_OH, ANG_HOH
+            import math
+            r_hh = 2.0 * R_OH * math.sin(ANG_HOH / 2.0)
+            for (o, h1, h2) in np.asarray(water):
+                lens[tuple(sorted((int(o), int(h1))))] = R_OH
+                lens[tuple(sorted((int(o), int(h2))))] = R_OH
+                lens[tuple(sorted((int(h1), int(h2))))] = r_hh
+        items = sorted(lens.items())
+        ii = np.asarray([p[0] for p, _ in items], np.int64)
+        jj = np.asarray([p[1] for p, _ in items], np.int64)
+        rr = np.asarray([l for _, l in items])
         self.which = which
         self.iters = int(iters)
-        self.idx_i = jnp.asarray(bidx[sel, 0], jnp.int32)
-        self.idx_j = jnp.asarray(bidx[sel, 1], jnp.int32)
-        self.r0 = jnp.asarray(r0[sel], jnp.float32)
+        self.idx_i = jnp.asarray(ii, jnp.int32)
+        self.idx_j = jnp.asarray(jj, jnp.int32)
+        self.r0 = jnp.asarray(rr, jnp.float32)
         invm = 1.0 / masses
-        self.invm_i = jnp.asarray(invm[bidx[sel, 0]], jnp.float32)
-        self.invm_j = jnp.asarray(invm[bidx[sel, 1]], jnp.float32)
-        self.ncons = int(sel.sum())
+        self.invm_i = jnp.asarray(invm[ii], jnp.float32)
+        self.invm_j = jnp.asarray(invm[jj], jnp.float32)
+        self.ncons = len(items)
         self.natoms = len(masses)
 
     # -- position constraints (SHAKE) -------------------------------------

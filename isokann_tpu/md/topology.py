@@ -47,8 +47,11 @@ class Topology:
         return adj
 
 
-# residue-name aliases (Maestro / tautomer conventions)
-_RES_ALIASES = {"NMA": "NME", "NMET": "NME", "HSD": "HID", "HSE": "HIS"}
+# residue-name aliases (Maestro / tautomer / GROMACS conventions)
+_RES_ALIASES = {"NMA": "NME", "NMET": "NME", "HSD": "HID", "HSE": "HIS",
+                "WAT": "HOH", "TIP3": "HOH", "SOL": "HOH", "SPC": "HOH",
+                "NA+": "NA", "SOD": "NA", "Na+": "NA", "Na": "NA",
+                "CL-": "CL", "CLA": "CL", "Cl-": "CL", "Cl": "CL"}
 
 # Alternate atom names seen in PDB files -> template names
 _ALIASES = {
@@ -58,6 +61,9 @@ _ALIASES = {
     ("ACE", "H1"): "HH31", ("ACE", "H2"): "HH32", ("ACE", "H3"): "HH33",
     ("NME", "H1"): "HH31", ("NME", "H2"): "HH32", ("NME", "H3"): "HH33",
     ("NME", "HA1"): "HH31", ("NME", "HA2"): "HH32", ("NME", "HA3"): "HH33",
+    ("HOH", "OW"): "O", ("HOH", "HW1"): "H1", ("HOH", "HW2"): "H2",
+    ("NA", "Na"): "NA", ("NA", "SOD"): "NA", ("NA", "Na+"): "NA",
+    ("CL", "Cl"): "CL", ("CL", "CLA"): "CL", ("CL", "Cl-"): "CL",
 }
 
 _EQUIV = {"HB1": "HB3", "HA1": "HA3", "HG1": "HG3", "HD1": "HD3",

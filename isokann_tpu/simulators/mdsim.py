@@ -54,16 +54,24 @@ class MDSimulation(IsoSimulation):
                  features=None, minimize: bool = False, bias=None,
                  method: str = "auto", cutoff: float = 1.0,
                  implicit: Optional[str] = None,
-                 constraints: Optional[str] = None, dtype=jnp.float32):
+                 constraints: Optional[str] = None,
+                 addwater: bool = False, padding: float = 1.0,
+                 ionic_strength: float = 0.0, rigidwater: bool = True,
+                 dtype=jnp.float32):
         if pdb is None:
             from ..md.fixtures import alanine_dipeptide_pdb
             pdb = alanine_dipeptide_pdb()
+        if addwater and implicit is not None:
+            raise ValueError("addwater and implicit solvent are exclusive")
         self.constructor = dict(pdb=pdb, steps=steps, temp=temp,
                                 friction=friction, step=step,
                                 integrator=integrator, features=features,
                                 minimize=minimize, method=method,
                                 cutoff=cutoff, implicit=implicit,
-                                constraints=constraints)
+                                constraints=constraints, addwater=addwater,
+                                padding=padding,
+                                ionic_strength=ionic_strength,
+                                rigidwater=rigidwater)
         self.pdbfile = pdb
         self.steps = int(steps)
         self.temp = float(temp)
@@ -73,17 +81,49 @@ class MDSimulation(IsoSimulation):
         self.bias = bias
 
         self.structure = read_pdb(pdb)
-        self.system = build_system(pdb, method=method, cutoff=cutoff,
+        nsolute = self.structure.natoms
+        if addwater:
+            # TIP3P box + counterions (reference modeller.addSolvent,
+            # mopenmm.py:59-66); solute atoms keep their indices
+            from ..md.solvate import solvate
+            self.structure = solvate(self.structure, padding=padding,
+                                     ionic_strength=ionic_strength)
+        self.system = build_system(self.structure if addwater else pdb,
+                                   method=method, cutoff=cutoff,
                                    implicit=implicit, dtype=dtype)
         self.masses3 = jnp.repeat(self.system.masses, 3)
+
         # holonomic constraints (reference mopenmm.py:117-125 pass-through)
+        # + rigid TIP3P (reference default rigidWater=True, mopenmm.py:12)
         if constraints is not None and integrator != "langevin":
             raise ValueError("constraints require the langevin integrator")
-        self.constraint_set = (None if constraints is None else
-                               ConstraintSet(self.system, constraints))
+        from ..md.solvate import water_triplets
+        wt = water_triplets(self.structure) if rigidwater else None
+        wt = wt if wt is not None and len(wt) else None
+        if wt is not None and integrator != "langevin":
+            import warnings
+            warnings.warn("rigid water requires the langevin integrator; "
+                          "waters stay flexible")
+            wt = None
+        self.constraint_set = (
+            ConstraintSet(self.system, constraints, water=wt)
+            if (constraints is not None or wt is not None) else None)
+
         self._x0 = jnp.asarray(self.structure.coords.reshape(-1), dtype)
         if minimize:
             self._x0 = self.minimize(self._x0)
+        if addwater and features is None:
+            # solute-only default features (water pair distances are
+            # diffusive noise; production solvated runs pass explicit
+            # features in the reference as well)
+            if nsolute < 100:
+                features = [(i, j) for i in range(nsolute)
+                            for j in range(i + 1, nsolute)]
+            else:
+                rng = np.random.default_rng(0)
+                pairs = {tuple(sorted(rng.choice(nsolute, 2, replace=False)))
+                         for _ in range(200)}
+                features = sorted(pairs)[:100]
         self.featurizer = default_featurizer(pdb, self.natoms, features)
         self._jit_cache = {}
 
@@ -158,6 +198,8 @@ class MDSimulation(IsoSimulation):
         (``_pallas_eligible``); very large ones exceed the VMEM budget."""
         if not (64 < self.natoms <= 600):
             return False
+        if self.system.method == "CutoffPeriodic":
+            return False   # no minimum-image path in the kernel
         try:
             return jax.devices()[0].platform == "tpu"
         except Exception:
@@ -171,6 +213,8 @@ class MDSimulation(IsoSimulation):
             return False
         if self.system.implicit is not None or self.constraint_set is not None:
             return False
+        if self.system.method == "CutoffPeriodic":
+            return False   # the kernels have no minimum-image path
         # the kernel's dense difference operator scales with all-pairs rows:
         # small-molecule systems only (<=64 atoms keeps D under ~10 MB)
         if self.natoms > 64:
