@@ -829,6 +829,57 @@ for _r in list(RESIDUES):
         pass
 
 
+def register_residue(name: str, atoms: dict, bonds: list,
+                     formal_charge: int = 0, atom_types: dict = None,
+                     bond_params: dict = None, angle_params: dict = None,
+                     dihedral_params: dict = None, normalize: bool = True):
+    """Register a custom residue template (ligands, modified amino acids).
+
+    The reference parameterizes small molecules through external tooling
+    (openmmforcefields/GAFF, ``src/simulators/mopenmm.py:30-50``); here
+    the user supplies the parameters explicitly:
+
+    - ``atoms``: {atom_name: (atom_type, partial_charge)}
+    - ``bonds``: [(name_a, name_b), ...] intra-residue bonds
+    - ``atom_types``: new LJ types {type: (mass_amu, rmin_half_A, eps_kcal)}
+    - ``bond_params``: {(t1, t2): (K_kcal_A2, r0_A)}
+    - ``angle_params``: {(t1, t2, t3): (K_kcal_rad2, theta0_deg)}
+    - ``dihedral_params``: {(t1, t2, t3, t4): [(pk, phase_deg, n), ...]}
+      ("X" wildcards allowed, Amber most-specific-match rule)
+    - ``normalize``: spread any residual charge over heavy atoms so the
+      template sums exactly to ``formal_charge``
+
+    Angles/dihedrals are derived from the bond graph automatically; any
+    missing parameters fall back with a warning (see ``lookup_angle``).
+    If the residue has backbone N/H/CA/C/O atoms, N- and C-terminal
+    variants are generated too.
+    """
+    for table, new in ((ATOM_TYPES, atom_types), (BONDS, bond_params),
+                       (ANGLES, angle_params), (DIHEDRALS, dihedral_params)):
+        if new:
+            table.update(new)
+    missing = {t for t, _ in atoms.values()} - set(ATOM_TYPES)
+    if missing:
+        raise ValueError(f"unknown atom types {sorted(missing)}; pass them "
+                         f"via atom_types")
+    names = set(atoms)
+    for a, b in bonds:
+        if a not in names or b not in names:
+            raise ValueError(f"bond ({a}, {b}) references unknown atoms")
+    tmpl = {"atoms": dict(atoms), "bonds": list(bonds),
+            "formal_charge": formal_charge}
+    RESIDUES[name] = tmpl
+    if normalize:
+        _normalize_one(tmpl)
+    if {"N", "H", "CA", "C", "O"} <= names:
+        try:
+            make_nterminal(name)
+            make_cterminal(name)
+        except (ValueError, KeyError):
+            pass
+    return tmpl
+
+
 def lj_params(atom_type: str):
     """(rmin_half [A], eps [kcal/mol])."""
     m, r, e = ATOM_TYPES[atom_type]

@@ -195,7 +195,7 @@ def brownian_girsanov(force_fn, bias_fn, x0, masses3, T, gamma, dt, nsteps,
 
 def aboba_girsanov(force_fn, bias_fn, x0, p0, masses3, T, gamma, dt,
                    nsteps: int, key, save_every: Optional[int] = None,
-                   sigmascaled=True):
+                   sigmascaled=True, constraints=None):
     """Underdamped ABOBA splitting with Girsanov weights
     (reference ``langevin_girsanov!``, ``src/simulators/openmm.jl:569-637``,
     following the scheme of JPC B 2024, 10.1021/acs.jpcb.4c01702).
@@ -217,11 +217,18 @@ def aboba_girsanov(force_fn, bias_fn, x0, p0, masses3, T, gamma, dt,
     famp = jnp.sqrt(KB * T * masses3 * (1.0 - d * d))
     t2 = dt / 2.0
 
+    def drift(q, p):
+        qn = q + t2 * p / masses3
+        if constraints is None:
+            return qn, p
+        qn = constraints.shake(q, qn)
+        return qn, (qn - q) / t2 * masses3
+
     def step(carry, inp):
         q, p, logw, t = carry
         k = inp
         eta = jax.random.normal(k, p.shape, p.dtype)
-        q = q + t2 * p / masses3                       # A
+        q, p = drift(q, p)                             # A
         F = force_fn(q)
         if bias_fn is not None:
             B = bias_fn(q, t=t, sigma=sig, F=F)
@@ -235,7 +242,9 @@ def aboba_girsanov(force_fn, bias_fn, x0, p0, masses3, T, gamma, dt,
         p = p + b                                      # B
         p = d * p + famp * eta                         # O
         p = p + b                                      # B
-        q = q + t2 * p / masses3                       # A
+        if constraints is not None:
+            p = constraints.rattle(q, p / masses3) * masses3
+        q, p = drift(q, p)                             # A
         return (q, p, logw, t + dt), None
 
     logw0 = jnp.zeros(x0.shape[:-1], x0.dtype)

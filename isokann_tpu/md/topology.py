@@ -168,13 +168,23 @@ def build_topology(struct: PDBStructure) -> Topology:
     masses = np.zeros(n)
     bonds: List[Tuple[int, int]] = []
 
+    # non-polymer residues (solvent, ions) break peptide chains even when
+    # they share a chain id with the protein (common in solvated PDBs)
+    nonpoly = {"HOH", "WAT", "TIP3", "SOL", "SPC",
+               "NA", "CL", "NA+", "CL-", "SOD", "CLA", "Na", "Cl",
+               "Na+", "Cl-"}
+
+    def _chain(ri):
+        return struct.chain_ids[residues[ri].atom_indices[0]]
+
     prev_map = None
     for ri, res in enumerate(residues):
-        is_first = ri == 0 or struct.chain_ids[res.atom_indices[0]] != \
-            struct.chain_ids[residues[ri - 1].atom_indices[0]]
-        is_last = ri == len(residues) - 1 or \
-            struct.chain_ids[res.atom_indices[0]] != \
-            struct.chain_ids[residues[ri + 1].atom_indices[0]]
+        is_first = (ri == 0 or _chain(ri) != _chain(ri - 1)
+                    or residues[ri - 1].name in nonpoly
+                    or res.name in nonpoly)
+        is_last = (ri == len(residues) - 1 or _chain(ri) != _chain(ri + 1)
+                   or residues[ri + 1].name in nonpoly
+                   or res.name in nonpoly)
         tname, name_to_idx = _resolve_residue(res, struct, is_first, is_last)
         tmpl = amber.RESIDUES[tname]
         res.name = tname

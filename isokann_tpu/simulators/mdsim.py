@@ -263,7 +263,8 @@ class MDSimulation(IsoSimulation):
                 p0 = jax.random.normal(kv, x0.shape, x0.dtype) * jnp.sqrt(
                     masses3 * I.KB * T)
                 q, p, logw = I.aboba_girsanov(force_fn, bias, x0, p0, masses3,
-                                              T, gamma, dt, nsteps, ki)
+                                              T, gamma, dt, nsteps, ki,
+                                              constraints=cset)
                 return q, jnp.exp(logw)
         elif self.integrator == "brownian":
             @jax.jit
@@ -425,7 +426,8 @@ class MDSimulation(IsoSimulation):
                 self.masses3 * KB * self.temp)
             qs, logws, _ = I.aboba_girsanov(
                 force_fn, self.bias, x0[None, :], p0, self.masses3, self.temp,
-                self.friction, self.step, steps, ki, save_every=saveevery)
+                self.friction, self.step, steps, ki, save_every=saveevery,
+                constraints=self.constraint_set)
             return WeightedSamples(qs[:, 0, :], jnp.exp(logws[:, 0]))
         block = self._block_fn(1, saveevery, resample_velocities)
         kv, key = jax.random.split(key)
@@ -510,7 +512,7 @@ class MDSimulation(IsoSimulation):
         qs, logws, _ = I.aboba_girsanov(
             self._force_fn(), bias, x0[None, :], p0, self.masses3, self.temp,
             self.friction, self.step, steps, ki, save_every=saveevery,
-            sigmascaled=sigmascaled)
+            sigmascaled=sigmascaled, constraints=self.constraint_set)
         return WeightedSamples(qs[:, 0, :], jnp.exp(logws[:, 0]))
 
     def __repr__(self):

@@ -223,3 +223,39 @@ def test_disulfide_cyx(tmp_path):
     E = float(__import__("isokann_tpu").md.forces.potential_energy_flat(
         sys, jnp.asarray(read_pdb(path).coords.reshape(-1), jnp.float32)))
     assert np.isfinite(E)
+
+
+def test_register_residue_ligand(tmp_path):
+    """Custom residue registration: a benzene 'ligand' with explicit
+    parameters (the reference's GAFF path delegates to external tooling;
+    here parameters are user-supplied)."""
+    import math
+    import jax.numpy as jnp
+    from isokann_tpu.md.pdbio import PDBStructure, write_pdb
+
+    amber.register_residue(
+        "BNZ",
+        atoms={f"C{i}": ("CA", -0.115) for i in range(1, 7)}
+              | {f"H{i}": ("HA", 0.115) for i in range(1, 7)},
+        bonds=[(f"C{i}", f"C{i % 6 + 1}") for i in range(1, 7)]
+              + [(f"C{i}", f"H{i}") for i in range(1, 7)],
+    )
+    names, elements, coords = [], [], []
+    for i in range(6):
+        a = 2 * math.pi * i / 6
+        names.append(f"C{i+1}"); elements.append("C")
+        coords.append([0.139 * math.cos(a), 0.139 * math.sin(a), 0.0])
+        names.append(f"H{i+1}"); elements.append("H")
+        coords.append([0.248 * math.cos(a), 0.248 * math.sin(a), 0.0])
+    s = PDBStructure(names, ["BNZ"] * 12, [1] * 12, ["L"] * 12, elements,
+                     np.asarray(coords), None)
+    p = str(tmp_path / "bnz.pdb")
+    write_pdb(p, s)
+    sys = build_system(p)
+    assert abs(float(jnp.sum(sys.charges))) < 1e-6
+    import isokann_tpu as itk
+    E = float(itk.md.forces.potential_energy_flat(
+        sys, jnp.asarray(np.asarray(coords).reshape(-1), jnp.float32)))
+    assert np.isfinite(E)
+    with pytest.raises(ValueError, match="unknown atom types"):
+        amber.register_residue("BAD", atoms={"X1": ("ZZ", 0.0)}, bonds=[])

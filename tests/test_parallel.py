@@ -130,3 +130,17 @@ def test_shardmap_explicit_collectives_matches_gspmd(mesh, key):
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_distributed_helpers():
+    """Multi-host helpers degrade to single-process semantics."""
+    from isokann_tpu.parallel import distributed as D
+    import numpy as np
+    D.initialize()                      # no-op single-process
+    mesh = D.global_mesh()
+    x = np.arange(16.0 * 3).reshape(16, 3)
+    g = D.host_local_batch(mesh, x)
+    assert g.shape == (16, 3)
+    assert np.allclose(np.asarray(g), x)
+    sl = D.process_slice(100)
+    assert sl == slice(0, 100)

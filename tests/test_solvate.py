@@ -91,3 +91,37 @@ def test_flexible_water_brownian_warns(tmp_path):
         sim = itk.MDSimulation(pdb=alanine_dipeptide_pdb(), addwater=True,
                                padding=0.55, steps=2, integrator="brownian")
     assert sim.constraint_set is None
+
+
+def test_biased_constrained_aboba(key):
+    """Girsanov ABOBA honors constraints (rigid water / HBonds)."""
+    bias = lambda q, t, sigma, F: 0.01 * jnp.ones_like(q)
+    sim = itk.MDSimulation(steps=5, constraints="HBonds", bias=bias)
+    ws = sim.propagate(jnp.tile(sim.coords[None], (2, 1)), 1, key=key)
+    viol = float(sim.constraint_set.max_violation(
+        ws.values.reshape(-1, sim.dim)))
+    assert viol < 1e-4
+    assert bool(jnp.all(ws.weights > 0))
+
+
+def test_nonpolymer_chain_break(tmp_path):
+    """Waters/ions sharing the protein's chain id still terminate the
+    peptide chain (reference ``villin water.pdb`` layout)."""
+    from isokann_tpu.md.fixtures import build_peptide
+    from isokann_tpu.md.pdbio import write_pdb, read_pdb
+    from isokann_tpu.md.topology import build_topology
+
+    s = build_peptide("AG", capped=False)     # zwitterion: needs CGLY match
+    n = s.natoms
+    s.atom_names += ["O", "H1", "H2"]
+    s.res_names += ["HOH"] * 3
+    s.res_ids += [max(s.res_ids) + 1] * 3
+    s.chain_ids += [s.chain_ids[0]] * 3       # same chain id as the protein
+    s.elements += ["O", "H", "H"]
+    w = np.array([[1.5, 0, 0], [1.59, 0, 0], [1.47, 0.09, 0]])
+    s.coords = np.concatenate([s.coords, s.coords.mean(0) + w + 2.0])
+    p = str(tmp_path / "agw.pdb")
+    write_pdb(p, s)
+    top = build_topology(read_pdb(p))
+    names = [r.name for r in top.residues]
+    assert names == ["NALA", "CGLY", "HOH"]
