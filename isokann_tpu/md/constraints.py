@@ -54,6 +54,31 @@ class ConstraintSet:
                 lens[tuple(sorted((int(o), int(h1))))] = R_OH
                 lens[tuple(sorted((int(o), int(h2))))] = R_OH
                 lens[tuple(sorted((int(h1), int(h2))))] = r_hh
+        # contiguous-water fast path: solvated systems are dominated by
+        # rigid-water triangles, and TPU scatter-add makes the generic
+        # Jacobi path ~10x slower than the force evaluation.  When the
+        # waters form one contiguous (O, H1, H2)* block, their three
+        # constraints are solved on a (..., nw, 3, 3) view with purely
+        # elementwise updates — no gathers or scatters at all.
+        self.wstart, self.nwater = None, 0
+        if water is not None and len(water):
+            trip = np.sort(np.asarray(water), axis=1)
+            o = trip[:, 0]
+            block = (np.all(trip[:, 1] == o + 1) and np.all(trip[:, 2] == o + 2)
+                     and np.all(np.diff(o) == 3))
+            if block:
+                self.wstart = int(o[0])
+                self.nwater = len(trip)
+                self.w_invm = jnp.asarray(
+                    1.0 / masses[trip[0]], jnp.float32)   # (3,) O,H,H
+                from .solvate import R_OH, ANG_HOH
+                import math
+                r_hh = 2.0 * R_OH * math.sin(ANG_HOH / 2.0)
+                self.w_r0 = jnp.asarray([R_OH, R_OH, r_hh], jnp.float32)
+                for (a, b, c) in trip:
+                    for p in ((a, b), (a, c), (b, c)):
+                        lens.pop((int(p[0]), int(p[1])), None)
+
         items = sorted(lens.items())
         ii = np.asarray([p[0] for p, _ in items], np.int64)
         jj = np.asarray([p[1] for p, _ in items], np.int64)
@@ -66,8 +91,68 @@ class ConstraintSet:
         invm = 1.0 / masses
         self.invm_i = jnp.asarray(invm[ii], jnp.float32)
         self.invm_j = jnp.asarray(invm[jj], jnp.float32)
-        self.ncons = len(items)
+        self.ngeneric = len(items)
+        self.ncons = len(items) + 3 * self.nwater
         self.natoms = len(masses)
+
+    # -- water block (contiguous (O,H1,H2)*: no gathers/scatters) ----------
+
+    def _wview(self, arr):
+        lead = arr.shape[:-1]
+        a = arr.reshape(*lead, self.natoms, 3)
+        s = self.wstart
+        return a[..., s:s + 3 * self.nwater, :].reshape(
+            *lead, self.nwater, 3, 3)
+
+    def _wset(self, arr, wat):
+        lead = arr.shape[:-1]
+        a = arr.reshape(*lead, self.natoms, 3)
+        s = self.wstart
+        a = a.at[..., s:s + 3 * self.nwater, :].set(
+            wat.reshape(*lead, 3 * self.nwater, 3))
+        return a.reshape(arr.shape)
+
+    _WPAIRS = ((0, 1), (0, 2), (1, 2))
+
+    def _shake_water(self, x_ref, x):
+        xr = self._wview(x_ref)
+        xw = self._wview(x)
+        dref = [xr[..., i, :] - xr[..., j, :] for i, j in self._WPAIRS]
+        w = self.w_invm
+        r02 = self.w_r0 ** 2
+
+        def sweep(_, xc):
+            upd = [0.0, 0.0, 0.0]
+            for k, (i, j) in enumerate(self._WPAIRS):
+                d = xc[..., i, :] - xc[..., j, :]
+                c = jnp.sum(d * d, axis=-1) - r02[k]
+                lam = c / (2.0 * (w[i] + w[j])
+                           * jnp.sum(d * dref[k], axis=-1))
+                upd[i] = upd[i] - (lam * w[i])[..., None] * dref[k]
+                upd[j] = upd[j] + (lam * w[j])[..., None] * dref[k]
+            return xc + jnp.stack(upd, axis=-2)
+
+        xw = jax.lax.fori_loop(0, self.iters, sweep, xw)
+        return self._wset(x, xw)
+
+    def _rattle_water(self, x, v):
+        xw = self._wview(x)
+        vw = self._wview(v)
+        d = [xw[..., i, :] - xw[..., j, :] for i, j in self._WPAIRS]
+        dd = [jnp.sum(di * di, axis=-1) for di in d]
+        w = self.w_invm
+
+        def sweep(_, vc):
+            upd = [0.0, 0.0, 0.0]
+            for k, (i, j) in enumerate(self._WPAIRS):
+                rv = jnp.sum((vc[..., i, :] - vc[..., j, :]) * d[k], axis=-1)
+                lam = rv / ((w[i] + w[j]) * dd[k])
+                upd[i] = upd[i] - (lam * w[i])[..., None] * d[k]
+                upd[j] = upd[j] + (lam * w[j])[..., None] * d[k]
+            return vc + jnp.stack(upd, axis=-2)
+
+        vw = jax.lax.fori_loop(0, max(1, self.iters // 2), sweep, vw)
+        return self._wset(v, vw)
 
     # -- position constraints (SHAKE) -------------------------------------
 
@@ -75,6 +160,10 @@ class ConstraintSet:
         """Project flat positions ``x`` (..., 3N) onto the constraint
         manifold, displacing along the pre-update bond directions
         ``x_ref`` (classic SHAKE linearization)."""
+        if self.nwater:
+            x = self._shake_water(x_ref, x)
+        if self.ngeneric == 0:
+            return x
         shape = x.shape
         xr = x_ref.reshape(*shape[:-1], self.natoms, 3)
         xn = x.reshape(*shape[:-1], self.natoms, 3)
@@ -100,6 +189,10 @@ class ConstraintSet:
 
     def rattle(self, x, v):
         """Remove velocity components along constrained bonds (..., 3N)."""
+        if self.nwater:
+            v = self._rattle_water(x, v)
+        if self.ngeneric == 0:
+            return v
         shape = v.shape
         xc = x.reshape(*shape[:-1], self.natoms, 3)
         vn = v.reshape(*shape[:-1], self.natoms, 3)
@@ -122,6 +215,15 @@ class ConstraintSet:
     def max_violation(self, x):
         """Largest |r - r0| over constraints (diagnostic)."""
         xc = jnp.asarray(x).reshape(-1, self.natoms, 3)
-        d = xc[:, self.idx_i, :] - xc[:, self.idx_j, :]
-        r = jnp.sqrt(jnp.sum(d * d, axis=-1))
-        return jnp.max(jnp.abs(r - self.r0))
+        v = 0.0
+        if self.ngeneric:
+            d = xc[:, self.idx_i, :] - xc[:, self.idx_j, :]
+            r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+            v = jnp.max(jnp.abs(r - self.r0))
+        if self.nwater:
+            xw = self._wview(xc.reshape(xc.shape[0], -1))
+            for k, (i, j) in enumerate(self._WPAIRS):
+                d = xw[..., i, :] - xw[..., j, :]
+                r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+                v = jnp.maximum(v, jnp.max(jnp.abs(r - self.w_r0[k])))
+        return jnp.asarray(v)

@@ -77,6 +77,11 @@ class GBPlan:
         self.cutoff = float(sys.cutoff)
         self.eps_rf = float(sys.eps_rf)
         self.implicit = sys.implicit
+        # minimum-image box (CutoffPeriodic); pad atoms are masked by
+        # index validity since they wrap into the box
+        self.box = (tuple(float(b) for b in sys.box)
+                    if sys.method == "CutoffPeriodic" and sys.box is not None
+                    else None)
 
 
 def _force_one_walker(plan: GBPlan, xT, x8, consts, TJ=128):
@@ -113,18 +118,32 @@ def _force_one_walker(plan: GBPlan, xT, x8, consts, TJ=128):
         # cannot broadcast lane-offset row slices)
         return jnp.transpose(vcol[j * TJ:(j + 1) * TJ, :])
 
-    # ---- pass 0: geometry, cached across all passes ----------------------
-    geom = []
-    for j in range(NJ):
+    # ---- geometry (cached across passes for GB; inline otherwise) --------
+    A = plan.A
+
+    def chunk_geom(j):
         sl = slice(j * TJ, (j + 1) * TJ)
         dx = xc - x8[0:1, sl]
         dy = yc - x8[1:2, sl]
         dz = zc - x8[2:3, sl]
+        if plan.box is not None:
+            bx, by, bz = plan.box
+            dx = dx - bx * jnp.round(dx * (1.0 / bx))
+            dy = dy - by * jnp.round(dy * (1.0 / by))
+            dz = dz - bz * jnp.round(dz * (1.0 / bz))
         col_id = jax.lax.broadcasted_iota(jnp.int32, (1, TJ), 1) + j * TJ
-        offd = (row_id != col_id).astype(jnp.float32)
+        # valid = off-diagonal AND both atoms real (pad atoms wrap into
+        # the box under minimum image, so distance cannot exclude them)
+        offd = ((row_id != col_id) & (row_id < A)
+                & (col_id < A)).astype(jnp.float32)
         r2 = dx * dx + dy * dy + dz * dz + (1.0 - offd)
         inv_r = jax.lax.rsqrt(r2)
-        geom.append((sl, dx, dy, dz, r2, inv_r, offd))
+        return sl, dx, dy, dz, r2, inv_r, offd
+
+    if use_gb:
+        geom = [chunk_geom(j) for j in range(NJ)]
+    else:
+        geom = None
 
     # ---- pass 1: Born-radius descreening sums ---------------------------
     if use_gb:
@@ -189,7 +208,8 @@ def _force_one_walker(plan: GBPlan, xT, x8, consts, TJ=128):
     fx_t_parts, fy_t_parts, fz_t_parts = [], [], []
 
     for j in range(NJ):
-        sl, dx, dy, dz, r2, inv_r, offd = geom[j]
+        sl, dx, dy, dz, r2, inv_r, offd = (geom[j] if geom is not None
+                                           else chunk_geom(j))
         inv_r2 = inv_r * inv_r
         r = r2 * inv_r
 

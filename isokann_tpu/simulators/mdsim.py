@@ -196,10 +196,14 @@ class MDSimulation(IsoSimulation):
         intermediates through HBM, the kernel keeps them in VMEM.  Small
         systems use the fully fused trajectory kernel instead
         (``_pallas_eligible``); very large ones exceed the VMEM budget."""
+        if self.system.method == "CutoffPeriodic":
+            # the kernel supports minimum image (tested), but measured
+            # even with the XLA path end-to-end at 1009 atoms (both are
+            # VPU-compute-bound) while costing an extra remote compile —
+            # not worth enabling by default
+            return False
         if not (64 < self.natoms <= 600):
             return False
-        if self.system.method == "CutoffPeriodic":
-            return False   # no minimum-image path in the kernel
         try:
             return jax.devices()[0].platform == "tpu"
         except Exception:

@@ -205,3 +205,20 @@ def test_cterm_gromacs_oxygen_names(tmp_path):
     write_pdb(p2, struct)
     s_gmx = build_system(p2)
     assert np.allclose(np.asarray(s_std.charges), np.asarray(s_gmx.charges))
+
+
+def test_gb_kernel_periodic_minimum_image():
+    """The VMEM kernel's minimum-image path matches the XLA periodic
+    reaction-field force (pad atoms masked by index validity)."""
+    import isokann_tpu as itk
+    from isokann_tpu.md.pallas_gb import force_flat_hybrid
+    sim = itk.MDSimulation(addwater=True, padding=0.55, steps=3)
+    s = sim.system
+    assert s.method == "CutoffPeriodic"
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(np.asarray(sim.coords)[None, :]
+                     + rng.normal(scale=0.003, size=(2, 3 * s.natoms)),
+                     jnp.float32)
+    ref = np.asarray(itk.md.forces.force_flat(s, xs))
+    new = np.asarray(force_flat_hybrid(s, xs, interpret=True))
+    assert np.abs(ref - new).max() / np.abs(ref).max() < 1e-5

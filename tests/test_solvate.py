@@ -125,3 +125,18 @@ def test_nonpolymer_chain_break(tmp_path):
     top = build_topology(read_pdb(p))
     names = [r.name for r in top.residues]
     assert names == ["NALA", "CGLY", "HOH"]
+
+
+def test_solvated_iso_roundtrip(tmp_path, wsim, key):
+    """Iso on a solvated sim trains and save/load round-trips the exact
+    solvated structure (waters, box, constraints)."""
+    iso = itk.Iso(sim=wsim, nx=4, nk=1, key=0)
+    iso.run(3)
+    p = str(tmp_path / "iso.pkl")
+    iso.save(p)
+    iso2 = itk.load(p)
+    s2 = iso2.data.sim
+    assert s2.natoms == wsim.natoms
+    assert np.allclose(np.asarray(s2.coords), np.asarray(wsim.coords))
+    assert s2.constraint_set.ncons == wsim.constraint_set.ncons
+    iso2.run(2)
