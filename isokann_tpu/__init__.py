@@ -58,8 +58,11 @@ from .features import (
 from .ops import (
     flatpairdists, pairdist, sqpairdist, pdists,
     align, aligned_rmsd, pairwise_aligned_rmsd, aligntrajectory,
-    dihedral, localpdistinds,
+    dihedral, localpdistinds, restricted_localpdistinds,
 )
+# the reference re-exports its OpenMM wrapper module (src/ISOKANN.jl:56);
+# the counterpart here is the MD simulation module
+from .simulators import mdsim as OpenMM
 from .simulators.metadynamics import (
     MetadynamicsSimulation, MetadynamicsState, MetadynamicsStateGridded,
 )
@@ -83,7 +86,7 @@ from .utils import (
     phi_psi, ca_rmsd, ReactionCoordsRMSD, standardform,
 )
 from .md.fixtures import alanine_dipeptide_pdb
-from .data import flattenfirst
+from .data import flattenfirst, flattenlast
 
 
 # --- thin module-level conveniences mirroring the reference exports -------

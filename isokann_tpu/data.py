@@ -102,6 +102,14 @@ def flattenfirst(A):
     return A.reshape((-1,) + A.shape[2:])
 
 
+def flattenlast(A):
+    """Keep the first dim, flatten the rest (literal counterpart of the
+    reference export ``flattenlast``, ``src/simulation.jl:149``; with the
+    batch-leading layout here, ``flattenfirst`` is usually what you want)."""
+    A = values(A)
+    return A.reshape((A.shape[0], -1))
+
+
 def getobs(x, idx):
     if isinstance(x, WeightedSamples):
         return x[idx]
