@@ -854,11 +854,10 @@ def register_residue(name: str, atoms: dict, bonds: list,
     If the residue has backbone N/H/CA/C/O atoms, N- and C-terminal
     variants are generated too.
     """
-    for table, new in ((ATOM_TYPES, atom_types), (BONDS, bond_params),
-                       (ANGLES, angle_params), (DIHEDRALS, dihedral_params)):
-        if new:
-            table.update(new)
-    missing = {t for t, _ in atoms.values()} - set(ATOM_TYPES)
+    # validate everything before touching any shared table (a failed
+    # registration must not leave the global force field polluted)
+    missing = ({t for t, _ in atoms.values()}
+               - set(ATOM_TYPES) - set(atom_types or {}))
     if missing:
         raise ValueError(f"unknown atom types {sorted(missing)}; pass them "
                          f"via atom_types")
@@ -866,6 +865,10 @@ def register_residue(name: str, atoms: dict, bonds: list,
     for a, b in bonds:
         if a not in names or b not in names:
             raise ValueError(f"bond ({a}, {b}) references unknown atoms")
+    for table, new in ((ATOM_TYPES, atom_types), (BONDS, bond_params),
+                       (ANGLES, angle_params), (DIHEDRALS, dihedral_params)):
+        if new:
+            table.update(new)
     tmpl = {"atoms": dict(atoms), "bonds": list(bonds),
             "formal_charge": formal_charge}
     RESIDUES[name] = tmpl

@@ -62,22 +62,28 @@ class ConstraintSet:
         # elementwise updates — no gathers or scatters at all.
         self.wstart, self.nwater = None, 0
         if water is not None and len(water):
-            trip = np.sort(np.asarray(water), axis=1)
-            o = trip[:, 0]
-            block = (np.all(trip[:, 1] == o + 1) and np.all(trip[:, 2] == o + 2)
-                     and np.all(np.diff(o) == 3))
+            trip = np.asarray(water)        # (nw, 3) as (O, H1, H2) roles
+            lo = trip.min(axis=1)
+            rel = trip - lo[:, None]        # within-block role positions
+            block = (np.all(np.sort(rel, axis=1) == [0, 1, 2])
+                     and np.all(rel == rel[0])          # uniform atom order
+                     and np.all(np.diff(lo) == 3))
             if block:
-                self.wstart = int(o[0])
-                self.nwater = len(trip)
-                self.w_invm = jnp.asarray(
-                    1.0 / masses[trip[0]], jnp.float32)   # (3,) O,H,H
                 from .solvate import R_OH, ANG_HOH
                 import math
                 r_hh = 2.0 * R_OH * math.sin(ANG_HOH / 2.0)
+                pO, pH1, pH2 = (int(r) for r in rel[0])
+                self.wstart = int(lo[0])
+                self.nwater = len(trip)
+                # block-position pairs with their target lengths
+                self._wpairs = ((pO, pH1), (pO, pH2), (pH1, pH2))
                 self.w_r0 = jnp.asarray([R_OH, R_OH, r_hh], jnp.float32)
+                invm_blk = np.empty(3)
+                invm_blk[list(rel[0])] = 1.0 / masses[trip[0]]
+                self.w_invm = jnp.asarray(invm_blk, jnp.float32)
                 for (a, b, c) in trip:
                     for p in ((a, b), (a, c), (b, c)):
-                        lens.pop((int(p[0]), int(p[1])), None)
+                        lens.pop(tuple(sorted((int(p[0]), int(p[1])))), None)
 
         items = sorted(lens.items())
         ii = np.asarray([p[0] for p, _ in items], np.int64)
@@ -112,18 +118,16 @@ class ConstraintSet:
             wat.reshape(*lead, 3 * self.nwater, 3))
         return a.reshape(arr.shape)
 
-    _WPAIRS = ((0, 1), (0, 2), (1, 2))
-
     def _shake_water(self, x_ref, x):
         xr = self._wview(x_ref)
         xw = self._wview(x)
-        dref = [xr[..., i, :] - xr[..., j, :] for i, j in self._WPAIRS]
+        dref = [xr[..., i, :] - xr[..., j, :] for i, j in self._wpairs]
         w = self.w_invm
         r02 = self.w_r0 ** 2
 
         def sweep(_, xc):
             upd = [0.0, 0.0, 0.0]
-            for k, (i, j) in enumerate(self._WPAIRS):
+            for k, (i, j) in enumerate(self._wpairs):
                 d = xc[..., i, :] - xc[..., j, :]
                 c = jnp.sum(d * d, axis=-1) - r02[k]
                 lam = c / (2.0 * (w[i] + w[j])
@@ -138,13 +142,13 @@ class ConstraintSet:
     def _rattle_water(self, x, v):
         xw = self._wview(x)
         vw = self._wview(v)
-        d = [xw[..., i, :] - xw[..., j, :] for i, j in self._WPAIRS]
+        d = [xw[..., i, :] - xw[..., j, :] for i, j in self._wpairs]
         dd = [jnp.sum(di * di, axis=-1) for di in d]
         w = self.w_invm
 
         def sweep(_, vc):
             upd = [0.0, 0.0, 0.0]
-            for k, (i, j) in enumerate(self._WPAIRS):
+            for k, (i, j) in enumerate(self._wpairs):
                 rv = jnp.sum((vc[..., i, :] - vc[..., j, :]) * d[k], axis=-1)
                 lam = rv / ((w[i] + w[j]) * dd[k])
                 upd[i] = upd[i] - (lam * w[i])[..., None] * d[k]
@@ -222,7 +226,7 @@ class ConstraintSet:
             v = jnp.max(jnp.abs(r - self.r0))
         if self.nwater:
             xw = self._wview(xc.reshape(xc.shape[0], -1))
-            for k, (i, j) in enumerate(self._WPAIRS):
+            for k, (i, j) in enumerate(self._wpairs):
                 d = xw[..., i, :] - xw[..., j, :]
                 r = jnp.sqrt(jnp.sum(d * d, axis=-1))
                 v = jnp.maximum(v, jnp.max(jnp.abs(r - self.w_r0[k])))

@@ -234,6 +234,12 @@ def aboba_girsanov(force_fn, bias_fn, x0, p0, masses3, T, gamma, dt,
             B = bias_fn(q, t=t, sigma=sig, F=F)
             if sigmascaled:
                 B = B * sig
+            if constraints is not None:
+                # project the bias onto the constraint tangent space
+                # (mass-metric RATTLE projection): the constrained
+                # dynamics only realizes the tangential component, so the
+                # Girsanov weight must be computed from it as well
+                B = constraints.rattle(q, B / masses3) * masses3
             deta = (d + 1.0) / famp * t2 * B
             logw = logw - (jnp.sum(eta * deta, axis=-1)
                            + jnp.sum(deta * deta, axis=-1) / 2)

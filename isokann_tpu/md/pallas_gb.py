@@ -47,9 +47,8 @@ class GBPlan:
 
         q = pad(sys.charges, 0.0)
         self.q_col = q[:, None]
-        self.q_row = q[None, :]
         rmh = pad(sys.rmin_half, 0.1)
-        self.rmh_col, self.rmh_row = rmh[:, None], rmh[None, :]
+        self.rmh_col = rmh[:, None]
         # store sqrt(eps) so the combining rule sqrt(eps_i eps_j) is a
         # per-pair multiply instead of a per-pair sqrt
         seps = np.sqrt(pad(sys.eps, 0.0))
@@ -64,14 +63,12 @@ class GBPlan:
         self.orad_col = orad[:, None]
         self.sr_col = (scales * orad)[:, None]
 
+        # only the Coulomb scale grid is shipped; the LJ grid is derived
+        # from it inside the kernel (same exclusion structure)
         qq = np.ones((Ap, Ap), np.float32)
-        lj = np.ones((Ap, Ap), np.float32)
         qq[:A, :A] = np.asarray(sys.qq_scale, np.float32)
-        lj[:A, :A] = np.asarray(sys.lj_scale, np.float32)
         np.fill_diagonal(qq, 0.0)
-        np.fill_diagonal(lj, 0.0)
         self.qq_scale = qq
-        self.lj_scale = lj
 
         self.method = sys.method
         self.cutoff = float(sys.cutoff)
@@ -279,7 +276,7 @@ def _force_one_walker(plan: GBPlan, xT, x8, consts, TJ=128):
     return jnp.concatenate([fx, fy, fz, zero, zero, zero, zero, zero], axis=1)
 
 
-def gb_force_pallas(sys: MDSystem, xb, interpret=False, walkers_per_block=1):
+def gb_force_pallas(sys: MDSystem, xb, interpret=False):
     """Nonbonded(+GBSA) forces via the VMEM kernel.
 
     ``xb``: (B, 3N) -> (B, 3N).  Pad atoms live at +1e3 nm per index so

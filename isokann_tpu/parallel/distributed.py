@@ -23,22 +23,31 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None, **kw):
-    """Bring up multi-host JAX (DCN).  No-op when single-process.
+    """Bring up multi-host JAX (DCN).
 
-    On TPU pods the arguments are auto-detected from the environment;
-    on other platforms pass coordinator_address="host:port",
-    num_processes, process_id."""
+    Must be called before any other JAX API (anything that initializes
+    the XLA backend makes distributed bring-up impossible — this
+    function therefore probes nothing before initializing).
+
+    With explicit arguments every failure propagates.  With no
+    arguments, cluster auto-detection is attempted (TPU pods) and a
+    detection failure is treated as "single process" and ignored;
+    double initialization is ignored in both modes."""
     if num_processes is not None and num_processes <= 1:
         return
-    if coordinator_address is None and num_processes is None \
-            and jax.process_count() == 1:
-        try:
-            jax.distributed.initialize()
-        except Exception:
-            return   # single-process environment
-    else:
+    try:
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id, **kw)
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return   # idempotent: distributed is already up
+        if coordinator_address is None and num_processes is None:
+            return   # no cluster detected -> single-process environment
+        raise
+    except ValueError:
+        if coordinator_address is None and num_processes is None:
+            return   # auto-detection unavailable on this platform
+        raise
 
 
 def global_mesh(axis: str = "data") -> Mesh:

@@ -120,10 +120,16 @@ class MDSimulation(IsoSimulation):
                 features = [(i, j) for i in range(nsolute)
                             for j in range(i + 1, nsolute)]
             else:
+                # uniform over all C(nsolute, 2) pairs, without replacement
                 rng = np.random.default_rng(0)
-                pairs = {tuple(sorted(rng.choice(nsolute, 2, replace=False)))
-                         for _ in range(200)}
-                features = sorted(pairs)[:100]
+                total = nsolute * (nsolute - 1) // 2
+                ids = rng.choice(total, size=min(100, total), replace=False)
+                ii = (np.floor((1 + np.sqrt(1 + 8 * ids)) / 2)).astype(int)
+                jj = ids - ii * (ii - 1) // 2
+                bad = jj < 0          # float-sqrt one-off correction
+                ii[bad] -= 1
+                jj[bad] = ids[bad] - ii[bad] * (ii[bad] - 1) // 2
+                features = [(int(j), int(i)) for i, j in zip(ii, jj)]
         self.featurizer = default_featurizer(pdb, self.natoms, features)
         self._jit_cache = {}
 

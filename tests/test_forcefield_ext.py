@@ -259,3 +259,14 @@ def test_register_residue_ligand(tmp_path):
     assert np.isfinite(E)
     with pytest.raises(ValueError, match="unknown atom types"):
         amber.register_residue("BAD", atoms={"X1": ("ZZ", 0.0)}, bonds=[])
+
+
+def test_register_residue_validates_before_mutating():
+    """A failed registration must not pollute the shared parameter
+    tables (regression)."""
+    before = dict(amber.BONDS)
+    with pytest.raises(ValueError):
+        amber.register_residue(
+            "BAD2", atoms={"X1": ("ZZ9", 0.0)}, bonds=[],
+            bond_params={("CT", "N"): (999.0, 0.5)})
+    assert amber.BONDS == before

@@ -140,3 +140,44 @@ def test_solvated_iso_roundtrip(tmp_path, wsim, key):
     assert np.allclose(np.asarray(s2.coords), np.asarray(wsim.coords))
     assert s2.constraint_set.ncons == wsim.constraint_set.ncons
     iso2.run(2)
+
+
+def test_water_fast_path_any_atom_order(tmp_path):
+    """The contiguous-water constraint fast path must map O/H roles by
+    position, not assume O-first (regression: H1,H2,O ordering got the
+    H-H distance assigned to an O-H pair)."""
+    from isokann_tpu.md.fixtures import alanine_dipeptide_pdb
+    from isokann_tpu.md.pdbio import read_pdb, write_pdb
+    from isokann_tpu.md.solvate import solvate, R_OH
+
+    struct = solvate(read_pdb(alanine_dipeptide_pdb()), padding=0.5)
+    # permute every water block to (H1, H2, O)
+    order = []
+    i = 0
+    while i < struct.natoms:
+        if struct.res_names[i] == "HOH":
+            order += [i + 1, i + 2, i]
+            i += 3
+        else:
+            order.append(i)
+            i += 1
+    for attr in ("atom_names", "res_names", "res_ids", "chain_ids",
+                 "elements"):
+        setattr(struct, attr, [getattr(struct, attr)[k] for k in order])
+    struct.coords = struct.coords[order]
+    p = str(tmp_path / "hho.pdb")
+    write_pdb(p, struct)
+    sim = itk.MDSimulation(pdb=p, steps=2)
+    cs = sim.constraint_set
+    assert cs.nwater > 0                      # fast path engaged
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(np.asarray(sim.coords)[None], jnp.float32)
+    x = x0 + jnp.asarray(rng.normal(scale=2e-3, size=x0.shape), jnp.float32)
+    xs = cs.shake(x0, x)
+    assert float(cs.max_violation(xs)) < 1e-5
+    # O-H distances really are R_OH (not the H-H length)
+    from isokann_tpu.md.solvate import water_triplets
+    trip = water_triplets(sim.structure)
+    xr = np.asarray(xs).reshape(-1, 3)
+    doh = np.linalg.norm(xr[trip[:, 0]] - xr[trip[:, 1]], axis=-1)
+    assert np.allclose(doh, R_OH, atol=1e-5)
