@@ -303,11 +303,21 @@ class MDSimulation(IsoSimulation):
         n, d = x0.shape
         nsteps = self.steps if steps is None else steps
         xs = jnp.repeat(x0, nk, axis=0)
-        run = self._propagate_fn(n * nk, nsteps, self.bias is not None)
+        # bucket the walker count to the next power of two: adaptive
+        # sampling loops call propagate with ever-changing batch sizes,
+        # and every new shape is a fresh (remote, minutes-slow) compile —
+        # padding confines them to O(log n) shape families
+        nw = n * nk
+        bucket = max(8, 1 << (nw - 1).bit_length())
+        if bucket != nw:
+            xs = jnp.concatenate(
+                [xs, jnp.tile(xs[-1:], (bucket - nw, 1))], axis=0)
+        run = self._propagate_fn(bucket, nsteps, self.bias is not None)
         if self.bias is not None:
             ys, w = run(xs, key)
-            return WeightedSamples(ys.reshape(n, nk, d), w.reshape(n, nk))
-        ys = run(xs, key)
+            return WeightedSamples(ys[:nw].reshape(n, nk, d),
+                                   w[:nw].reshape(n, nk))
+        ys = run(xs, key)[:nw]
         # failure handling: retry diverged walkers with fresh noise, then
         # fall back to their start state (reference retries PyExceptions and
         # NaN-fills failures, src/simulators/openmm.jl:286-315,
@@ -317,14 +327,14 @@ class MDSimulation(IsoSimulation):
             if not bool(jnp.any(bad)):
                 break
             key, sub = jax.random.split(key)
-            retry = run(xs, sub)
+            retry = run(xs, sub)[:nw]
             ys = jnp.where(bad[:, None], retry, ys)
         bad = ~jnp.all(jnp.isfinite(ys), axis=-1)
         if bool(jnp.any(bad)):
             import warnings
             warnings.warn(f"{int(jnp.sum(bad))} walkers diverged after "
                           f"retries; falling back to their start states")
-            ys = jnp.where(bad[:, None], xs, ys)
+            ys = jnp.where(bad[:, None], xs[:nw], ys)
         return ys.reshape(n, nk, d)
 
     # ---- fused data generation --------------------------------------------
