@@ -77,7 +77,8 @@ def main():
                 compile_err.append(e)
 
         th = None
-        key_ = ("fused", NX, NK, nfeat, EPISODES, 1, False)
+        from isokann_tpu.iso import bucket_capacity
+        key_ = ("fused", bucket_capacity(NX), NK, nfeat, EPISODES, 1, False)
         if key_ not in iso._jit_cache:
             th = threading.Thread(target=compile_train)
             th.start()

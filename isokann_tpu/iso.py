@@ -43,37 +43,60 @@ def _key(key):
 # Fused training program builder
 # ==========================================================================
 
+def bucket_capacity(n: int) -> int:
+    """Round a dataset size up to the next capacity bucket (two buckets per
+    octave: 8, 12, 16, 24, 32, 48, 64, 96, ...).
+
+    Adaptive sampling grows the dataset a few rows per generation; without
+    bucketing every growth step recompiles the fused trainer, which dominates
+    wall-clock under remote-compile backends.  Padding to a <=50% (average
+    ~17%) larger capacity caps recompiles at 2 per dataset doubling."""
+    if n <= 8:
+        return 8
+    p = 1 << (n - 1).bit_length()      # next power of two >= n
+    return 3 * p // 4 if 3 * p // 4 >= n else p
+
+
 def make_fused_run(apply, opt, fused_target, d, minibatch,
                    nx, nk, n, epochs, weighted):
     """Build the jitted whole-run program: n Koopman iterations x epochs of
-    minibatch SGD, all in one lax.scan."""
+    minibatch SGD, all in one lax.scan.
+
+    ``nx`` is the (bucketed) array capacity; the true dataset size enters at
+    runtime via ``mask`` (1 for real rows, 0 for padding duplicates) and
+    ``n_true`` so one compiled program serves every dataset size in the
+    bucket.  Padding rows repeat real rows, which keeps the shift-scale
+    min/max of the fused target exact."""
     mb = minibatch
     bs = nx if (mb == 0 or nx < mb) else mb
     nb = nx // bs
 
-    def epoch_fn(params, opt_state, xs, target, w, key):
+    def epoch_fn(params, opt_state, xs, target, w, mask, scale, n_true, key):
         if nb == 1 and bs == nx:
             # full batch: shuffling is a no-op for the gradient; skipping
             # the permutation also avoids a gather (keeps sharded data
-            # local under data parallelism)
+            # local under data parallelism).  The mask zeroes the padding
+            # duplicates, so the loss equals the unpadded sum exactly.
             def lossf(p):
                 pred = apply(p, xs)
-                return jnp.sum(((pred - target) * w) ** 2)
+                return jnp.sum(((pred - target) * w) ** 2 * mask[:, None])
 
             l, g = jax.value_and_grad(lossf)(params)
             updates, opt_state = opt.update(g, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, l / nx
+            return params, opt_state, l / n_true
 
         perm = jax.random.permutation(key, nx)[:nb * bs].reshape(nb, bs)
 
         def batch_step(carry, idx):
             params, opt_state = carry
-            x, y = xs[idx], target[idx]
+            x, y, m = xs[idx], target[idx], mask[idx]
 
+            # scale = nx/n_true restores the expected per-batch gradient
+            # magnitude to the unpadded sum over bs real rows
             def lossf(p):
                 pred = apply(p, x)
-                return jnp.sum(((pred - y) * w) ** 2)
+                return jnp.sum(((pred - y) * w) ** 2 * m[:, None]) * scale
 
             l, g = jax.value_and_grad(lossf)(params)
             updates, opt_state = opt.update(g, opt_state, params)
@@ -84,7 +107,9 @@ def make_fused_run(apply, opt, fused_target, d, minibatch,
         return params, opt_state, jnp.sum(ls) / nx
 
     @jax.jit
-    def run(params, opt_state, xs, ys, yw, key):
+    def run(params, opt_state, xs, ys, yw, mask, n_true, key):
+        scale = nx / n_true
+
         def iteration(carry, k):
             params, opt_state = carry
             chi_y = apply(params, ys)                       # (nx, nk, d)
@@ -94,14 +119,18 @@ def make_fused_run(apply, opt, fused_target, d, minibatch,
                 kchi = jnp.mean(chi_y, axis=1)
             target = fused_target(kchi)
             if d > 1:
-                w = 1.0 / (jnp.std(target, axis=0) + 1e-12)
+                # masked std: exact over the real rows only
+                mu = jnp.sum(target * mask[:, None], axis=0) / n_true
+                var = jnp.sum((target - mu) ** 2 * mask[:, None], axis=0) / n_true
+                w = 1.0 / (jnp.sqrt(var) + 1e-12)
             else:
                 w = jnp.ones((1,))
             ks = jax.random.split(k, epochs)
 
             def ep(carry, kk):
                 params, opt_state = carry
-                params, opt_state, loss = epoch_fn(params, opt_state, xs, target, w, kk)
+                params, opt_state, loss = epoch_fn(
+                    params, opt_state, xs, target, w, mask, scale, n_true, kk)
                 return (params, opt_state), loss
 
             (params, opt_state), losses = jax.lax.scan(ep, (params, opt_state), ks)
@@ -112,6 +141,19 @@ def make_fused_run(apply, opt, fused_target, d, minibatch,
         return params, opt_state, losses.reshape(-1)
 
     return run
+
+
+def _pad_rows(a, cap):
+    """Pad the leading (batch) axis to ``cap`` by repeating rows from the
+    front (duplicates keep batch statistics like min/max exact)."""
+    n = a.shape[0]
+    if n == cap:
+        return a
+    pad = cap - n
+    reps = [a[:min(pad, n)]]
+    while sum(r.shape[0] for r in reps) < pad:
+        reps.append(a[:min(pad - sum(r.shape[0] for r in reps), n)])
+    return jnp.concatenate([a] + reps, axis=0)
 
 
 # ==========================================================================
@@ -333,18 +375,22 @@ class Iso:
     def precompile_fused(self, nx, nk, n, epochs=1, weighted=False):
         """AOT-compile the fused training program for the given data shape
         (e.g. on a thread, overlapping with data generation — remote-compile
-        backends don't serialize concurrent compilations)."""
+        backends don't serialize concurrent compilations).  ``nx`` is rounded
+        up to its capacity bucket, matching what ``_run_fused`` will request."""
         nfeat = self.model.inputdim
-        cache_key = ("fused", nx, nk, nfeat, n, epochs, weighted)
+        cap = bucket_capacity(nx)
+        cache_key = ("fused", cap, nk, nfeat, n, epochs, weighted)
         run = make_fused_run(self.model.apply, self.opt,
                              self.target.fused_target, self.model.outputdim,
-                             self.minibatch, nx, nk, n, epochs, weighted)
+                             self.minibatch, cap, nk, n, epochs, weighted)
         sds = lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x))
         args = (jax.tree_util.tree_map(sds, self.model.params),
                 jax.tree_util.tree_map(sds, self.opt_state),
-                jax.ShapeDtypeStruct((nx, nfeat), jnp.float32),
-                jax.ShapeDtypeStruct((nx, nk, nfeat), jnp.float32),
-                jax.ShapeDtypeStruct((nx, nk), jnp.float32),
+                jax.ShapeDtypeStruct((cap, nfeat), jnp.float32),
+                jax.ShapeDtypeStruct((cap, nk, nfeat), jnp.float32),
+                jax.ShapeDtypeStruct((cap, nk), jnp.float32),
+                jax.ShapeDtypeStruct((cap,), jnp.float32),
+                jax.ShapeDtypeStruct((), jnp.float32),
                 jax.ShapeDtypeStruct((2,), jnp.uint32))
         self._jit_cache[cache_key] = run.lower(*args).compile()
         return self._jit_cache[cache_key]
@@ -355,11 +401,18 @@ class Iso:
         ys, yw = (ysf.values, ysf.weights) if weighted else (ysf, jnp.zeros(values(ysf).shape[:2]))
         xs = self.data.features
         nx, nk = ys.shape[0], ys.shape[1]
-        cache_key = ("fused", nx, nk, xs.shape[-1], n, epochs, weighted)
-        run = self._fused_run_fn(nx, nk, xs.shape[-1], n, epochs, weighted, cache_key)
+        # pad to the capacity bucket with repeated rows: one compiled
+        # program per bucket instead of one per dataset size (ROADMAP 3b)
+        cap = bucket_capacity(nx)
+        xs, ys, yw = _pad_rows(xs, cap), _pad_rows(ys, cap), _pad_rows(yw, cap)
+        mask = jnp.concatenate([jnp.ones(nx, jnp.float32),
+                                jnp.zeros(cap - nx, jnp.float32)])
+        n_true = jnp.float32(nx)
+        cache_key = ("fused", cap, nk, xs.shape[-1], n, epochs, weighted)
+        run = self._fused_run_fn(cap, nk, xs.shape[-1], n, epochs, weighted, cache_key)
         self.key, sub = jax.random.split(self.key)
         params, opt_state = self.model.params, self.opt_state
-        if self.shard and jax.device_count() > 1 and nx % jax.device_count() == 0:
+        if self.shard and jax.device_count() > 1 and cap % jax.device_count() == 0:
             # automatic data parallelism: batch dims sharded over all
             # devices, params replicated; XLA GSPMD inserts the gradient
             # psum and the global min/max shift-scale reductions
@@ -368,9 +421,10 @@ class Iso:
             xs = shard_batch(mesh, xs)
             ys = shard_batch(mesh, ys)
             yw = shard_batch(mesh, yw)
+            mask = shard_batch(mesh, mask)
             params = replicate(mesh, params)
             opt_state = replicate(mesh, opt_state)
-        params, opt_state, losses = run(params, opt_state, xs, ys, yw, sub)
+        params, opt_state, losses = run(params, opt_state, xs, ys, yw, mask, n_true, sub)
         losses = np.asarray(losses)
         if not np.all(np.isfinite(losses)):
             raise DomainError(

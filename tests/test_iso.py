@@ -159,3 +159,85 @@ def test_koopman_variance_and_simtime():
     iso = _doublewell_iso(nx=16, nk=3)
     assert iso.simulationtime() == 16 * 3 * iso.data.sim.lagtime
     assert np.isfinite(iso.koopman_variance())
+
+
+# -- capacity bucketing (ROADMAP 3b): one compile per bucket --------------
+
+def test_bucket_capacity_values():
+    from isokann_tpu.iso import bucket_capacity
+    assert bucket_capacity(1) == 8
+    assert bucket_capacity(8) == 8
+    assert bucket_capacity(9) == 12
+    assert bucket_capacity(13) == 16
+    assert bucket_capacity(20) == 24
+    assert bucket_capacity(32) == 32
+    assert bucket_capacity(64) == 64
+    assert bucket_capacity(100) == 128
+    assert bucket_capacity(97) == 128
+    assert bucket_capacity(96) == 96
+    # monotone, >= n, < 1.51 n
+    prev = 8
+    for n in range(1, 3000):
+        c = bucket_capacity(n)
+        assert c >= n and c >= prev and c <= max(8, int(1.51 * n))
+        prev = c
+
+
+def test_fused_padding_exact_fullbatch():
+    """Full-batch training on padded (bucketed) arrays must match the
+    unpadded program exactly: the mask zeroes the duplicate rows."""
+    from isokann_tpu.iso import make_fused_run, _pad_rows
+    from isokann_tpu.models import MLP
+    from isokann_tpu.optim import AdamRegularized
+    from isokann_tpu.targets import TransformShiftscale
+
+    key = jax.random.PRNGKey(0)
+    nx, nk, f = 20, 3, 4
+    kx, ky, km, kr = jax.random.split(key, 4)
+    xs = jax.random.normal(kx, (nx, f))
+    ys = xs[:, None, :] + 0.1 * jax.random.normal(ky, (nx, nk, f))
+    yw = jnp.zeros((nx, nk))
+    model = MLP(sizes=(f, 8, 1))
+    model.init(km)
+    opt = AdamRegularized(1e-3, 1e-5)
+    opt_state = opt.init(model.params)
+    tgt = TransformShiftscale()
+
+    def go(cap):
+        run = make_fused_run(model.apply, opt, tgt.fused_target, 1,
+                             0, cap, nk, 4, 1, False)
+        mask = jnp.concatenate([jnp.ones(nx), jnp.zeros(cap - nx)])
+        p, _, losses = run(model.params, opt_state,
+                           _pad_rows(xs, cap), _pad_rows(ys, cap),
+                           _pad_rows(yw, cap), mask, jnp.float32(nx), kr)
+        return p, losses
+
+    p20, l20 = go(20)
+    p24, l24 = go(24)
+    assert np.allclose(np.asarray(l20), np.asarray(l24), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p20),
+                    jax.tree_util.tree_leaves(p24)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_fused_bucket_cache_reuse():
+    """Growing the dataset within one capacity bucket must not create a new
+    compiled program."""
+    iso = _doublewell_iso(nx=33, nk=2)   # bucket 48
+    iso.run(3)
+    n_entries = len(iso._jit_cache)
+    iso.addcoords(np.linspace(-1, 1, 10)[:, None])  # 43 -> still bucket 48
+    iso.run(3)
+    assert len(iso._jit_cache) == n_entries
+    assert np.all(np.isfinite(iso.losses))
+
+
+def test_run_kde_bucketed_minibatch():
+    """Adaptive loop with padding exercising the masked minibatch path."""
+    iso = _doublewell_iso(nx=30, nk=2)   # minibatch=32 > 30: full batch,
+    iso.run(10)                          # bucket 32 with 2 pad rows
+    iso.run_kde(generations=3, iter=5, kde=3)
+    assert len(iso.data) == 39
+    assert np.all(np.isfinite(iso.losses))
+    xs = jnp.linspace(-1.3, 1.3, 21)[:, None]
+    assert np.all(np.isfinite(np.asarray(iso.chicoords(xs))))
