@@ -321,4 +321,11 @@ def optcontrol(iso, forcescale=1.0):
         grad = jax.vmap(jax.grad(logpsi))(x)
         return forcescale * sigma * grad
 
+    # structured description of the bias: lets MDSimulation.propagate run
+    # the whole biased trajectory inside the fused Pallas kernel
+    # (md/pallas_md.aboba_girsanov_fused) when the system qualifies
+    bias_fn.optcontrol_spec = dict(
+        model=iso.model.with_params(params), featurizer=featurizer,
+        forcescale=float(forcescale), b=float(b), qrate=float(q),
+        Tmax=float(Tmax))
     return bias_fn

@@ -234,9 +234,42 @@ class MDSimulation(IsoSimulation):
         except Exception:
             return False
 
+    def _pallas_girsanov_eligible(self, nwalkers: int) -> bool:
+        """Biased propagation runs inside the fused VMEM kernel
+        (``md/pallas_md.aboba_girsanov_fused``) when the bias is an
+        ``optcontrol`` chi-MLP over all-pairs features and the system fits
+        the trajectory kernel (small, unconstrained, non-periodic).  The
+        chi weights and the per-generation scalars stay runtime inputs, so
+        adaptive Girsanov loops reuse one compiled program."""
+        from ..features import FeaturesAll
+        spec = getattr(self.bias, "optcontrol_spec", None)
+        if spec is None or not isinstance(spec["featurizer"], FeaturesAll):
+            return False
+        model = spec["model"]
+        npairs = self.natoms * (self.natoms - 1) // 2
+        if (model.sizes[0] != npairs or model.sizes[-1] != 1
+                or model.activation != "sigmoid"
+                or model.lastactivation != "identity"):
+            return False
+        if self.system.implicit is not None or self.constraint_set is not None:
+            return False
+        if self.system.method == "CutoffPeriodic" or self.natoms > 64:
+            return False
+        try:
+            return jax.devices()[0].platform == "tpu" and nwalkers >= 512
+        except Exception:
+            return False
+
     def _propagate_fn(self, nwalkers: int, nsteps: int, biased: bool):
+        if biased and self._pallas_girsanov_eligible(nwalkers):
+            return self._girsanov_fused_fn(nwalkers, nsteps)
+        # biased closures capture the bias object: key on its identity so
+        # replacing sim.bias (e.g. a fresh optcontrol every generation)
+        # cannot serve a stale program.  (The cached closure keeps the old
+        # bias alive, so its id() cannot be recycled while cached.)
         key_ = ("prop", nwalkers, nsteps, biased, self.integrator,
-                self._pallas_eligible(nwalkers))
+                self._pallas_eligible(nwalkers),
+                id(self.bias) if biased else None)
         if key_ in self._jit_cache:
             return self._jit_cache[key_]
         force_fn = self._force_fn()
@@ -291,6 +324,47 @@ class MDSimulation(IsoSimulation):
                 return x
 
         self._jit_cache[key_] = run
+        return run
+
+    def _girsanov_fused_fn(self, nwalkers: int, nsteps: int):
+        """Biased propagation through the fused VMEM Girsanov kernel.  The
+        compiled program is keyed on the static model spec only; chi
+        weights and the per-generation (b, qrate, Tmax) scalars are read
+        from the *current* ``self.bias`` at every call, so optcontrol
+        refreshes between generations hit the same executable."""
+        spec0 = self.bias.optcontrol_spec
+        mspec = spec0["model"]
+        key_ = ("prop_girsanov", nwalkers, nsteps, mspec.sizes,
+                mspec.layernorm, float(spec0["forcescale"]))
+        if key_ not in self._jit_cache:
+            from ..md.pallas_md import aboba_girsanov_fused
+            system = self.system
+            masses3, T, gamma, dt = (self.masses3, self.temp, self.friction,
+                                     self.step)
+            fs = float(spec0["forcescale"])
+
+            @jax.jit
+            def core(x0, key, params, b, qrate, tmax):
+                kv, ki = jax.random.split(key)
+                p0 = jax.random.normal(kv, x0.shape, x0.dtype) * jnp.sqrt(
+                    masses3 * I.KB * T)
+                q, p, logw = aboba_girsanov_fused(
+                    system, x0, p0, T, gamma, dt, nsteps, ki, mspec,
+                    params=params, forcescale=fs, b=b, qrate=qrate,
+                    Tmax=tmax, block=256)
+                return q, jnp.exp(logw)
+
+            self._jit_cache[key_] = core
+
+        core = self._jit_cache[key_]
+        getbias = lambda: self.bias.optcontrol_spec
+
+        def run(x0, key):
+            spec = getbias()
+            return core(x0, key, spec["model"].params,
+                        jnp.float32(spec["b"]), jnp.float32(spec["qrate"]),
+                        jnp.float32(spec["Tmax"]))
+
         return run
 
     def propagate(self, x0, nk, key=None, steps=None):

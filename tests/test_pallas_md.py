@@ -222,3 +222,135 @@ def test_gb_kernel_periodic_minimum_image():
     ref = np.asarray(itk.md.forces.force_flat(s, xs))
     new = np.asarray(force_flat_hybrid(s, xs, interpret=True))
     assert np.abs(ref - new).max() / np.abs(ref).max() < 1e-5
+
+
+class TestGirsanovKernel:
+    """In-kernel chi-MLP bias (aboba_girsanov_fused): the hand-written MLP
+    forward/backward must match autodiff, and the noiseless kernel must
+    reproduce the XLA ABOBA+Girsanov recursion exactly."""
+
+    @pytest.fixture(scope="class")
+    def gsim(self):
+        return itk.MDSimulation(steps=10)
+
+    @pytest.fixture(scope="class")
+    def model(self, gsim):
+        from isokann_tpu.models import pairnet
+        n = gsim.natoms * (gsim.natoms - 1) // 2
+        return pairnet(n=n, key=jax.random.PRNGKey(3))
+
+    def test_chi_grad_matches_autodiff(self, gsim, model):
+        from isokann_tpu.md.pallas_md import ChiBiasPlan, make_chi_grad_fn
+        from isokann_tpu.models import mlp_apply
+        plan = PallasMDPlan(gsim.system)
+        bias_plan = ChiBiasPlan(plan, model.sizes, model.layernorm)
+        chi_grad = make_chi_grad_fn(bias_plan)
+        rng = np.random.default_rng(0)
+        f = jnp.asarray(rng.uniform(0.1, 1.5, size=(model.sizes[0], 16)),
+                        jnp.float32)
+        chi, gf = chi_grad(bias_plan.cols(model.params), f)
+        ref_chi = mlp_apply(model.params, f.T)            # (16, 1)
+        ref_g = jax.vmap(jax.grad(
+            lambda v: mlp_apply(model.params, v[None])[0, 0]))(f.T)  # (16, n)
+        assert np.abs(np.asarray(chi)[0] - np.asarray(ref_chi)[:, 0]).max() < 1e-5
+        scale = np.abs(np.asarray(ref_g)).max()
+        assert np.abs(np.asarray(gf) - np.asarray(ref_g).T).max() / scale < 1e-4
+
+    def test_nolayernorm_chi_grad(self, gsim):
+        from isokann_tpu.md.pallas_md import ChiBiasPlan, make_chi_grad_fn
+        from isokann_tpu.models import densenet, mlp_apply
+        n = gsim.natoms * (gsim.natoms - 1) // 2
+        model = densenet([n, 13, 1], layernorm=False,
+                         key=jax.random.PRNGKey(4))
+        plan = PallasMDPlan(gsim.system)
+        bias_plan = ChiBiasPlan(plan, model.sizes, False)
+        chi_grad = make_chi_grad_fn(bias_plan)
+        rng = np.random.default_rng(1)
+        f = jnp.asarray(rng.uniform(0.1, 1.5, size=(n, 8)), jnp.float32)
+        chi, gf = chi_grad(bias_plan.cols(model.params), f)
+        ref_chi = mlp_apply(model.params, f.T)
+        ref_g = jax.vmap(jax.grad(
+            lambda v: mlp_apply(model.params, v[None])[0, 0]))(f.T)
+        assert np.abs(np.asarray(chi)[0] - np.asarray(ref_chi)[:, 0]).max() < 1e-5
+        scale = np.abs(np.asarray(ref_g)).max()
+        assert np.abs(np.asarray(gf) - np.asarray(ref_g).T).max() / scale < 1e-4
+
+    def test_kernel_matches_noiseless_aboba(self, gsim, model):
+        """Interpret-mode (noiseless) kernel == the ABOBA+Girsanov recursion
+        with eta = 0, with the optcontrol bias computed by autodiff."""
+        import math
+        from isokann_tpu.md.pallas_md import aboba_girsanov_fused
+        from isokann_tpu.models import mlp_apply
+        from isokann_tpu.ops.pairdists import flatpairdists
+        from isokann_tpu.md.integrators import KB
+
+        T, gamma, dt, nsteps = 310.0, 1.0, 0.002, 5
+        forcescale, b, qrate = 0.7, 0.4, -2.0
+        Tmax = nsteps * dt
+        rng = np.random.default_rng(2)
+        x0 = jnp.asarray(np.asarray(gsim.coords)[None, :]
+                         + rng.normal(scale=0.005, size=(8, 66)), jnp.float32)
+        m3 = gsim.masses3
+        p0 = jnp.asarray(rng.normal(size=(8, 66)), jnp.float32) * jnp.sqrt(
+            m3 * KB * T)
+
+        q_k, p_k, logw_k = aboba_girsanov_fused(
+            gsim.system, x0, p0, T, gamma, dt, nsteps,
+            jax.random.PRNGKey(0), model, forcescale=forcescale, b=b,
+            qrate=qrate, Tmax=Tmax, block=8, interpret=True)
+
+        # oracle: integrators.aboba_girsanov's math with eta = 0
+        params = model.params
+
+        def chifun(z):
+            return mlp_apply(params, flatpairdists(z[None]))[0, 0]
+
+        gradchi = jax.vmap(jax.grad(chifun))
+        a = math.exp(-gamma * dt)
+        t2 = dt / 2.0
+        famp = np.sqrt(KB * T * np.asarray(m3) * (1.0 - a * a))
+        sig2 = 2.0 * KB * T * gamma * np.asarray(m3)
+        q, p = x0, p0
+        logw = np.zeros(8)
+        t = 0.0
+        for _ in range(nsteps):
+            q = q + t2 * p / m3
+            F = force_flat(gsim.system, q)
+            lam = math.exp(qrate * (Tmax - t))
+            chi = jax.vmap(chifun)(q)
+            denom = lam * (chi - b) + b
+            B = forcescale * sig2 * (lam / denom)[:, None] * gradchi(q)
+            deta = (a + 1.0) / famp * t2 * np.asarray(B)
+            logw = logw - 0.5 * (deta ** 2).sum(axis=1)
+            half = t2 * (F + B)
+            p = a * (p + half) + half
+            q = q + t2 * p / m3
+            t += dt
+        assert np.abs(np.asarray(q_k - q)).max() < 2e-5
+        assert np.abs(np.asarray(p_k - p)).max() < 1e-3
+        rel = np.abs(np.asarray(logw_k) - logw) / max(np.abs(logw).max(), 1e-12)
+        assert rel.max() < 1e-4
+
+    def test_optcontrol_spec_and_eligibility(self, gsim):
+        """optcontrol attaches the kernel spec; static eligibility checks
+        hold for the default setup (the TPU check itself is env-dependent)."""
+        from isokann_tpu.iso import Iso
+        from isokann_tpu.optim import AdamRegularized
+        from isokann_tpu.md.integrators import optcontrol
+        from isokann_tpu.features import FeaturesAll
+        iso = Iso(sim=gsim, nx=8, nk=2, key=5, opt=AdamRegularized())
+        iso.run(2)
+        bias = optcontrol(iso)
+        spec = bias.optcontrol_spec
+        assert isinstance(spec["featurizer"], FeaturesAll)
+        n = gsim.natoms * (gsim.natoms - 1) // 2
+        assert spec["model"].sizes[0] == n and spec["model"].sizes[-1] == 1
+        assert np.isfinite([spec["b"], spec["qrate"], spec["Tmax"]]).all()
+        gsim.bias = bias
+        # on CPU the kernel path must decline (platform check) but the
+        # XLA biased path must produce weighted samples
+        ws = gsim.propagate(jnp.tile(gsim.coords[None], (4, 1)), 2)
+        from isokann_tpu.data import WeightedSamples
+        assert isinstance(ws, WeightedSamples)
+        assert np.all(np.isfinite(np.asarray(ws.weights)))
+        gsim.bias = None
