@@ -301,9 +301,14 @@ def optcontrol(iso, forcescale=1.0):
     shift, scale, limit = shift_and_scale(chi1, kchi)
     lam = scale
     Tmax = sim.lagtime
+    if not (0.0 < lam <= 1.0):
+        from ..targets import DomainError
+        raise DomainError(
+            f"expected contracting Koopman operator (fitted lambda={lam:.4g}"
+            " outside (0, 1]; chi is not yet converged enough for a"
+            " well-defined optimal-control bias)")
     q = math.log(lam) / Tmax
     b = shift / (1.0 - lam) if abs(1.0 - lam) > 1e-12 else 0.5
-    assert q <= 0, "expected contracting Koopman operator"
 
     featurizer = iso.data.featurizer
     apply, params = iso.model.apply, iso.model.params

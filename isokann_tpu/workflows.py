@@ -65,3 +65,47 @@ def run_both(iso, generations=100, samples_kde=1, iter=100, plots=None,
         iso.run_kde(generations=1, kde=samples_kde, iter=iter)
         run_metadynamics(iso, generations=1, iter=iter, plots=plots, **mdargs)
     return iso
+
+
+def run_girsanov(iso, generations=1, iter=100, kde=1, forcescale=1.0,
+                 cutoff=np.inf, showprogress=False):
+    """Koopman-weighted adaptive training: per generation, refresh the
+    chi-derived optimal-control bias (``integrators.optcontrol``), resample
+    new start points whose Koopman bursts are integrated *under the bias*
+    (Girsanov-reweighted ``WeightedSamples``), and train on the weighted
+    expectation.
+
+    The importance-sampling bias drives walkers across the transition
+    region, cutting the variance of the Kchi estimate exactly where the
+    chi gradient lives (the study the reference runs by hand with
+    ``optcontrol`` + ``langevin_girsanov!``,
+    ``src/simulators/openmm.jl:569-667``).  On TPU, eligible systems
+    integrate bias and weights inside the fused Pallas kernel
+    (``md/pallas_md.aboba_girsanov_fused``) — the per-generation model
+    refresh reuses one compiled program.
+
+    Before chi contracts (lambda >= 1) the generation samples unbiased.
+    """
+    from .md.integrators import optcontrol
+    from .targets import DomainError
+
+    sim = iso.data.sim
+    old_bias = sim.bias
+    try:
+        for g in range(generations):
+            try:
+                sim.bias = optcontrol(iso, forcescale=forcescale)
+            except DomainError:
+                sim.bias = None       # not yet contracting: sample unbiased
+            iso.resample_kde(kde)
+            if len(iso.data) > cutoff:
+                iso.data = iso.data[len(iso.data) - int(cutoff):]
+            iso.run(iter)
+            if showprogress:
+                biased = sim.bias is not None
+                print(f"[run_girsanov] gen {g + 1}/{generations} "
+                      f"loss={iso.losses[-1]:.4g} n={len(iso.data)} "
+                      f"biased={biased}", flush=True)
+    finally:
+        sim.bias = old_bias
+    return iso

@@ -91,7 +91,7 @@ def test_optcontrol_bias_workflow(key):
     iso.run(30)
     try:
         bias = optcontrol(iso, forcescale=0.1)
-    except AssertionError:
+    except itk.DomainError:
         pytest.skip("Koopman slope >= 1 on this tiny run (q>0)")
     ws = sim.langevin_girsanov(steps=10, bias=bias, key=key)
     w = np.asarray(ws.weights)
@@ -107,3 +107,25 @@ def test_shift_and_scale():
     assert bias == pytest.approx(0.2, abs=1e-8)
     assert scale == pytest.approx(0.5, abs=1e-8)
     assert limit == pytest.approx(0.4, abs=1e-6)
+
+
+def test_run_girsanov_workflow():
+    """Koopman-weighted adaptive loop: optcontrol bias refresh + biased
+    resampling produce WeightedSamples data that trains through the
+    weighted fused loop."""
+    import numpy as np
+    import isokann_tpu as itk
+    from isokann_tpu.data import WeightedSamples
+
+    sim = itk.MDSimulation(steps=20)
+    iso = itk.Iso(sim=sim, nx=12, nk=2, key=0, opt=itk.AdamRegularized())
+    iso.run(10)
+    itk.run_girsanov(iso, generations=2, iter=5, kde=2)
+    assert len(iso.data) == 16
+    assert np.all(np.isfinite(iso.losses))
+    # once any generation sampled biased, propfeatures carry weights
+    pf = iso.data.propfeatures
+    if isinstance(pf, WeightedSamples):
+        w = np.asarray(pf.weights)
+        assert np.all(np.isfinite(w)) and np.all(w >= 0)
+    assert sim.bias is None      # restored
