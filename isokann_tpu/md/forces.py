@@ -173,7 +173,13 @@ def gbsa_obc2_energy(sys: MDSystem, x):
 
 
 def potential_energy(sys: MDSystem, x):
-    """Total potential; ``x``: (natoms, 3) nm -> kJ/mol."""
+    """Total potential; ``x``: (natoms, 3) nm -> kJ/mol.
+
+    Large systems built with ``dense_pairs=False`` route through the O(n)
+    cell-list neighbor engine (``md/neighbor.py``)."""
+    if not sys.dense_pairs:
+        from .neighbor import potential_energy_neighbor
+        return potential_energy_neighbor(sys, x)
     e = (bond_energy(sys, x) + angle_energy(sys, x)
          + dihedral_energy(sys, x) + nonbonded_energy(sys, x))
     if sys.implicit == "obc2":
@@ -196,7 +202,14 @@ def force(sys: MDSystem, x):
 
 
 def force_flat(sys: MDSystem, xflat):
-    """Batched forces on flat coords: (..., 3N) -> (..., 3N)."""
+    """Batched forces on flat coords: (..., 3N) -> (..., 3N).
+
+    Large (``dense_pairs=False``) systems use the neighbor engine's
+    *analytic* forces — forward-only gathers instead of the scatter-heavy
+    autodiff VJPs."""
+    if not sys.dense_pairs:
+        from .neighbor import force_flat_neighbor
+        return force_flat_neighbor(sys, xflat)
     x = jnp.asarray(xflat)
     shape = x.shape
     xs = x.reshape((-1, sys.natoms, 3))

@@ -1,0 +1,547 @@
+"""TPU-native cell-list neighbor engine for large periodic systems.
+
+The dense all-pairs nonbonded path (``md/forces.py``) materializes (n, n)
+tensors — ideal up to a few thousand atoms, impossible beyond.  This module
+is the O(n) replacement the reference gets from OpenMM's neighbor-list
+CutoffPeriodic kernels (``src/simulators/mopenmm.py:101-115``), redesigned
+for XLA/TPU:
+
+- **static shapes everywhere**: the box is tiled into cells of edge >=
+  cutoff; each cell holds at most ``C`` atoms (padded, sentinel-indexed),
+  and the 27-cell stencil is a precomputed (ncells, S) table.  Atom->cell
+  assignment is one sort + one scatter per rebuild (rebuilt every step —
+  cheap next to the pair math, and no skin bookkeeping).
+- **cell-blocked pair sweep**: a ``fori_loop`` over the S stencil offsets
+  processes (ncells, C, C) pair blocks — peak memory O(n * C), fully
+  vectorized elementwise VPU work, no data-dependent shapes.
+- **analytic forces** (no autodiff): gathers run forward-only, avoiding
+  the scatter-heavy VJPs that are poison for the TPU compiler (the same
+  reasoning as ``md/gbsa_force.py``).
+- **exception corrections**: the pair sweep treats every pair as a full
+  interaction; the sparse exception list (``MDSystem.excl_idx/qq/lj``)
+  subtracts excluded/1-4 pairs and adds their scaled straight-Coulomb/LJ
+  terms — numerically identical to the dense path's scale matrices.
+
+Only CutoffPeriodic (minimum-image reaction field) systems are supported —
+the method the reference's "auto" rule selects for boxed systems.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .system import MDSystem, COULOMB
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+class NeighborPlan:
+    """Static cell-grid data for a (box, cutoff, natoms) combination.
+
+    ``x0`` (optional, (natoms, 3)): coordinates used to size the per-cell
+    capacity (1.5x the observed max occupancy); without it a density
+    heuristic is used.  ``capacity`` overrides both.
+    """
+
+    def __init__(self, sys: MDSystem, x0=None, capacity: int = None,
+                 margin: float = 1.5, cell_div: int = None):
+        if sys.method != "CutoffPeriodic" or sys.box is None:
+            raise ValueError("neighbor engine requires CutoffPeriodic + box")
+        self.box = np.asarray(sys.box, np.float64)
+        self.cutoff = float(sys.cutoff)
+        self.natoms = int(sys.natoms)
+
+        def config(div):
+            """Grid geometry + pruned stencil offsets for cells of edge
+            >= cutoff/div.  Finer cells cover the cutoff sphere much more
+            tightly (27 coarse cells overshoot its volume ~9x)."""
+            nc = np.maximum(np.floor(self.box * div / self.cutoff),
+                            1.0).astype(int)
+            edge = self.box / nc
+            Rd = np.ceil(self.cutoff / edge - 1e-9).astype(int)
+            offs = []
+            for ox in range(-Rd[0], Rd[0] + 1):
+                for oy in range(-Rd[1], Rd[1] + 1):
+                    for oz in range(-Rd[2], Rd[2] + 1):
+                        sep = np.array([max(abs(ox) - 1, 0) * edge[0],
+                                        max(abs(oy) - 1, 0) * edge[1],
+                                        max(abs(oz) - 1, 0) * edge[2]])
+                        if np.dot(sep, sep) < self.cutoff ** 2:
+                            offs.append((ox, oy, oz))
+            # dedupe offsets that wrap onto the same cell (small boxes)
+            seen, uniq = set(), []
+            for o in offs:
+                key = tuple(np.mod(o, nc))
+                if key not in seen:
+                    seen.add(key)
+                    uniq.append(o)
+            # Newton's third law: pair (o, -o) visited once, self separate —
+            # valid only when no offset aliases its own negation
+            newton = all(tuple(np.mod(o, nc)) != tuple(np.mod([-v for v in o],
+                                                              nc))
+                         for o in uniq if o != (0, 0, 0))
+            half = [o for o in uniq if o > (0, 0, 0)] if newton else \
+                   [o for o in uniq if o != (0, 0, 0)]
+            return nc, edge, half, newton
+
+        def occupancy(nc, edge):
+            if x0 is None:
+                return margin * self.natoms / np.prod(nc) + 8
+            xw = np.asarray(x0, np.float64).reshape(-1, 3)
+            xw = xw - self.box * np.floor(xw / self.box)
+            cd = np.minimum((xw / edge).astype(int), nc - 1)
+            cid = (cd[:, 0] * nc[1] + cd[:, 1]) * nc[2] + cd[:, 2]
+            return margin * np.bincount(cid, minlength=np.prod(nc)).max()
+
+        if cell_div is None:
+            # pick the cheaper grid by the pair-block cost model
+            best = None
+            for div in (1, 2):
+                nc, edge, half, newton = config(div)
+                C = _round_up(max(int(math.ceil(occupancy(nc, edge))), 4), 4)
+                work = C * C * np.prod(nc) * (len(half) + (0.5 if newton
+                                                           else 1.0))
+                if best is None or work < best[0]:
+                    best = (work, div)
+            cell_div = best[1]
+        self.cell_div = cell_div
+
+        self.nc, self.cell, half, self.newton = config(cell_div)
+        self.ncells = int(np.prod(self.nc))
+        grid = np.stack(np.meshgrid(*[np.arange(n) for n in self.nc],
+                                    indexing="ij"), axis=-1).reshape(-1, 3)
+
+        def cells_of(o):
+            nb = (grid + list(o)) % self.nc
+            return ((nb[:, 0] * self.nc[1] + nb[:, 1]) * self.nc[2]
+                    + nb[:, 2]).astype(np.int32)
+
+        # per half-offset: candidate cell c+o, and the inverse permutation
+        # (static!) used to add the reaction force back without a scatter
+        cand = np.stack([cells_of(o) for o in half], axis=1) if half else \
+            np.zeros((self.ncells, 0), np.int32)
+        inv = np.empty_like(cand)
+        for s in range(cand.shape[1]):
+            inv[cand[:, s], s] = np.arange(self.ncells, dtype=np.int32)
+        self.stencil = jnp.asarray(cand)      # (ncells, S) neighbor cells
+        self.stencil_inv = jnp.asarray(inv)   # inverse permutations
+        self.S = cand.shape[1]
+
+        if capacity is None:
+            capacity = int(math.ceil(occupancy(self.nc, self.cell)))
+        self.C = _round_up(max(capacity, 4), 4)
+
+        # hard exclusions (1-2/1-3: zero target weight) are masked *inside*
+        # the pair sweep — their full-pair LJ at bonded distances is ~1e6
+        # kJ/mol, and subtract-style correction would lose ~6 digits to f32
+        # cancellation.  (n, E) partner table, padded with -1.
+        eidx = np.asarray(sys.excl_idx)
+        eqq = np.asarray(sys.excl_qq)
+        elj = np.asarray(sys.excl_lj)
+        hard = (eqq == 0.0) & (elj == 0.0)
+        partners = [[] for _ in range(self.natoms)]
+        for (a, b) in eidx[hard]:
+            partners[a].append(b)
+            partners[b].append(a)
+        E = max(1, max((len(p) for p in partners), default=1))
+        tab = np.full((self.natoms + 1, E), -1, np.int32)
+        for a, p in enumerate(partners):
+            tab[a, :len(p)] = p
+        self.excl_tab = jnp.asarray(tab)
+        self.n_soft = int((~hard).sum())   # 1-4 pairs handled by correction
+
+    def _cell_id_np(self, x):
+        xw = np.asarray(x, np.float64).reshape(-1, 3)
+        xw = xw - self.box * np.floor(xw / self.box)
+        cd = np.minimum((xw / self.cell).astype(int), self.nc - 1)
+        return (cd[:, 0] * self.nc[1] + cd[:, 1]) * self.nc[2] + cd[:, 2]
+
+    # ---- device-side table construction ---------------------------------
+
+    def cell_id(self, xw):
+        """(n, 3) wrapped coords -> (n,) cell ids."""
+        cell = jnp.asarray(self.cell, xw.dtype)
+        cd = jnp.clip((xw / cell).astype(jnp.int32), 0,
+                      jnp.asarray(self.nc - 1, jnp.int32))
+        return (cd[:, 0] * self.nc[1] + cd[:, 1]) * self.nc[2] + cd[:, 2]
+
+    def sorted_frame(self, xw):
+        """Scatter-free cell table in the *sorted* frame.
+
+        TPU scatters serialize; everything here is sorts, searchsorted and
+        gathers.  Returns ``(order, table, pos, overflow)``:
+        - ``order`` (n,): original index of the k-th cell-sorted atom;
+        - ``table`` (ncells, C): *sorted-frame* indices of each cell's
+          atoms (= start[c] + slot, so pure vector math; sentinel n);
+        - ``pos`` (n,): flat (cell, slot) position of sorted atom k — the
+          gather-back map from the per-slot force accumulator.
+        """
+        n, C = self.natoms, self.C
+        cid = self.cell_id(xw)
+        order = jnp.argsort(cid)
+        scid = cid[order]
+        cells = jnp.arange(self.ncells, dtype=scid.dtype)
+        start = jnp.searchsorted(scid, cells, side="left").astype(jnp.int32)
+        end = jnp.searchsorted(scid, cells, side="right").astype(jnp.int32)
+        slots = jnp.arange(C, dtype=jnp.int32)
+        table = start[:, None] + slots[None, :]
+        table = jnp.where(table < end[:, None], table, n)
+        rank = jnp.arange(n, dtype=jnp.int32) - jnp.searchsorted(
+            scid, scid, side="left").astype(jnp.int32)
+        ok = rank < C
+        pos = jnp.where(ok, scid.astype(jnp.int32) * C + rank,
+                        self.ncells * C)
+        return order, table, pos, jnp.sum(~ok)
+
+    def table(self, xw):
+        """(ncells, C) *original-frame* atom-index table (sentinel =
+        natoms) + overflow count (diagnostic view of ``sorted_frame``)."""
+        order, table, _, dropped = self.sorted_frame(xw)
+        opad = jnp.concatenate(
+            [order.astype(jnp.int32), jnp.full((1,), self.natoms, jnp.int32)])
+        return opad[table], dropped
+
+    def overflow(self, x):
+        """Dropped-atom count for coordinates ``x`` (diagnostic; must be 0
+        for correct forces — enlarge ``capacity`` otherwise)."""
+        xf = jnp.asarray(x).reshape(-1, self.natoms, 3)
+        box = jnp.asarray(self.box, xf.dtype)
+        xw = xf - box * jnp.floor(xf / box)
+        return int(jnp.max(jax.vmap(lambda z: self.table(z)[1])(xw)))
+
+
+# ==========================================================================
+# Pair math (identical formulas to forces.nonbonded_energy, RF method)
+# ==========================================================================
+
+def _rf_consts(sys):
+    rc = sys.cutoff
+    krf = (1.0 / rc ** 3) * (sys.eps_rf - 1.0) / (2.0 * sys.eps_rf + 1.0)
+    crf = (1.0 / rc) * (3.0 * sys.eps_rf) / (2.0 * sys.eps_rf + 1.0)
+    return rc, krf, crf
+
+
+def _pair_terms(r2, qq, rmin, epsij, krf, crf):
+    """Full-pair RF energy and dE/dr2 from squared distance (elementwise;
+    one rsqrt, the rest multiplies — the sweep is VPU-bound)."""
+    inv_r = jax.lax.rsqrt(r2)
+    inv_r2 = inv_r * inv_r
+    x6 = (rmin * rmin * inv_r2) ** 3
+    e_lj = epsij * (x6 * x6 - 2.0 * x6)
+    g_lj = 6.0 * epsij * (x6 - x6 * x6) * inv_r2
+    e_c = qq * (inv_r + krf * r2 - crf)
+    g_c = qq * (-0.5 * inv_r2 * inv_r) + qq * krf
+    return e_lj + e_c, g_lj + g_c
+
+
+# ==========================================================================
+# Neighbor sweep: energy and analytic forces
+# ==========================================================================
+
+def _padded_params(sys):
+    zero = jnp.zeros((1,), sys.charges.dtype)
+    q = jnp.concatenate([sys.charges, zero])
+    rm = jnp.concatenate([sys.rmin_half, zero])
+    ep = jnp.concatenate([sys.eps, zero])
+    return q, rm, ep
+
+
+def _sweep(sys: MDSystem, plan: NeighborPlan, x, want_force: bool):
+    """Cell-blocked pair sweep over the stencil, entirely in the sorted
+    frame — sorts and gathers only, zero scatters (TPU scatters
+    serialize).  The self-cell block runs with a full i!=j mask; each
+    (o, -o) offset pair is visited once, with the reaction force returned
+    to the j-cells through a *static* inverse-permutation gather (Newton's
+    third law without a scatter).  ``x``: (natoms, 3) (unwrapped).
+    Returns force (natoms, 3) or energy scalar."""
+    dtype = x.dtype
+    n = plan.natoms
+    box = jnp.asarray(plan.box, dtype)
+    rc, krf, crf = _rf_consts(sys)
+    xw = x - box * jnp.floor(x / box)
+    order, table, pos, _ = plan.sorted_frame(xw)
+
+    def pad_row(a, fill=0.0):
+        return jnp.concatenate(
+            [a[order], jnp.full((1,) + a.shape[1:], fill, a.dtype)])
+
+    q, rm, ep = sys.charges, sys.rmin_half, sys.eps
+    xs = pad_row(xw)                                  # sorted coords + pad
+    qs, rms, eps_ = pad_row(q), pad_row(rm), pad_row(ep)
+    oid = jnp.concatenate([order.astype(jnp.int32),
+                           jnp.full((1,), -2, jnp.int32)])
+    excl_s = jnp.concatenate([plan.excl_tab[:n][order],
+                              jnp.full((1, plan.excl_tab.shape[1]), -1,
+                                       jnp.int32)])
+
+    pos_i = xs[table]                                 # (ncells, C, 3)
+    q_i, rm_i, ep_i = qs[table], rms[table], eps_[table]
+    excl_i = excl_s[table]                            # (ncells, C, E)
+
+    def block(tj):
+        """Pair terms of the i-blocks (= ``table``) against j-blocks
+        ``tj``: masked (e, g, d) with g pre-multiplied by the mask."""
+        pos_j = xs[tj]
+        d = pos_i[:, :, None, :] - pos_j[:, None, :, :]
+        d = d - box * jnp.round(d / box)              # minimum image
+        r2 = jnp.sum(d * d, axis=-1) + 1e-12
+        oid_j = oid[tj]                               # original ids
+        excluded = jnp.any(
+            excl_i[:, :, None, :] == oid_j[:, None, :, None], axis=-1)
+        maskb = ((r2 < rc * rc)
+                 & (table[:, :, None] != tj[:, None, :]) & ~excluded)
+        # keep the pair math NaN/overflow-free on masked slots
+        r2s = jnp.where(maskb, r2, 1.0)
+        qq = COULOMB * q_i[:, :, None] * qs[tj][:, None, :]
+        rmin = rm_i[:, :, None] + rms[tj][:, None, :]
+        epsij = jnp.sqrt(ep_i[:, :, None] * eps_[tj][:, None, :])
+        e, g = _pair_terms(r2s, qq, rmin, epsij, krf, crf)
+        mask = maskb.astype(dtype)
+        return e * mask, g * mask, d
+
+    wcross = 1.0 if plan.newton else 0.5
+
+    if want_force:
+        e0, g0, d0 = block(table)                     # self cell
+        acc = jnp.sum((-2.0 * g0)[..., None] * d0, axis=2)
+
+        def offset_term(s, acc):
+            tj = table[plan.stencil[:, s]]
+            e, g, d = block(tj)
+            gd = (-2.0 * g)[..., None] * d
+            acc = acc + jnp.sum(gd, axis=2)           # force on i-block
+            if plan.newton:
+                # reaction on the j-block, returned to its cell by the
+                # static inverse permutation (gather, not scatter)
+                fj = -jnp.sum(gd, axis=1)             # (ncells, C, 3)
+                acc = acc + fj[plan.stencil_inv[:, s]]
+            return acc
+
+        acc = jax.lax.fori_loop(0, plan.S, offset_term, acc)
+        f_sorted = acc.reshape(-1, 3)[pos]            # (n, 3), sorted frame
+        return f_sorted[jnp.argsort(order)]
+
+    e0 = 0.5 * jnp.sum(block(table)[0])
+
+    def offset_energy(s, acc):
+        tj = table[plan.stencil[:, s]]
+        return acc + wcross * jnp.sum(block(tj)[0])
+
+    return jax.lax.fori_loop(0, plan.S, offset_energy, e0)
+
+
+def _exception_terms(sys: MDSystem, x, want_force: bool):
+    """Sparse 1-4 corrections: subtract the full-pair term the sweep added,
+    add the target scaled straight-Coulomb + LJ (dense-path semantics,
+    ``forces.nonbonded_energy``).  Hard (1-2/1-3) exclusions are masked
+    inside the sweep and contribute nothing here."""
+    if sys.excl_idx.shape[0] == 0:
+        return (jnp.zeros_like(x) if want_force
+                else jnp.zeros((), x.dtype))
+    dtype = x.dtype
+    box = jnp.asarray(sys.box, dtype)
+    rc, krf, crf = _rf_consts(sys)
+    i, j = sys.excl_idx[:, 0], sys.excl_idx[:, 1]
+    soft = ((sys.excl_qq > 0) | (sys.excl_lj > 0)).astype(dtype)
+    d = x[i] - x[j]
+    d = d - box * jnp.round(d / box)
+    r2 = jnp.sum(d * d, axis=-1) + 1e-12
+    inv_r2 = 1.0 / r2
+    r = jnp.sqrt(r2)
+    inv_r = 1.0 / r
+    qq = COULOMB * sys.charges[i] * sys.charges[j]
+    rmin = sys.rmin_half[i] + sys.rmin_half[j]
+    epsij = jnp.sqrt(sys.eps[i] * sys.eps[j])
+    x6 = (rmin * rmin * inv_r2) ** 3
+    e_lj = epsij * (x6 * x6 - 2.0 * x6)
+    g_lj = 6.0 * epsij * (x6 - x6 * x6) * inv_r2
+    within = (r < rc).astype(dtype)
+
+    e_full, g_full = _pair_terms(r2, qq, rmin, epsij, krf, crf)
+    # target: scaled straight Coulomb + scaled LJ (no RF, no cutoff)
+    e = soft * (sys.excl_qq * qq * inv_r + sys.excl_lj * e_lj
+                - within * e_full)
+    if not want_force:
+        return jnp.sum(e)
+    g = soft * (sys.excl_qq * qq * (-0.5 * inv_r2 * inv_r)
+                + sys.excl_lj * g_lj - within * g_full)
+    gd = (-2.0 * g)[:, None] * d
+    f = jnp.zeros_like(x).at[i].add(gd).at[j].add(-gd)
+    return f
+
+
+def _default_plan(sys, x):
+    """Plan for ad-hoc calls: capacity from the coordinates when they are
+    concrete, a generous density heuristic when traced (inside jit/vmap
+    the plan must not depend on values)."""
+    if isinstance(x, jax.core.Tracer):
+        return NeighborPlan(sys, margin=2.5)
+    return NeighborPlan(sys, x0=np.asarray(x).reshape(-1, 3)[:sys.natoms])
+
+
+def neighbor_nonbonded_energy(sys: MDSystem, x, plan: NeighborPlan = None):
+    """O(n) nonbonded energy; matches ``forces.nonbonded_energy`` on
+    CutoffPeriodic systems.  ``x``: (natoms, 3)."""
+    plan = plan or _default_plan(sys, x)
+    return _sweep(sys, plan, x, False) + _exception_terms(sys, x, False)
+
+
+def neighbor_nonbonded_force(sys: MDSystem, x, plan: NeighborPlan = None):
+    """O(n) analytic nonbonded forces (no autodiff).  ``x``: (natoms, 3)."""
+    plan = plan or _default_plan(sys, x)
+    return _sweep(sys, plan, x, True) + _exception_terms(sys, x, True)
+
+
+# ==========================================================================
+# Sparse (gather-based) bonded terms — for systems without the dense
+# incidence matrices.  Analytic gradients identical to the hand-derived
+# difference-vector math of the fused Pallas kernel (md/pallas_md.grows,
+# validated there against autodiff).
+# ==========================================================================
+
+def bonded_energy_sparse(sys: MDSystem, x):
+    e = jnp.zeros((), x.dtype)
+    if sys.bond_idx.shape[0]:
+        d = x[sys.bond_idx[:, 0]] - x[sys.bond_idx[:, 1]]
+        r = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-16)
+        e = e + jnp.sum(sys.bond_k * (r - sys.bond_r0) ** 2)
+    if sys.angle_idx.shape[0]:
+        u = x[sys.angle_idx[:, 0]] - x[sys.angle_idx[:, 1]]
+        v = x[sys.angle_idx[:, 2]] - x[sys.angle_idx[:, 1]]
+        cos = jnp.sum(u * v, axis=-1) / jnp.sqrt(
+            jnp.sum(u * u, axis=-1) * jnp.sum(v * v, axis=-1) + 1e-16)
+        theta = jnp.arccos(jnp.clip(cos, -1.0 + 1e-7, 1.0 - 1e-7))
+        e = e + jnp.sum(sys.angle_k * (theta - sys.angle_t0) ** 2)
+    if sys.dih_idx.shape[0]:
+        b1 = x[sys.dih_idx[:, 1]] - x[sys.dih_idx[:, 0]]
+        b2 = x[sys.dih_idx[:, 2]] - x[sys.dih_idx[:, 1]]
+        b3 = x[sys.dih_idx[:, 3]] - x[sys.dih_idx[:, 2]]
+        n1 = jnp.cross(b1, b2)
+        n2 = jnp.cross(b2, b3)
+        b2n = b2 / (jnp.linalg.norm(b2, axis=-1, keepdims=True) + 1e-12)
+        m1 = jnp.cross(n1, b2n)
+        phi = jnp.arctan2(jnp.sum(m1 * n2, axis=-1),
+                          jnp.sum(n1 * n2, axis=-1))
+        e = e + jnp.sum(sys.dih_pk
+                        * (1.0 + jnp.cos(sys.dih_n * phi - sys.dih_phase)))
+    return e
+
+
+def bonded_force_sparse(sys: MDSystem, x):
+    """Analytic bonded forces via gathers + scatter-add (forward-only)."""
+    f = jnp.zeros_like(x)
+    if sys.bond_idx.shape[0]:
+        i, j = sys.bond_idx[:, 0], sys.bond_idx[:, 1]
+        d = x[i] - x[j]
+        r = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-16)
+        g = (2.0 * sys.bond_k * (r - sys.bond_r0) / r)[:, None] * d
+        f = f.at[i].add(-g).at[j].add(g)
+    if sys.angle_idx.shape[0]:
+        a, b, c = (sys.angle_idx[:, 0], sys.angle_idx[:, 1],
+                   sys.angle_idx[:, 2])
+        u = x[a] - x[b]
+        v = x[c] - x[b]
+        uu = jnp.sum(u * u, axis=-1) + 1e-16
+        vv = jnp.sum(v * v, axis=-1) + 1e-16
+        uv = jnp.sum(u * v, axis=-1)
+        inv_norm = jax.lax.rsqrt(uu * vv)
+        cos_t = jnp.clip(uv * inv_norm, -1.0 + 1e-7, 1.0 - 1e-7)
+        sin_t = jnp.sqrt(1.0 - cos_t * cos_t)
+        theta = jnp.arctan2(sin_t, cos_t)
+        coef = -2.0 * sys.angle_k * (theta - sys.angle_t0) / sin_t
+        cu = (coef * inv_norm)[:, None]
+        cuu = (coef * cos_t / uu)[:, None]
+        cvv = (coef * cos_t / vv)[:, None]
+        gu = cu * v - cuu * u
+        gv = cu * u - cvv * v
+        f = f.at[a].add(-gu).at[c].add(-gv).at[b].add(gu + gv)
+    if sys.dih_idx.shape[0]:
+        i, j, k, l = (sys.dih_idx[:, 0], sys.dih_idx[:, 1],
+                      sys.dih_idx[:, 2], sys.dih_idx[:, 3])
+        b1 = x[j] - x[i]
+        b2 = x[k] - x[j]
+        b3 = x[l] - x[k]
+        n1 = jnp.cross(b1, b2)
+        n2 = jnp.cross(b2, b3)
+        n1sq = jnp.sum(n1 * n1, axis=-1) + 1e-12
+        n2sq = jnp.sum(n2 * n2, axis=-1) + 1e-12
+        b2sq = jnp.sum(b2 * b2, axis=-1) + 1e-12
+        b2n = jnp.sqrt(b2sq)
+        m1 = jnp.cross(n1, b2 / b2n[:, None])
+        phi = jnp.arctan2(jnp.sum(m1 * n2, axis=-1),
+                          jnp.sum(n1 * n2, axis=-1))
+        dEdphi = -sys.dih_pk * sys.dih_n * jnp.sin(
+            sys.dih_n * phi - sys.dih_phase)
+        c1 = (-b2n / n1sq)[:, None]
+        c3 = (-b2n / n2sq)[:, None]
+        p12 = (jnp.sum(b1 * b2, axis=-1) / b2sq)[:, None]
+        p32 = (jnp.sum(b3 * b2, axis=-1) / b2sq)[:, None]
+        g1 = dEdphi[:, None] * c1 * n1
+        g3 = dEdphi[:, None] * c3 * n2
+        g2 = -p12 * g1 - p32 * g3
+        f = (f.at[j].add(-g1).at[i].add(g1)
+              .at[k].add(-g2).at[j].add(g2)
+              .at[l].add(-g3).at[k].add(g3))
+    return f
+
+
+def strip_rigid_water_bonded(sys: MDSystem, triplets):
+    """Drop bond/angle terms lying fully inside rigid waters — they are
+    replaced by distance constraints (OpenMM's ``rigidWater=True`` removes
+    them the same way), and at ~3 terms per water they would dominate the
+    sparse bonded scatter cost for solvated systems."""
+    import dataclasses
+    wat = set(int(i) for t in np.asarray(triplets) for i in t)
+    bi = np.asarray(sys.bond_idx)
+    keep_b = np.asarray([not (int(a) in wat and int(b) in wat)
+                         for a, b in bi], bool) if len(bi) else np.zeros(0, bool)
+    ai = np.asarray(sys.angle_idx)
+    keep_a = np.asarray([not all(int(v) in wat for v in row)
+                         for row in ai], bool) if len(ai) else np.zeros(0, bool)
+    rep = dict(
+        bond_idx=jnp.asarray(bi[keep_b].reshape(-1, 2), jnp.int32),
+        bond_k=sys.bond_k[jnp.asarray(np.where(keep_b)[0], jnp.int32)],
+        bond_r0=sys.bond_r0[jnp.asarray(np.where(keep_b)[0], jnp.int32)],
+        angle_idx=jnp.asarray(ai[keep_a].reshape(-1, 3), jnp.int32),
+        angle_k=sys.angle_k[jnp.asarray(np.where(keep_a)[0], jnp.int32)],
+        angle_t0=sys.angle_t0[jnp.asarray(np.where(keep_a)[0], jnp.int32)],
+    )
+    if sys.dense_pairs and sys.bond_D.shape[0]:
+        rep["bond_D"] = sys.bond_D[jnp.asarray(np.where(keep_b)[0])]
+        rep["angle_U"] = sys.angle_U[jnp.asarray(np.where(keep_a)[0])]
+        rep["angle_V"] = sys.angle_V[jnp.asarray(np.where(keep_a)[0])]
+    return dataclasses.replace(sys, **rep)
+
+
+# ==========================================================================
+# Whole-system entry points (large / sparse-only systems)
+# ==========================================================================
+
+def potential_energy_neighbor(sys: MDSystem, x, plan: NeighborPlan = None):
+    """Total potential for sparse-only systems; ``x``: (natoms, 3)."""
+    return (bonded_energy_sparse(sys, x)
+            + neighbor_nonbonded_energy(sys, x, plan))
+
+
+def force_neighbor(sys: MDSystem, x, plan: NeighborPlan = None):
+    """Total analytic force; ``x``: (natoms, 3)."""
+    return (bonded_force_sparse(sys, x)
+            + neighbor_nonbonded_force(sys, x, plan))
+
+
+def force_flat_neighbor(sys: MDSystem, xflat, plan: NeighborPlan = None):
+    """Batched flat-coordinate forces: (..., 3N) -> (..., 3N)."""
+    x = jnp.asarray(xflat)
+    shape = x.shape
+    if plan is None:
+        plan = _default_plan(sys, x)
+    xs = x.reshape((-1, sys.natoms, 3))
+    f = jax.vmap(lambda xi: force_neighbor(sys, xi, plan))(xs)
+    return f.reshape(shape)

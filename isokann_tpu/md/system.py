@@ -58,12 +58,21 @@ class MDSystem:
     # implicit solvent (OBC2); zero-size arrays when disabled
     gb_radii: jnp.ndarray = None     # (n,) intrinsic Born radii [nm]
     gb_scales: jnp.ndarray = None    # (n,) OBC scale factors
+    # sparse exception pairs (the scalable counterpart of qq/lj_scale;
+    # consumed by the neighbor-list engine, md/neighbor.py)
+    excl_idx: jnp.ndarray = None     # (m, 2) int32, i<j
+    excl_qq: jnp.ndarray = None      # (m,) target Coulomb scale
+    excl_lj: jnp.ndarray = None      # (m,) target LJ scale
     # nonbonded method (static)
     method: str = "CutoffPeriodic"
     cutoff: float = 1.0         # nm
     eps_rf: float = 78.5        # reaction-field dielectric
     box: Optional[tuple] = None  # (3,) nm box lengths, or None
     implicit: Optional[str] = None   # None or "obc2"
+    # False for large systems: the dense (n, n) scale matrices and the
+    # (nterms, n) incidence matrices are left empty and every force/energy
+    # call routes through the O(n) neighbor-list engine
+    dense_pairs: bool = True
 
     def tree_flatten(self):
         children = (self.bond_idx, self.bond_k, self.bond_r0,
@@ -73,14 +82,16 @@ class MDSystem:
                     self.dih_B1, self.dih_B2, self.dih_B3,
                     self.charges, self.rmin_half, self.eps,
                     self.qq_scale, self.lj_scale, self.masses,
-                    self.gb_radii, self.gb_scales)
-        aux = (self.method, self.cutoff, self.eps_rf, self.box, self.implicit)
+                    self.gb_radii, self.gb_scales,
+                    self.excl_idx, self.excl_qq, self.excl_lj)
+        aux = (self.method, self.cutoff, self.eps_rf, self.box, self.implicit,
+               self.dense_pairs)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, method=aux[0], cutoff=aux[1], eps_rf=aux[2],
-                   box=aux[3], implicit=aux[4])
+                   box=aux[3], implicit=aux[4], dense_pairs=aux[5])
 
     @property
     def natoms(self):
@@ -89,6 +100,30 @@ class MDSystem:
     @property
     def dim(self):
         return 3 * self.natoms
+
+
+def sparse_exclusions(top: Topology, scee: float, scnb: float):
+    """Sparse exception list: (idx (m, 2) i<j, qq_w (m,), lj_w (m,)) with the
+    *target* pair scales (0 for 1-2/1-3, scee/scnb for 1-4).  O(n * degree)
+    — the scalable counterpart of the dense ``_exclusion_scales`` matrices
+    (an exception pair that is both 1-4 and 1-2/1-3 resolves to the stronger
+    exclusion, as in Amber)."""
+    adj = top.neighbors()
+    w = {}
+    for (i, j, k, l) in top.propers:
+        if i != l:
+            w[(min(i, l), max(i, l))] = (scee, scnb)
+    for a in range(top.natoms):
+        for b in adj[a]:
+            w[(min(a, b), max(a, b))] = (0.0, 0.0)
+            for c in adj[b]:
+                if c != a:
+                    w[(min(a, c), max(a, c))] = (0.0, 0.0)
+    items = sorted(w.items())
+    idx = np.asarray([p for p, _ in items], np.int32).reshape(-1, 2)
+    qq_w = np.asarray([v[0] for _, v in items])
+    lj_w = np.asarray([v[1] for _, v in items])
+    return idx, qq_w, lj_w
 
 
 def _exclusion_scales(top: Topology, scee: float, scnb: float):
@@ -143,15 +178,25 @@ def _gb_params(top: Topology):
     return radii, scales
 
 
+DENSE_PAIRS_MAX = 4000   # above this, build_system(dense_pairs="auto")
+                         # switches to the O(n) neighbor-engine layout
+
+
 def build_system(source, method: str = "auto", cutoff: float = 1.0,
                  eps_rf: float = 78.5, implicit: str = None,
-                 dtype=jnp.float32) -> MDSystem:
+                 dense_pairs="auto", dtype=jnp.float32) -> MDSystem:
     """Construct an MDSystem from a PDB path / PDBStructure / Topology.
 
     ``method='auto'`` mirrors the reference's nonbonded auto-selection
     (``src/simulators/mopenmm.py:103-115``): CutoffPeriodic when the PDB has
     a box, CutoffNonPeriodic otherwise.  ``implicit='obc2'`` enables GBSA
-    implicit solvent (forces NoCutoff, as for OpenMM implicit setups)."""
+    implicit solvent (forces NoCutoff, as for OpenMM implicit setups).
+
+    ``dense_pairs``: True keeps the dense (n, n) scale and (nterms, n)
+    incidence matrices (small/medium systems — everything on the MXU);
+    False skips them (O(n) memory) and energies/forces run through the
+    cell-list neighbor engine (``md/neighbor.py``); "auto" switches at
+    ``DENSE_PAIRS_MAX`` atoms."""
     box = None
     if isinstance(source, str):
         struct = read_pdb(source)
@@ -210,7 +255,13 @@ def build_system(source, method: str = "auto", cutoff: float = 1.0,
 
     rmin_half = np.array([amber.lj_params(t)[0] / 10.0 for t in types])
     eps = np.array([amber.lj_params(t)[1] * KCAL for t in types])
-    qq, lj = _exclusion_scales(top, amber.SCEE, amber.SCNB)
+    if dense_pairs == "auto":
+        dense_pairs = top.natoms <= DENSE_PAIRS_MAX
+    if dense_pairs:
+        qq, lj = _exclusion_scales(top, amber.SCEE, amber.SCNB)
+    else:
+        qq = lj = np.zeros((0, 0))
+    eidx, eqq, elj_w = sparse_exclusions(top, amber.SCEE, amber.SCNB)
 
     def arr(x, dt=dtype):
         return jnp.asarray(np.asarray(x), dt)
@@ -219,6 +270,8 @@ def build_system(source, method: str = "auto", cutoff: float = 1.0,
 
     def incidence(pairs):
         """Dense difference operator: row k = e_{pairs[k][0]} - e_{pairs[k][1]}."""
+        if not dense_pairs:
+            return np.zeros((0, natoms), dtype=np.float32)
         D = np.zeros((len(pairs), natoms), dtype=np.float32)
         for r, (a, b) in enumerate(pairs):
             D[r, a] += 1.0
@@ -246,8 +299,9 @@ def build_system(source, method: str = "auto", cutoff: float = 1.0,
         qq_scale=arr(qq), lj_scale=arr(lj), masses=arr(top.masses),
         gb_radii=arr(_gb_params(top)[0] if implicit else np.zeros(0)),
         gb_scales=arr(_gb_params(top)[1] if implicit else np.zeros(0)),
+        excl_idx=arr(eidx, jnp.int32), excl_qq=arr(eqq), excl_lj=arr(elj_w),
         method=method, cutoff=float(cutoff), eps_rf=float(eps_rf),
         box=tuple(float(b) for b in box) if box is not None else None,
-        implicit=implicit,
+        implicit=implicit, dense_pairs=bool(dense_pairs),
     )
     return sys

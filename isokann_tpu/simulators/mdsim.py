@@ -108,6 +108,11 @@ class MDSimulation(IsoSimulation):
         self.constraint_set = (
             ConstraintSet(self.system, constraints, water=wt)
             if (constraints is not None or wt is not None) else None)
+        if wt is not None and not self.system.dense_pairs:
+            # rigid waters: their bond/angle terms are constraint-replaced;
+            # dropping them keeps the sparse bonded pass solute-sized
+            from ..md.neighbor import strip_rigid_water_bonded
+            self.system = strip_rigid_water_bonded(self.system, wt)
 
         self._x0 = jnp.asarray(self.structure.coords.reshape(-1), dtype)
         if minimize:
@@ -138,6 +143,7 @@ class MDSimulation(IsoSimulation):
     def __getstate__(self):
         d = self.__dict__.copy()
         d["_jit_cache"] = {}
+        d.pop("_nbplan", None)      # rebuilt lazily (device arrays)
         return d
 
     @property
@@ -191,6 +197,15 @@ class MDSimulation(IsoSimulation):
 
     def _force_fn(self):
         sys = self.system
+        if not sys.dense_pairs:
+            # large solvated systems: O(n) cell-list neighbor engine with
+            # analytic forces; plan capacity sized from the start coords
+            from ..md.neighbor import NeighborPlan, force_flat_neighbor
+            if getattr(self, "_nbplan", None) is None:
+                self._nbplan = NeighborPlan(
+                    sys, x0=np.asarray(self._x0).reshape(-1, 3))
+            plan = self._nbplan
+            return lambda x: force_flat_neighbor(sys, x, plan)
         if self._nb_kernel_eligible():
             from ..md.pallas_gb import force_flat_hybrid
             return lambda x: force_flat_hybrid(sys, x)
