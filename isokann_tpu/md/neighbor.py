@@ -136,7 +136,7 @@ class NeighborPlan:
 
         if capacity is None:
             capacity = int(math.ceil(occupancy(self.nc, self.cell)))
-        self.C = _round_up(max(capacity, 4), 4)
+        self.C = _round_up(max(capacity, 8), 8)
 
         # hard exclusions (1-2/1-3: zero target weight) are masked *inside*
         # the pair sweep — their full-pair LJ at bonded distances is ~1e6
@@ -150,7 +150,7 @@ class NeighborPlan:
         for (a, b) in eidx[hard]:
             partners[a].append(b)
             partners[b].append(a)
-        E = max(1, max((len(p) for p in partners), default=1))
+        E = _round_up(max(1, max((len(p) for p in partners), default=1)), 8)
         tab = np.full((self.natoms + 1, E), -1, np.int32)
         for a, p in enumerate(partners):
             tab[a, :len(p)] = p
@@ -296,7 +296,8 @@ def _sweep(sys: MDSystem, plan: NeighborPlan, x, want_force: bool):
         excluded = jnp.any(
             excl_i[:, :, None, :] == oid_j[:, None, :, None], axis=-1)
         maskb = ((r2 < rc * rc)
-                 & (table[:, :, None] != tj[:, None, :]) & ~excluded)
+                 & (table[:, :, None] != tj[:, None, :]) & ~excluded
+                 & (tj[:, None, :] < n) & (table[:, :, None] < n))
         # keep the pair math NaN/overflow-free on masked slots
         r2s = jnp.where(maskb, r2, 1.0)
         qq = COULOMB * q_i[:, :, None] * qs[tj][:, None, :]
@@ -536,12 +537,215 @@ def force_neighbor(sys: MDSystem, x, plan: NeighborPlan = None):
             + neighbor_nonbonded_force(sys, x, plan))
 
 
-def force_flat_neighbor(sys: MDSystem, xflat, plan: NeighborPlan = None):
-    """Batched flat-coordinate forces: (..., 3N) -> (..., 3N)."""
+def force_flat_neighbor(sys: MDSystem, xflat, plan: NeighborPlan = None,
+                        use_pallas: bool = None):
+    """Batched flat-coordinate forces: (..., 3N) -> (..., 3N).
+
+    On TPU the pair sweep runs in the VMEM Pallas kernel
+    (``neighbor_sweep_pallas``); exception corrections + bonded terms stay
+    on the XLA path."""
     x = jnp.asarray(xflat)
     shape = x.shape
     if plan is None:
         plan = _default_plan(sys, x)
-    xs = x.reshape((-1, sys.natoms, 3))
-    f = jax.vmap(lambda xi: force_neighbor(sys, xi, plan))(xs)
+    if use_pallas is None:
+        try:
+            use_pallas = jax.devices()[0].platform == "tpu"
+        except Exception:
+            use_pallas = False
+    xb = x.reshape((-1, 3 * sys.natoms))
+    if use_pallas:
+        f = neighbor_sweep_pallas(sys, plan, xb)
+        rest = jax.vmap(lambda xi: (_exception_terms(sys, xi, True)
+                                    + bonded_force_sparse(sys, xi)))(
+            xb.reshape(-1, sys.natoms, 3))
+        f = f + rest.reshape(f.shape)
+    else:
+        f = jax.vmap(lambda xi: force_neighbor(
+            sys, xi, plan))(xb.reshape(-1, sys.natoms, 3)).reshape(xb.shape)
     return f.reshape(shape)
+
+
+# ==========================================================================
+# Pallas sweep kernel: the pair blocks in VMEM
+# ==========================================================================
+#
+# The XLA sweep streams ~8 (ncells, C, C) intermediates through HBM per
+# stencil offset.  The kernel processes one (i-cell, stencil-offset) pair
+# block per grid step entirely in VMEM: per-cell data arrives as one
+# (C, 8) column block + its (8, C) transpose, the j-block is DMA'd
+# directly from the neighbor cell via a scalar-prefetched stencil index
+# map, and Newton reaction forces are emitted per (cell, offset) for a
+# static inverse-permutation gather on the XLA side (no scatters
+# anywhere).  Sorted ids / original ids / exclusion partners travel as
+# f32 lanes (ids < 2^24 are exact).
+#
+# Column layout (8 lanes): [x, y, z, q, rmin_half, sqrt(eps), sid, oid].
+
+
+def _nb_kernel_body(plan, rc, krf, icols_ref, jrows_ref, iexcl_ref,
+                    acc_ref, fj_ref, s_idx):
+    xi = icols_ref[0, 0]                      # (C, 8)
+    xj = jrows_ref[0, 0]                      # (8, C)
+    E = iexcl_ref.shape[-1]
+    excl = iexcl_ref[0, 0]                    # (C, E)
+
+    dx = xi[:, 0:1] - xj[0:1, :]
+    dy = xi[:, 1:2] - xj[1:2, :]
+    dz = xi[:, 2:3] - xj[2:3, :]
+    if plan.box is not None:
+        bx, by, bz = (float(b) for b in plan.box)
+        dx = dx - bx * jnp.round(dx * (1.0 / bx))
+        dy = dy - by * jnp.round(dy * (1.0 / by))
+        dz = dz - bz * jnp.round(dz * (1.0 / bz))
+    r2 = dx * dx + dy * dy + dz * dz + 1e-12
+
+    sid_i = xi[:, 6:7]
+    sid_j = xj[6:7, :]
+    oid_j = xj[7:8, :]
+    excluded = (excl[:, 0:1] == oid_j)
+    for e in range(1, E):
+        excluded = excluded | (excl[:, e:e + 1] == oid_j)
+    nsent = float(plan.natoms)
+    maskb = ((r2 < rc * rc) & (sid_i != sid_j) & ~excluded
+             & (sid_i < nsent) & (sid_j < nsent))
+    r2s = jnp.where(maskb, r2, 1.0)
+
+    inv_r = jax.lax.rsqrt(r2s)
+    inv_r2 = inv_r * inv_r
+    qq = COULOMB * xi[:, 3:4] * xj[3:4, :]
+    rmin = xi[:, 4:5] + xj[4:5, :]
+    epsij = xi[:, 5:6] * xj[5:6, :]
+    x6 = (rmin * rmin * inv_r2) ** 3
+    g_lj = 6.0 * epsij * (x6 - x6 * x6) * inv_r2
+    g_c = qq * (-0.5 * inv_r2 * inv_r) + qq * krf
+    w = -2.0 * (g_lj + g_c) * maskb.astype(jnp.float32)
+
+    z5 = jnp.zeros((plan.C, 5), jnp.float32)
+    fi = jnp.concatenate([jnp.sum(w * dx, axis=1, keepdims=True),
+                          jnp.sum(w * dy, axis=1, keepdims=True),
+                          jnp.sum(w * dz, axis=1, keepdims=True), z5],
+                         axis=1)
+
+    from jax.experimental import pallas as pl
+    @pl.when(s_idx == 0)
+    def _():
+        acc_ref[0, 0] = fi
+
+    @pl.when(s_idx != 0)
+    def _():
+        acc_ref[0, 0] = acc_ref[0, 0] + fi
+
+    # Newton reaction on the j-block (zero for the self block s=0, and
+    # for non-Newton plans whose stencil already holds both directions)
+    live = jnp.where(s_idx == 0, 0.0, 1.0) * (1.0 if plan.newton else 0.0)
+    z5r = jnp.zeros((5, plan.C), jnp.float32)
+    fj_ref[0, 0, 0] = jnp.concatenate(
+        [-live * jnp.sum(w * dx, axis=0, keepdims=True),
+         -live * jnp.sum(w * dy, axis=0, keepdims=True),
+         -live * jnp.sum(w * dz, axis=0, keepdims=True), z5r], axis=0)
+
+
+def neighbor_sweep_pallas(sys: MDSystem, plan: NeighborPlan, xb,
+                          interpret=False):
+    """Nonbonded sweep forces via the VMEM pair-block kernel.
+
+    ``xb``: (B, 3N) -> (B, 3N) forces (full pairs; exception corrections
+    and bonded terms are added by the caller)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # batches above 4 walkers fault on v5e when the kernel sits inside a
+    # lax.scan (standalone calls are fine) — process in chunks
+    MAXB = 4
+    if xb.shape[0] > MAXB:
+        return jnp.concatenate(
+            [neighbor_sweep_pallas(sys, plan, xb[i:i + MAXB],
+                                   interpret=interpret)
+             for i in range(0, xb.shape[0], MAXB)], axis=0)
+
+    n, C = plan.natoms, plan.C
+    B = xb.shape[0]
+    rc, krf, _ = _rf_consts(sys)
+    box = jnp.asarray(plan.box, jnp.float32)
+    Sp1 = plan.S + 1
+    # stencil with the self cell prepended (column 0)
+    ident = jnp.arange(plan.ncells, dtype=jnp.int32)[:, None]
+    sten = jnp.concatenate([ident, plan.stencil], axis=1)    # (ncells, S+1)
+
+    seps = jnp.sqrt(sys.eps)
+    E = plan.excl_tab.shape[1]
+
+    def prep(xflat):
+        """Per-walker sorted-frame (C, 8) column blocks + transposes."""
+        xw = xflat.reshape(n, 3)
+        xw = xw - box * jnp.floor(xw / box)
+        order, table, pos, _ = plan.sorted_frame(xw)
+
+        def pad_row(a, fill=0.0):
+            return jnp.concatenate(
+                [a[order], jnp.full((1,) + a.shape[1:], fill, a.dtype)])
+
+        cols = jnp.stack([
+            pad_row(xw[:, 0], 1e3)[table],
+            pad_row(xw[:, 1], 2e3)[table],
+            pad_row(xw[:, 2], 3e3)[table],
+            pad_row(sys.charges)[table],
+            pad_row(sys.rmin_half)[table],
+            pad_row(seps)[table],
+            table.astype(jnp.float32),                     # sid (sentinel n)
+            jnp.concatenate([order.astype(jnp.float32),
+                             jnp.full((1,), -2.0)])[table],  # oid
+        ], axis=-1)                                        # (ncells, C, 8)
+        excl = jnp.concatenate(
+            [plan.excl_tab[:n][order].astype(jnp.float32),
+             jnp.full((1, E), -1.0)])[table]               # (ncells, C, E)
+        return cols, jnp.swapaxes(cols, 1, 2), excl, order, pos
+
+    icols, jrows, iexcl, orders, poss = jax.vmap(prep)(xb)
+
+    def kernel(sten_ref, icols_ref, jrows_ref, iexcl_ref, acc_ref, fj_ref):
+        _nb_kernel_body(plan, rc, krf, icols_ref, jrows_ref, iexcl_ref,
+                        acc_ref, fj_ref, pl.program_id(2))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, plan.ncells, Sp1),
+        in_specs=[
+            pl.BlockSpec((1, 1, C, 8), lambda b, c, s, st: (b, c, 0, 0)),
+            pl.BlockSpec((1, 1, 8, C),
+                         lambda b, c, s, st: (b, st[c, s], 0, 0)),
+            pl.BlockSpec((1, 1, C, E), lambda b, c, s, st: (b, c, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, C, 8), lambda b, c, s, st: (b, c, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 8, C),
+                         lambda b, c, s, st: (b, c, s, 0, 0)),
+        ],
+    )
+    acc, fj = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, plan.ncells, C, 8), jnp.float32),
+                   jax.ShapeDtypeStruct((B, plan.ncells, Sp1, 8, C),
+                                        jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(sten, icols, jrows, iexcl)
+
+    # Newton reactions back to their cells: static inverse permutations
+    total = acc[..., :3]                                   # (B, ncells, C, 3)
+    if plan.newton:
+        react = jnp.zeros((B, plan.ncells, C, 3), jnp.float32)
+        for s in range(plan.S):
+            react = react + jnp.swapaxes(
+                fj[:, plan.stencil_inv[:, s], s + 1, :3, :], 2, 3)
+        total = total + react
+
+    def unsort(tot, pos, order):
+        f_sorted = tot.reshape(-1, 3)[pos]
+        return f_sorted[jnp.argsort(order)]
+
+    f = jax.vmap(unsort)(total, poss, orders)
+    return f.reshape(B, 3 * n)

@@ -123,3 +123,33 @@ def test_overflow_diagnostic(solvated, xcoords):
     s = solvated.system
     plan = NeighborPlan(s, capacity=8)     # deliberately too small
     assert plan.overflow(xcoords.reshape(1, -1)) > 0
+
+
+def test_pallas_sweep_matches_xla(solvated, xcoords):
+    """VMEM pair-block kernel (interpret mode) == XLA sweep, non-Newton
+    small-box plan."""
+    from isokann_tpu.md.neighbor import neighbor_sweep_pallas, _sweep
+    s = solvated.system
+    plan = NeighborPlan(s, x0=np.asarray(xcoords))
+    xb = jnp.stack([xcoords.reshape(-1), xcoords.reshape(-1) + 0.001])
+    f_ref = np.asarray(jax.vmap(
+        lambda xi: _sweep(s, plan, xi.reshape(-1, 3), True))(xb)
+    ).reshape(2, -1)
+    f_new = np.asarray(neighbor_sweep_pallas(s, plan, xb, interpret=True))
+    assert np.abs(f_ref - f_new).max() / np.abs(f_ref).max() < 1e-5
+
+
+def test_pallas_sweep_newton_matches_xla():
+    """Newton (half-stencil + inverse-permutation reaction) kernel parity
+    on a box with >= 5 cells per dim."""
+    from isokann_tpu.md.neighbor import neighbor_sweep_pallas, _sweep
+    sim = itk.MDSimulation(addwater=True, padding=1.2, steps=3)
+    s = sim.system
+    plan = NeighborPlan(s, x0=np.asarray(sim.coords).reshape(-1, 3),
+                        cell_div=2)
+    assert plan.newton
+    x = jnp.asarray(np.asarray(sim.coords).reshape(1, -1), jnp.float32)
+    f_ref = np.asarray(jax.vmap(
+        lambda xi: _sweep(s, plan, xi.reshape(-1, 3), True))(x)).reshape(1, -1)
+    f_new = np.asarray(neighbor_sweep_pallas(s, plan, x, interpret=True))
+    assert np.abs(f_ref - f_new).max() / np.abs(f_ref).max() < 1e-5
