@@ -437,6 +437,8 @@ class Iso:
     # -- host-target path ----------------------------------------------------
 
     def _epoch_fn(self, nx, cache_key):
+        """``nx`` is the bucketed capacity; mask/n_true arrive at runtime
+        (same one-program-per-bucket scheme as the fused path)."""
         if cache_key in self._jit_cache:
             return self._jit_cache[cache_key]
         apply = self.model.apply
@@ -446,16 +448,27 @@ class Iso:
         nb = nx // bs
 
         @jax.jit
-        def epoch(params, opt_state, xs, target, w, key):
+        def epoch(params, opt_state, xs, target, w, mask, n_true, key):
+            scale = nx / n_true
+            if nb == 1 and bs == nx:
+                def lossf(p):
+                    pred = apply(p, xs)
+                    return jnp.sum(((pred - target) * w) ** 2 * mask[:, None])
+
+                l, g = jax.value_and_grad(lossf)(params)
+                updates, opt_state = opt.update(g, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, l / n_true
+
             perm = jax.random.permutation(key, nx)[:nb * bs].reshape(nb, bs)
 
             def batch_step(carry, idx):
                 params, opt_state = carry
-                x, y = xs[idx], target[idx]
+                x, y, m = xs[idx], target[idx], mask[idx]
 
                 def lossf(p):
                     pred = apply(p, x)
-                    return jnp.sum(((pred - y) * w) ** 2)
+                    return jnp.sum(((pred - y) * w) ** 2 * m[:, None]) * scale
 
                 l, g = jax.value_and_grad(lossf)(params)
                 updates, opt_state = opt.update(g, opt_state, params)
@@ -479,11 +492,16 @@ class Iso:
             w = 1.0 / (jnp.std(target, axis=0) + 1e-12)
         else:
             w = jnp.ones((1,))
-        epoch = self._epoch_fn(nx, ("epoch", nx, xs.shape[-1], d))
+        cap = bucket_capacity(nx)
+        xs_p, target_p = _pad_rows(xs, cap), _pad_rows(target, cap)
+        mask = jnp.concatenate([jnp.ones(nx, jnp.float32),
+                                jnp.zeros(cap - nx, jnp.float32)])
+        epoch = self._epoch_fn(cap, ("epoch", cap, xs.shape[-1], d))
         params, opt_state = self.model.params, self.opt_state
         for _ in range(epochs):
             self.key, sub = jax.random.split(self.key)
-            params, opt_state, loss = epoch(params, opt_state, xs, target, w, sub)
+            params, opt_state, loss = epoch(params, opt_state, xs_p, target_p,
+                                            w, mask, jnp.float32(nx), sub)
             loss = float(loss)
             if not np.isfinite(loss):
                 raise DomainError(
