@@ -162,13 +162,25 @@ def data_from_trajectories(xss, **kwargs):
 # Subsampling
 # ==========================================================================
 
+def model_bucketed(model, xs):
+    """Evaluate ``model`` on a batch padded to its capacity bucket.
+
+    Adaptive loops evaluate chi on ever-growing pools; without bucketing
+    every growth step retraces/recompiles the jitted forward pass."""
+    from .iso import bucket_capacity, _pad_rows
+
+    xs = jnp.asarray(xs)
+    m = xs.shape[0]
+    return np.asarray(model(_pad_rows(xs, bucket_capacity(m))))[:m]
+
+
 def subsample_inds(model, xs, n, keepedges=True):
     """Indices such that ``model(xs[inds])`` is approximately uniform, per
     chi-dimension (reference ``src/data.jl:38-42``).  A (near-)constant chi
     degrades to uniform random selection instead of failing."""
     from .sample import subsample_uniformgrid
 
-    chi = np.asarray(model(xs))          # (m, d)
+    chi = model_bucketed(model, xs)      # (m, d)
     inds = []
     for j in range(chi.shape[-1]):
         col = chi[:, j]
@@ -382,8 +394,8 @@ class SimulationData:
         else:
             selinds = np.arange(ycoords.shape[0])
 
-        chix = np.asarray(model(self._features))[:, 0]
-        chiy = np.asarray(model(flattenfirst(self._propfeatures)[selinds]))[:, 0]
+        chix = model_bucketed(model, self._features)[:, 0]
+        chiy = model_bucketed(model, flattenfirst(self._propfeatures)[selinds])[:, 0]
         m1 = min(chix.min(), chiy.min())
         m2 = max(chix.max(), chiy.max())
         chix = (chix - m1) / (m2 - m1)

@@ -8,11 +8,22 @@ vmappable over arbitrary leading batch dimensions.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Callable, Optional, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .ops.pairdists import flatpairdists, pdists, restricted_localpdistinds
+
+
+@partial(jax.jit, static_argnums=0)
+def _featurize(feat, coords):
+    """Jitted featurizer dispatch (featurizers are frozen/hashable, so
+    they are static); unjitted op-by-op evaluation costs seconds per call
+    on remote-device backends."""
+    return feat.compute(coords)
 
 
 @dataclass(frozen=True)
@@ -28,8 +39,11 @@ class FeaturesAll:
     """Pairwise distances between all atoms
     (reference ``src/utils/features.jl:21-23``)."""
 
-    def __call__(self, coords):
+    def compute(self, coords):
         return flatpairdists(coords)
+
+    def __call__(self, coords):
+        return _featurize(self, jnp.asarray(coords))
 
 
 @dataclass(frozen=True)
@@ -42,8 +56,11 @@ class FeaturesAtoms:
     def __post_init__(self):
         object.__setattr__(self, "atominds", tuple(int(i) for i in self.atominds))
 
-    def __call__(self, coords):
+    def compute(self, coords):
         return flatpairdists(coords, atoms=np.asarray(self.atominds))
+
+    def __call__(self, coords):
+        return _featurize(self, jnp.asarray(coords))
 
 
 @dataclass(frozen=True)
@@ -57,8 +74,11 @@ class FeaturesPairs:
         object.__setattr__(self, "pairs",
                            tuple((int(a), int(b)) for a, b in self.pairs))
 
-    def __call__(self, coords):
+    def compute(self, coords):
         return pdists(coords, np.asarray(self.pairs))
+
+    def __call__(self, coords):
+        return _featurize(self, jnp.asarray(coords))
 
     @classmethod
     def from_pdb(cls, pdb: str, selector: str = "all", maxdist=np.inf,
@@ -95,9 +115,12 @@ class FeaturesAngles:
         object.__setattr__(self, "quads",
                            tuple(tuple(int(i) for i in q) for q in self.quads))
 
-    def __call__(self, coords):
+    def compute(self, coords):
         from .ops.dihedrals import dihedrals_from_indices
         return dihedrals_from_indices(coords, np.asarray(self.quads))
+
+    def __call__(self, coords):
+        return _featurize(self, jnp.asarray(coords))
 
     @classmethod
     def from_pdb(cls, pdb: str):
@@ -129,8 +152,11 @@ class FeaturesRandomPairs:
         object.__setattr__(self, "_pairs",
                            np.asarray(sorted(pairs[i] for i in sel)))
 
-    def __call__(self, coords):
+    def compute(self, coords):
         return pdists(coords, self._pairs)
+
+    def __call__(self, coords):
+        return _featurize(self, jnp.asarray(coords))
 
 
 def _select_atoms(struct, selector: str):

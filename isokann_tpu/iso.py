@@ -287,9 +287,18 @@ class Iso:
 
     @property
     def chifun(self):
-        """Pure chi closure over the current params."""
-        apply, params = self.model.apply, self.model.params
-        return lambda x: apply(params, x)
+        """Pure chi closure over the current params.
+
+        The forward pass is jitted with the params as a *traced* argument
+        (one compile per input shape, reused across training updates) —
+        unjitted op-by-op dispatch is seconds-slow on remote-device
+        backends."""
+        jitted = self._jit_cache.get("chifun_apply")
+        if jitted is None:
+            jitted = jax.jit(self.model.apply)
+            self._jit_cache["chifun_apply"] = jitted
+        params = self.model.params
+        return lambda x: jitted(params, x)
 
     # ---- evaluation accessors (reference src/iso.jl:203-226) -------------
 
