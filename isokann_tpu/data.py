@@ -80,18 +80,27 @@ def weights(ys):
 
 def lastcat(x, y):
     """Concatenate along the batch (leading) axis — the row-major counterpart
-    of the reference's last-dim cat (``src/data.jl:61-62``)."""
+    of the reference's last-dim cat (``src/data.jl:61-62``).
+
+    Concatenation happens on HOST (numpy): dataset growth produces a new
+    array shape every generation, and each new-shape device op is a fresh
+    mini-program compile on remote-device backends (seconds each).  Data
+    re-enters the device only through the stable bucketed shapes of the
+    jitted training/eval programs."""
     if isinstance(x, WeightedSamples) or isinstance(y, WeightedSamples):
-        return WeightedSamples(jnp.concatenate([values(x), values(y)], axis=0),
-                               jnp.concatenate([_weights_or_ones(x), _weights_or_ones(y)], axis=0))
-    return jnp.concatenate([jnp.asarray(x), jnp.asarray(y)], axis=0)
+        return WeightedSamples(
+            np.concatenate([np.asarray(values(x)), np.asarray(values(y))],
+                           axis=0),
+            np.concatenate([np.asarray(_weights_or_ones(x)),
+                            np.asarray(_weights_or_ones(y))], axis=0))
+    return np.concatenate([np.asarray(x), np.asarray(y)], axis=0)
 
 
 def _weights_or_ones(ys):
     w = weights(ys)
     if w is None:
         v = values(ys)
-        return jnp.ones(v.shape[:-1], v.dtype)
+        return np.ones(v.shape[:-1], np.asarray(v).dtype)
     return w
 
 
@@ -166,10 +175,11 @@ def model_bucketed(model, xs):
     """Evaluate ``model`` on a batch padded to its capacity bucket.
 
     Adaptive loops evaluate chi on ever-growing pools; without bucketing
-    every growth step retraces/recompiles the jitted forward pass."""
+    every growth step retraces/recompiles the jitted forward pass.
+    Padding happens in numpy (one stable-shape device transfer)."""
     from .iso import bucket_capacity, _pad_rows
 
-    xs = jnp.asarray(xs)
+    xs = np.asarray(xs)
     m = xs.shape[0]
     return np.asarray(model(_pad_rows(xs, bucket_capacity(m))))[:m]
 
@@ -259,22 +269,31 @@ class SimulationData:
     def from_coords(cls, sim, xs, ys, featurizer=None, features=None):
         """SimulationData(sim, (xs, ys)) (reference ``src/simulation.jl:110-114``).
 
-        ``features``: optional precomputed (fxs, fys)."""
+        ``features``: optional precomputed (fxs, fys).  Stored arrays live
+        on HOST (numpy): growth-driven shapes would otherwise trigger one
+        remote mini-compile per new-shape device op; data re-enters the
+        device through stable bucketed program shapes."""
         if featurizer is None:
             featurizer = getattr(sim, "featurizer", None) or identity
-        xs = jnp.asarray(xs)
+        xs = np.asarray(xs)
         if features is not None:
             fxs, fys = features
+            if isinstance(fys, WeightedSamples):
+                fys = WeightedSamples(np.asarray(fys.values, np.float32),
+                                      np.asarray(fys.weights, np.float32))
+            else:
+                fys = np.asarray(fys, np.float32)
             if not isinstance(ys, WeightedSamples):
-                ys = jnp.asarray(ys)
-            return cls(sim, jnp.asarray(fxs, jnp.float32), fys, xs, ys, featurizer)
-        fxs = jnp.asarray(featurizer(xs), jnp.float32)
+                ys = np.asarray(ys)
+            return cls(sim, np.asarray(fxs, np.float32), fys, xs, ys,
+                       featurizer)
+        fxs = np.asarray(featurizer(xs), np.float32)
         if isinstance(ys, WeightedSamples):
-            fys = WeightedSamples(jnp.asarray(featurizer(ys.values), jnp.float32),
-                                  jnp.asarray(ys.weights, jnp.float32))
+            fys = WeightedSamples(np.asarray(featurizer(ys.values), np.float32),
+                                  np.asarray(ys.weights, np.float32))
         else:
-            ys = jnp.asarray(ys)
-            fys = jnp.asarray(featurizer(ys), jnp.float32)
+            ys = np.asarray(ys)
+            fys = np.asarray(featurizer(ys), np.float32)
         return cls(sim, fxs, fys, xs, ys, featurizer)
 
     @classmethod

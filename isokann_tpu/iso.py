@@ -145,15 +145,19 @@ def make_fused_run(apply, opt, fused_target, d, minibatch,
 
 def _pad_rows(a, cap):
     """Pad the leading (batch) axis to ``cap`` by repeating rows from the
-    front (duplicates keep batch statistics like min/max exact)."""
+    front (duplicates keep batch statistics like min/max exact).
+
+    numpy inputs pad in numpy: the source shape changes every generation,
+    and a device concat per new shape is a fresh remote compile."""
     n = a.shape[0]
     if n == cap:
         return a
+    xp = np if isinstance(a, np.ndarray) else jnp
     pad = cap - n
     reps = [a[:min(pad, n)]]
     while sum(r.shape[0] for r in reps) < pad:
         reps.append(a[:min(pad - sum(r.shape[0] for r in reps), n)])
-    return jnp.concatenate([a] + reps, axis=0)
+    return xp.concatenate([a] + list(reps), axis=0)
 
 
 # ==========================================================================
@@ -214,7 +218,8 @@ def validationloss(iso, valdata):
     vx, vy = T.features(valdata), T.propfeatures(valdata)
     c = np.asarray(iso.chifun(vx)).ravel()
     k1 = np.asarray(T.expectation(iso.chifun, vy)).ravel()
-    k2 = np.asarray(T.expectation(iso.chifun, T.propfeatures(iso.data))).ravel()
+    k2 = np.asarray(T.expectation_bucketed(
+        iso.chifun, T.propfeatures(iso.data))).ravel()
     ks = np.concatenate([k1, k2])
     lo, hi = ks.min(), ks.max()
     skc = ((ks - lo) / (hi - lo))[:len(c)]
@@ -303,9 +308,11 @@ class Iso:
     # ---- evaluation accessors (reference src/iso.jl:203-226) -------------
 
     def chis(self, data=None):
-        """chi at the starting points, (n, d)."""
+        """chi at the starting points, (n, d) (bucketed evaluation: one
+        compiled forward pass per dataset size class)."""
+        from .data import model_bucketed
         data = self.data if data is None else data
-        return self.chifun(T.features(data))
+        return model_bucketed(self.chifun, T.features(data))
 
     def chicoords(self, xs):
         """chi at raw coordinates (featurize first)
@@ -314,7 +321,7 @@ class Iso:
         return self.chifun(self.data.features_of(xs))
 
     def koopman(self):
-        return T.expectation(self.chifun, T.propfeatures(self.data))
+        return T.expectation_bucketed(self.chifun, T.propfeatures(self.data))
 
     def chi_kchi(self):
         return T.chi_kchi(self.chifun, self.data)
@@ -407,15 +414,17 @@ class Iso:
     def _run_fused(self, n, epochs):
         ysf = self.data.propfeatures
         weighted = isinstance(ysf, WeightedSamples)
-        ys, yw = (ysf.values, ysf.weights) if weighted else (ysf, jnp.zeros(values(ysf).shape[:2]))
+        ys, yw = ((ysf.values, ysf.weights) if weighted
+                  else (ysf, np.zeros(values(ysf).shape[:2], np.float32)))
         xs = self.data.features
         nx, nk = ys.shape[0], ys.shape[1]
         # pad to the capacity bucket with repeated rows: one compiled
-        # program per bucket instead of one per dataset size (ROADMAP 3b)
+        # program per bucket instead of one per dataset size (ROADMAP 3b);
+        # padding/mask built on host so no per-generation device shapes
         cap = bucket_capacity(nx)
         xs, ys, yw = _pad_rows(xs, cap), _pad_rows(ys, cap), _pad_rows(yw, cap)
-        mask = jnp.concatenate([jnp.ones(nx, jnp.float32),
-                                jnp.zeros(cap - nx, jnp.float32)])
+        mask = np.concatenate([np.ones(nx, np.float32),
+                               np.zeros(cap - nx, np.float32)])
         n_true = jnp.float32(nx)
         cache_key = ("fused", cap, nk, xs.shape[-1], n, epochs, weighted)
         run = self._fused_run_fn(cap, nk, xs.shape[-1], n, epochs, weighted, cache_key)
@@ -494,17 +503,17 @@ class Iso:
         """Train ``epochs`` epochs against a fixed target
         (reference ``train_batch!``, ``src/iso.jl:179-194``)."""
         xs = self.data.features
-        target = jnp.asarray(target)
+        target = np.asarray(target, np.float32)
         nx = xs.shape[0]
         d = target.shape[-1]
         if d > 1:
-            w = 1.0 / (jnp.std(target, axis=0) + 1e-12)
+            w = 1.0 / (np.std(target, axis=0) + 1e-12)
         else:
-            w = jnp.ones((1,))
+            w = np.ones((1,), np.float32)
         cap = bucket_capacity(nx)
-        xs_p, target_p = _pad_rows(xs, cap), _pad_rows(target, cap)
-        mask = jnp.concatenate([jnp.ones(nx, jnp.float32),
-                                jnp.zeros(cap - nx, jnp.float32)])
+        xs_p, target_p = _pad_rows(np.asarray(xs), cap), _pad_rows(target, cap)
+        mask = np.concatenate([np.ones(nx, np.float32),
+                               np.zeros(cap - nx, np.float32)])
         epoch = self._epoch_fn(cap, ("epoch", cap, xs.shape[-1], d))
         params, opt_state = self.model.params, self.opt_state
         for _ in range(epochs):
@@ -592,10 +601,13 @@ class Iso:
 
     def koopman_variance(self):
         """Variance of chi over the Koopman samples (reference ``src/iso.jl:355-359``)."""
-        chi = self.chifun(self.data.propfeatures if not isinstance(
-            self.data.propfeatures, WeightedSamples) else self.data.propfeatures.values)
-        n, k, d = chi.shape
-        return float(jnp.sum((chi - jnp.mean(chi, axis=1, keepdims=True)) ** 2) / d / n)
+        from .data import model_bucketed
+        ys = self.data.propfeatures
+        vals = np.asarray(ys.values if isinstance(ys, WeightedSamples) else ys)
+        n, k = vals.shape[:2]
+        chi = model_bucketed(self.chifun, vals.reshape(n * k, -1)).reshape(n, k, -1)
+        d = chi.shape[-1]
+        return float(np.sum((chi - chi.mean(axis=1, keepdims=True)) ** 2) / d / n)
 
     def simulationtime(self):
         """Total simulated physical time in the dataset

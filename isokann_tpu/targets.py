@@ -53,9 +53,23 @@ def expectation(model, ys):
     return jnp.mean(model(ys), axis=-2)
 
 
+def expectation_bucketed(model, ys):
+    """``expectation`` evaluated through capacity-bucketed model calls
+    (host in/out) — adaptive loops call this on ever-growing sample pools,
+    and bucketing keeps it at one compiled forward pass per size class."""
+    from .data import WeightedSamples, model_bucketed
+
+    vals = np.asarray(ys.values if isinstance(ys, WeightedSamples) else ys)
+    n, k = vals.shape[:2]
+    chi = model_bucketed(model, vals.reshape(n * k, -1)).reshape(n, k, -1)
+    if isinstance(ys, WeightedSamples):
+        return np.sum(chi * np.asarray(ys.weights)[..., None], axis=1) / k
+    return chi.mean(axis=1)
+
+
 def koopman(iso, data=None):
     data = iso.data if data is None else data
-    return expectation(iso.chifun, propfeatures(data))
+    return expectation_bucketed(iso.chifun, propfeatures(data))
 
 
 def chi_kchi(model, data):
