@@ -4,7 +4,7 @@ from .plots import (
     scatter_chifix, scatter_chi_simplex, autoplot,
 )
 from .telemetry import profile, Timers, ThroughputLogger
-from .gui import serve_dashboard, livegui
+from .gui import serve_dashboard, livegui, interactive_gui, InteractiveGui
 from .lazytraj import LazyTrajectory, LazyMultiTrajectory
 from .molutils import (
     phi_psi, aligned_rmsd_to, ca_rmsd, ReactionCoordsRMSD, standardform,

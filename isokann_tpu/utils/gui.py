@@ -105,3 +105,179 @@ def livegui(iso, iterations: int = 1000, chunk: int = 20, port: int = 8000,
     finally:
         srv.shutdown()
     return iso
+
+
+# ==========================================================================
+# Interactive control panel (reference GUI sliders, ext/MakieExt.jl:18-80)
+# ==========================================================================
+
+_FORM = """<form method="post" action="/control" style="margin:10px">
+<fieldset style="display:inline-block;text-align:left;border-color:#444">
+<legend>simulation / training</legend>
+pdb <input name="pdb" value="{pdb}" size="28"/>
+steps <input name="steps" value="{steps}" size="5"/>
+temp [K] <input name="temp" value="{temp}" size="5"/><br/>
+nx <input name="nx" value="{nx}" size="5"/>
+nk <input name="nk" value="{nk}" size="4"/>
+opt <select name="opt">
+<option value="adam" {sel_adam}>Adam</option>
+<option value="nesterov" {sel_nest}>Nesterov</option></select>
+lr <input name="lr" value="{lr}" size="8"/>
+reg <input name="reg" value="{reg}" size="8"/><br/>
+kde/gen <input name="kde" value="{kde}" size="4"/>
+<button name="action" value="apply">Apply &amp; restart</button>
+<button name="action" value="toggle">{toggle}</button>
+</fieldset></form>"""
+
+
+class InteractiveGui:
+    """Browser control panel + live training loop.
+
+    The reference GUI exposes sliders for pdb/steps/temperature/optimizer/
+    learning rate/regularization/nx/nk and trains while you watch
+    (``ext/MakieExt.jl:18-80``); this is the dependency-free equivalent:
+    an HTML form drives (re)construction of the simulation + ``Iso``, a
+    background thread runs training chunks (optionally KDE-adaptive), and
+    the dashboard images refresh live.
+    """
+
+    def __init__(self, pdb=None, steps=100, temp=310.0, nx=64, nk=4,
+                 opt="adam", lr=1e-3, reg=1e-4, kde=0, chunk=25):
+        self.cfg = dict(pdb=pdb or "", steps=int(steps), temp=float(temp),
+                        nx=int(nx), nk=int(nk), opt=opt, lr=float(lr),
+                        reg=float(reg), kde=int(kde))
+        self.chunk = int(chunk)
+        self.running = False
+        self.iso = None
+        self.lock = threading.Lock()
+        self._stop = threading.Event()
+        self._worker = None
+
+    # -- model/simulation construction ---------------------------------
+
+    def _build(self):
+        from ..iso import Iso
+        from ..optim import AdamRegularized, NesterovRegularized
+        from ..simulators.mdsim import MDSimulation
+
+        c = self.cfg
+        sim = MDSimulation(pdb=c["pdb"] or None, steps=c["steps"],
+                           temp=c["temp"])
+        opt = (AdamRegularized(c["lr"], c["reg"]) if c["opt"] == "adam"
+               else NesterovRegularized(c["lr"], c["reg"]))
+        self.iso = Iso(sim=sim, nx=c["nx"], nk=c["nk"], opt=opt)
+
+    def _train_loop(self):
+        while not self._stop.is_set():
+            if not self.running or self.iso is None:
+                self._stop.wait(0.2)
+                continue
+            iso = self.iso
+            try:
+                if self.cfg["kde"]:
+                    iso.run_kde(generations=1, iter=self.chunk,
+                                kde=self.cfg["kde"])
+                else:
+                    iso.run(self.chunk)
+            except Exception as e:       # degenerate targets etc: pause
+                print(f"[gui] training paused: {e}")
+                self.running = False
+
+    def apply(self, form):
+        """Apply a /control form submission."""
+        with self.lock:
+            for k in self.cfg:
+                if k in form:
+                    cast = type(self.cfg[k])
+                    try:
+                        self.cfg[k] = cast(form[k][0])
+                    except (TypeError, ValueError):
+                        pass
+            action = form.get("action", ["apply"])[0]
+            if action == "toggle":
+                self.running = not self.running and self.iso is not None
+            else:
+                self.running = False
+                self._build()
+                self.running = True
+
+    def serve(self, port: int = 8000, refresh: int = 3):
+        gui = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                iso = gui.iso
+                if self.path in ("/", "/index.html"):
+                    c = gui.cfg
+                    form = _FORM.format(
+                        toggle="Pause" if gui.running else "Resume",
+                        sel_adam="selected" if c["opt"] == "adam" else "",
+                        sel_nest="selected" if c["opt"] != "adam" else "",
+                        **c)
+                    status = ("no run yet — configure and Apply" if iso is None
+                              else (f"iterations: {len(iso.losses)} | data: "
+                                    f"{len(iso.data)} | loss: "
+                                    f"{iso.losses[-1]:.4g}" if iso.losses
+                                    else "warming up"))
+                    imgs = ('<img src="/training.png"/>' if iso is not None
+                            and iso.losses else "")
+                    body = _PAGE.format(refresh=refresh,
+                                        status=status + form,
+                                        rama=imgs and
+                                        '<img src="/rama.png"/>' or "")
+                    body = body.replace('<img src="/training.png"/><br/>',
+                                        imgs + "<br/>")
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.end_headers()
+                    self.wfile.write(body.encode())
+                elif self.path in ("/training.png", "/rama.png"):
+                    data = b""
+                    if iso is not None and iso.losses:
+                        try:
+                            imgs = _render(iso, iso.data.pdbfile is not None)
+                            data = imgs.get(self.path, b"")
+                        except Exception:
+                            data = b""
+                    self.send_response(200 if data else 404)
+                    self.send_header("Content-Type", "image/png")
+                    self.end_headers()
+                    self.wfile.write(data)
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+
+            def do_POST(self):
+                import urllib.parse
+                length = int(self.headers.get("Content-Length", 0))
+                form = urllib.parse.parse_qs(
+                    self.rfile.read(length).decode())
+                gui.apply(form)
+                self.send_response(303)
+                self.send_header("Location", "/")
+                self.end_headers()
+
+        srv = http.server.ThreadingHTTPServer(("0.0.0.0", port), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        self._worker = threading.Thread(target=self._train_loop, daemon=True)
+        self._worker.start()
+        self._srv = srv
+        return srv
+
+    def shutdown(self):
+        self._stop.set()
+        self.running = False
+        if getattr(self, "_srv", None) is not None:
+            self._srv.shutdown()
+
+
+def interactive_gui(port: int = 8000, **kwargs) -> InteractiveGui:
+    """Start the interactive control panel at http://localhost:<port>/
+    (reference ``ISOKANN.bonito_gui()`` equivalent)."""
+    gui = InteractiveGui(**kwargs)
+    gui.serve(port=port)
+    print(f"interactive dashboard at http://localhost:{port}/")
+    return gui

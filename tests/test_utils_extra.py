@@ -94,3 +94,38 @@ def test_profile_smoke(tmp_path):
         jnp.sum(jnp.ones((8, 8))).block_until_ready()
     # trace directory was created
     assert (tmp_path / "trace").exists()
+
+
+def test_interactive_gui_controls():
+    """The interactive control panel builds/trains from form submissions
+    (reference GUI sliders, ext/MakieExt.jl:18-80)."""
+    import time
+    import urllib.request
+    import urllib.parse
+    from isokann_tpu.utils.gui import InteractiveGui
+
+    gui = InteractiveGui(steps=10, nx=8, nk=2, chunk=5)
+    srv = gui.serve(port=0)
+    port = srv.server_address[1]
+    try:
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=10).read().decode()
+        assert "Apply" in page and "nx" in page
+        data = urllib.parse.urlencode(dict(
+            pdb="", steps=10, temp=310.0, nx=8, nk=2, opt="adam",
+            lr=1e-3, reg=1e-4, kde=0, action="apply")).encode()
+        r = urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{port}/control", data=data), timeout=30)
+        assert r.status == 200
+        for _ in range(200):
+            if gui.iso is not None and gui.iso.losses:
+                break
+            time.sleep(0.5)
+        assert gui.iso is not None and len(gui.iso.losses) >= 5
+        # pause toggle
+        data = urllib.parse.urlencode(dict(action="toggle")).encode()
+        urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{port}/control", data=data), timeout=10)
+        assert not gui.running
+    finally:
+        gui.shutdown()
