@@ -223,7 +223,7 @@ class MDSimulation(IsoSimulation):
             # VPU-compute-bound) while costing an extra remote compile —
             # not worth enabling by default
             return False
-        if not (64 < self.natoms <= 600):
+        if not (64 < self.natoms <= 640):   # GBPlan pads to 640 anyway
             return False
         try:
             return jax.devices()[0].platform == "tpu"
@@ -245,7 +245,8 @@ class MDSimulation(IsoSimulation):
         if self.natoms > 64:
             return False
         try:
-            return jax.devices()[0].platform == "tpu" and nwalkers >= 512
+            # one full 256-lane block is enough to beat the XLA scan
+            return jax.devices()[0].platform == "tpu" and nwalkers >= 256
         except Exception:
             return False
 
@@ -271,7 +272,7 @@ class MDSimulation(IsoSimulation):
         if self.system.method == "CutoffPeriodic" or self.natoms > 64:
             return False
         try:
-            return jax.devices()[0].platform == "tpu" and nwalkers >= 512
+            return jax.devices()[0].platform == "tpu" and nwalkers >= 256
         except Exception:
             return False
 
