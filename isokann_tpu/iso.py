@@ -152,6 +152,8 @@ def _pad_rows(a, cap):
     n = a.shape[0]
     if n == cap:
         return a
+    if n == 0:
+        raise ValueError("cannot pad an empty batch")
     xp = np if isinstance(a, np.ndarray) else jnp
     pad = cap - n
     reps = [a[:min(pad, n)]]

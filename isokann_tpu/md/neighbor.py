@@ -56,6 +56,12 @@ class NeighborPlan:
             raise ValueError("neighbor engine requires CutoffPeriodic + box")
         self.box = np.asarray(sys.box, np.float64)
         self.cutoff = float(sys.cutoff)
+        if not self.cutoff < float(self.box.min()) / 2:
+            # outside the minimum-image invariant the stencil dedupe can
+            # silently drop cross-cell pairs or double-count the self cell
+            raise ValueError(
+                f"neighbor engine requires cutoff < min(box)/2 "
+                f"(cutoff={self.cutoff}, box={tuple(self.box)})")
         self.natoms = int(sys.natoms)
 
         def config(div):
@@ -210,11 +216,14 @@ class NeighborPlan:
 
     def overflow(self, x):
         """Dropped-atom count for coordinates ``x`` (diagnostic; must be 0
-        for correct forces — enlarge ``capacity`` otherwise)."""
-        xf = jnp.asarray(x).reshape(-1, self.natoms, 3)
-        box = jnp.asarray(self.box, xf.dtype)
-        xw = xf - box * jnp.floor(xf / box)
-        return int(jnp.max(jax.vmap(lambda z: self.table(z)[1])(xw)))
+        for correct forces — enlarge ``capacity`` otherwise).  Pure host
+        numpy, so it is cheap to call after every propagation."""
+        xf = np.asarray(x).reshape(-1, self.natoms, 3)
+        worst = 0
+        for xi in xf:
+            occ = np.bincount(self._cell_id_np(xi), minlength=self.ncells)
+            worst = max(worst, int(np.maximum(occ - self.C, 0).sum()))
+        return worst
 
 
 # ==========================================================================

@@ -505,8 +505,12 @@ def make_chi_grad_fn(bias_plan: ChiBiasPlan):
             h = fp * fmask
 
         hs = []
+        # pair-distance-derived activations: bf16 default matmul precision
+        # would put ~1e-3 relative error on the bias force (repo rule:
+        # coordinate-touching matmuls run HIGHEST)
+        prec = jax.lax.Precision.HIGHEST
         for i in range(L):
-            z = jax.lax.dot_general(ws[i], h, dn_fwd,
+            z = jax.lax.dot_general(ws[i], h, dn_fwd, precision=prec,
                                     preferred_element_type=jnp.float32) + bs[i]
             if i < L - 1:
                 h = jax.nn.sigmoid(z)
@@ -522,7 +526,7 @@ def make_chi_grad_fn(bias_plan: ChiBiasPlan):
             if i < L - 1:
                 s = hs[i]
                 g = g * (s * (1.0 - s))
-            g = jax.lax.dot_general(ws[i], g, dn_bwd,
+            g = jax.lax.dot_general(ws[i], g, dn_bwd, precision=prec,
                                     preferred_element_type=jnp.float32)
 
         if layernorm:

@@ -288,6 +288,14 @@ class MDSimulation(IsoSimulation):
                 id(self.bias) if biased else None)
         if key_ in self._jit_cache:
             return self._jit_cache[key_]
+        if biased:
+            # evict programs compiled for previous bias objects: adaptive
+            # Girsanov loops refresh the bias every generation, and each
+            # stale entry pins a whole compiled trajectory program (and the
+            # bias closure) forever
+            for k in [k for k in self._jit_cache
+                      if isinstance(k, tuple) and k[:6] == key_[:6]]:
+                del self._jit_cache[k]
         force_fn = self._force_fn()
         masses3, T, gamma, dt = self.masses3, self.temp, self.friction, self.step
         bias = self.bias
@@ -405,6 +413,7 @@ class MDSimulation(IsoSimulation):
         run = self._propagate_fn(bucket, nsteps, self.bias is not None)
         if self.bias is not None:
             ys, w = run(xs, key)
+            self._check_cell_overflow(ys[:nw])
             return WeightedSamples(ys[:nw].reshape(n, nk, d),
                                    w[:nw].reshape(n, nk))
         ys = run(xs, key)[:nw]
@@ -425,7 +434,32 @@ class MDSimulation(IsoSimulation):
             warnings.warn(f"{int(jnp.sum(bad))} walkers diverged after "
                           f"retries; falling back to their start states")
             ys = jnp.where(bad[:, None], xs[:nw], ys)
+        self._check_cell_overflow(ys)
         return ys.reshape(n, nk, d)
+
+    def _check_cell_overflow(self, ys):
+        """Neighbor-engine safety net: the cell capacity is sized from the
+        start coordinates; density drift that overflows a cell silently
+        drops interactions.  Cheap host-side occupancy check after every
+        propagation; on overflow the plan regrows and the cached programs
+        that baked it in are evicted (the *returned* samples carried
+        degraded forces — warn loudly)."""
+        plan = getattr(self, "_nbplan", None)
+        if plan is None or self.system.dense_pairs:
+            return
+        dropped = plan.overflow(np.asarray(ys))
+        if dropped:
+            import warnings
+            from ..md.neighbor import NeighborPlan
+            self._nbplan = NeighborPlan(self.system, capacity=2 * plan.C)
+            self._jit_cache = {k: v for k, v in self._jit_cache.items()
+                               if not (isinstance(k, tuple) and k
+                                       and k[0] in ("prop", "prop_girsanov",
+                                                    "bootstrap", "block"))}
+            warnings.warn(
+                f"neighbor cell overflow ({dropped} atoms dropped): forces "
+                f"of this propagation were degraded; cell capacity regrown "
+                f"{plan.C} -> {self._nbplan.C} for subsequent calls")
 
     # ---- fused data generation --------------------------------------------
 
@@ -560,6 +594,7 @@ class MDSimulation(IsoSimulation):
             raise FloatingPointError(
                 "trajectory diverged immediately; minimize the structure or "
                 "reduce the timestep")
+        self._check_cell_overflow(saves[-1])
         return jnp.stack(saves)
 
     def laggedtrajectory(self, lags, steps=None, x0=None,

@@ -43,14 +43,20 @@ def expectation(model, ys):
 
     ``ys``: features of propagated samples, shape (n, k, f) (or a
     WeightedSamples for Girsanov reweighting). Returns (n, d).
+    Host (numpy) model outputs stay on host — the reduction must not
+    become a per-shape device op in adaptive loops.
     Reference: ``src/isotarget.jl:18``, weighted variant ``src/data.jl:215``.
     """
     from .data import WeightedSamples
 
     if isinstance(ys, WeightedSamples):
         vals = model(ys.values)
-        return jnp.sum(vals * ys.weights[..., None], axis=-2) / ys.values.shape[-2]
-    return jnp.mean(model(ys), axis=-2)
+        xp = np if isinstance(vals, np.ndarray) else jnp
+        w = xp.asarray(ys.weights)
+        return xp.sum(vals * w[..., None], axis=-2) / vals.shape[-2]
+    vals = model(ys)
+    xp = np if isinstance(vals, np.ndarray) else jnp
+    return xp.mean(vals, axis=-2)
 
 
 def expectation_bucketed(model, ys):
@@ -72,7 +78,24 @@ def koopman(iso, data=None):
     return expectation_bucketed(iso.chifun, propfeatures(data))
 
 
+def bucketed_model(model):
+    """Wrap a chi model so every evaluation pads its batch to a capacity
+    bucket (one compiled forward pass per size class; adaptive datasets
+    grow every generation).  Handles arbitrary leading batch dims;
+    returns numpy."""
+    from .data import model_bucketed
+
+    def f(x):
+        x = np.asarray(x)
+        lead = x.shape[:-1]
+        out = model_bucketed(model, x.reshape(-1, x.shape[-1]))
+        return out.reshape(lead + (out.shape[-1],))
+
+    return f
+
+
 def chi_kchi(model, data):
+    model = bucketed_model(model)
     return model(features(data)), expectation(model, propfeatures(data))
 
 
@@ -673,6 +696,11 @@ def residual_subspace(V, KV=None, V_norms=False, iso=None):
 # ==========================================================================
 
 def isotarget(iso, target=None):
-    """Compute the training target for ``iso`` (reference ``src/isotarget.jl:10-12``)."""
+    """Compute the training target for ``iso`` (reference ``src/isotarget.jl:10-12``).
+
+    The model is evaluated through capacity buckets so the non-fused
+    (host-transform) training path compiles one forward pass per dataset
+    size class instead of one per generation."""
     t = iso.target if target is None else target
-    return t(iso.chifun, features(iso.data), propfeatures(iso.data))
+    return t(bucketed_model(iso.chifun), features(iso.data),
+             propfeatures(iso.data))

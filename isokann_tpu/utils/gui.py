@@ -46,7 +46,8 @@ def _render(iso, want_rama):
     return out
 
 
-def serve_dashboard(iso, port: int = 8000, refresh: int = 3):
+def serve_dashboard(iso, port: int = 8000, refresh: int = 3,
+                    host: str = "127.0.0.1"):
     """Serve the live dashboard at http://localhost:<port>/ (background
     thread).  Returns the server (call ``.shutdown()`` to stop)."""
     want_rama = iso.data.pdbfile is not None
@@ -81,7 +82,7 @@ def serve_dashboard(iso, port: int = 8000, refresh: int = 3):
                 self.send_response(404)
                 self.end_headers()
 
-    srv = http.server.ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    srv = http.server.ThreadingHTTPServer((host, port), Handler)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     return srv
 
@@ -201,7 +202,10 @@ class InteractiveGui:
                 self._build()
                 self.running = True
 
-    def serve(self, port: int = 8000, refresh: int = 3):
+    def serve(self, port: int = 8000, refresh: int = 3,
+              host: str = "127.0.0.1"):
+        # localhost by default: the control endpoint reads arbitrary pdb
+        # paths and launches compute — do not expose it to the network
         gui = self
 
         class Handler(http.server.BaseHTTPRequestHandler):
@@ -260,7 +264,7 @@ class InteractiveGui:
                 self.send_header("Location", "/")
                 self.end_headers()
 
-        srv = http.server.ThreadingHTTPServer(("0.0.0.0", port), Handler)
+        srv = http.server.ThreadingHTTPServer((host, port), Handler)
         threading.Thread(target=srv.serve_forever, daemon=True).start()
         self._worker = threading.Thread(target=self._train_loop, daemon=True)
         self._worker.start()
