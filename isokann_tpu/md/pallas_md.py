@@ -111,6 +111,11 @@ class PallasMDPlan:
         self.method = sys.method
         self.cutoff = float(sys.cutoff)
         self.eps_rf = float(sys.eps_rf)
+        # minimum-image box for CutoffPeriodic (applied to the pair rows;
+        # bonded difference vectors stay unwrapped-small by construction)
+        self.box = (tuple(float(b) for b in sys.box)
+                    if sys.method == "CutoffPeriodic" and sys.box is not None
+                    else None)
 
 
 CONST_NAMES = ("D", "DT", "nb_qq", "nb_eps", "nb_rmin", "nb_full",
@@ -197,6 +202,11 @@ def make_force_parts(plan: PallasMDPlan, consts=None):
 
         # ---- nonbonded on pair rows -------------------------------------
         px, py, pz = seg(dx, spr), seg(dy, spr), seg(dz, spr)
+        if plan.box is not None:
+            bx, by, bz = plan.box
+            px = px - bx * jnp.round(px * (1.0 / bx))
+            py = py - by * jnp.round(py * (1.0 / by))
+            pz = pz - bz * jnp.round(pz * (1.0 / bz))
         r2 = px * px + py * py + pz * pz + 1e-12
         inv_r2 = 1.0 / r2
         r = jnp.sqrt(r2)

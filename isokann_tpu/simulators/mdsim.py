@@ -238,8 +238,6 @@ class MDSimulation(IsoSimulation):
             return False
         if self.system.implicit is not None or self.constraint_set is not None:
             return False
-        if self.system.method == "CutoffPeriodic":
-            return False   # the kernels have no minimum-image path
         # the kernel's dense difference operator scales with all-pairs rows:
         # small-molecule systems only (<=64 atoms keeps D under ~10 MB)
         if self.natoms > 64:
@@ -269,7 +267,7 @@ class MDSimulation(IsoSimulation):
             return False
         if self.system.implicit is not None or self.constraint_set is not None:
             return False
-        if self.system.method == "CutoffPeriodic" or self.natoms > 64:
+        if self.natoms > 64:
             return False
         try:
             return jax.devices()[0].platform == "tpu" and nwalkers >= 256

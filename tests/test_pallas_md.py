@@ -354,3 +354,19 @@ class TestGirsanovKernel:
         assert isinstance(ws, WeightedSamples)
         assert np.all(np.isfinite(np.asarray(ws.weights)))
         gsim.bias = None
+
+
+def test_forces_minimum_image_wrap(sim):
+    """CutoffPeriodic: the kernel's pair rows apply minimum image — an
+    atom displaced by a full box length must feel identical forces."""
+    s = sim.system
+    assert s.method == "CutoffPeriodic" and s.box is not None
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(np.asarray(sim.coords)[None, :]
+                    + rng.normal(scale=0.01, size=(4, 66)), jnp.float32)
+    shift = np.zeros(66, np.float32)
+    shift[0] = s.box[0]                  # atom 0 shifted by +Lx
+    xs = x + jnp.asarray(shift)
+    f_ref = np.asarray(force_flat(s, xs))
+    f_new = np.asarray(forces_rowmajor(s, xs))
+    assert np.abs(f_ref - f_new).max() / np.abs(f_ref).max() < 1e-5
