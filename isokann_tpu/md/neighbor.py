@@ -46,8 +46,11 @@ class NeighborPlan:
     """Static cell-grid data for a (box, cutoff, natoms) combination.
 
     ``x0`` (optional, (natoms, 3)): coordinates used to size the per-cell
-    capacity (1.5x the observed max occupancy); without it a density
-    heuristic is used.  ``capacity`` overrides both.
+    capacity (1.5x the observed max occupancy; ``MDSimulation`` auto-regrows
+    the plan if density drift ever overflows a cell — pair work scales with
+    capacity^2, so tighter margins are faster but v5e showed kernel
+    instability at some block geometries, keep the default unless measured);
+    without it a density heuristic is used.  ``capacity`` overrides both.
     """
 
     def __init__(self, sys: MDSystem, x0=None, capacity: int = None,
