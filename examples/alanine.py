@@ -13,10 +13,11 @@ import numpy as np
 import isokann_tpu as itk
 
 
-def main():
+def main(small=False):
     sim = itk.OpenMMSimulation()        # bundled alanine dipeptide, 0.2 ps lag
-    iso = itk.Iso(sim=sim, nx=100, nk=5, key=0, opt=itk.AdamRegularized())
-    iso.run(100)
+    nx, nk = (16, 2) if small else (100, 5)
+    iso = itk.Iso(sim=sim, nx=nx, nk=nk, key=0, opt=itk.AdamRegularized())
+    iso.run(20 if small else 100)
     print(f"loss {iso.losses[0]:.4f} -> {iso.losses[-1]:.4f}")
 
     itk.scatter_ramachandran(iso, out="out/alanine_rama.png")
@@ -29,7 +30,8 @@ def main():
     print(f"reactive path: {len(ids)} frames")
 
     # adaptive refinement
-    iso.run_kde(generations=5, iter=50, kde=5)
+    iso.run_kde(generations=2 if small else 5, iter=10 if small else 50,
+                kde=5)
     print(f"after adaptive: n={len(iso.data)} loss={iso.losses[-1]:.4f}")
     iso.save("out/alanine_iso.pkl")
     return iso

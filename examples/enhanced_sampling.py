@@ -35,8 +35,7 @@ def main(small=True):
     w = np.asarray(ws.weights)
     print(f"optcontrol: weights [{w.min():.3f}, {w.max():.3f}] "
           f"(ESS {w.sum()**2 / (w**2).sum():.1f}/{w.size})")
-    kchi_w = np.asarray(itk.expectation(
-        lambda y: iso.chicoords(y.reshape(-1, sim.dim)), ws))
+    kchi_w = np.asarray(itk.expectation(iso.chicoords, ws))
     print(f"weighted Kchi range [{kchi_w.min():.3f}, {kchi_w.max():.3f}]")
 
     # 3. one generation of chi-guided WT-metadynamics deposition

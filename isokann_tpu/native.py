@@ -43,6 +43,18 @@ def _load():
 
     lib.picking_maxmin.restype = None
     lib.picking_maxmin.argtypes = [pd, i64, i64, i64, pi, pd]
+
+    pf = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    cs = ctypes.c_char_p
+    lib.dcd_write.restype = i64
+    lib.dcd_write.argtypes = [cs, pf, i64, i64,
+                              ctypes.POINTER(ctypes.c_double),
+                              ctypes.c_double]
+    lib.dcd_info.restype = i64
+    lib.dcd_info.argtypes = [cs, ctypes.POINTER(i64), ctypes.POINTER(i64),
+                             ctypes.POINTER(i64)]
+    lib.dcd_read.restype = i64
+    lib.dcd_read.argtypes = [cs, pf, pd, i64]
     return lib
 
 
@@ -90,3 +102,37 @@ def picking_native(X, npick):
     mins = np.empty(npts, np.float64)
     _lib.picking_maxmin(X, npts, d, npick, out, mins)
     return out, mins
+
+
+def dcd_write_native(path, xyz, box=None, dt_ps=0.002):
+    """Write a CHARMM/NAMD DCD trajectory.  ``xyz``: (nframes, natoms, 3)
+    [nm]; ``box``: optional (3,) [nm] orthorhombic cell."""
+    import ctypes as ct
+    xyz = np.ascontiguousarray(xyz, np.float32)
+    nframes, natoms = xyz.shape[0], xyz.shape[1]
+    bptr = None
+    if box is not None:
+        b = np.ascontiguousarray(np.asarray(box, np.float64).ravel()[:3])
+        bptr = b.ctypes.data_as(ct.POINTER(ct.c_double))
+    rc = _lib.dcd_write(path.encode(), xyz, nframes, natoms, bptr,
+                        float(dt_ps))
+    if rc != 0:
+        raise IOError(f"dcd_write failed (code {rc}) for {path}")
+    return path
+
+
+def dcd_read_native(path):
+    """Read a DCD trajectory -> (xyz (nframes, natoms, 3) [nm],
+    boxes (nframes, 3) [nm] or None)."""
+    import ctypes as ct
+    na, nf, hc = ct.c_int64(), ct.c_int64(), ct.c_int64()
+    rc = _lib.dcd_info(path.encode(), ct.byref(na), ct.byref(nf),
+                       ct.byref(hc))
+    if rc != 0:
+        raise IOError(f"not a readable DCD file: {path} (code {rc})")
+    xyz = np.empty((nf.value, na.value, 3), np.float32)
+    boxes = np.zeros((nf.value, 3), np.float64)
+    rc = _lib.dcd_read(path.encode(), xyz, boxes, nf.value)
+    if rc != 0:
+        raise IOError(f"dcd_read failed (code {rc}) for {path}")
+    return xyz, (boxes if hc.value else None)

@@ -12,8 +12,10 @@ import os
 import numpy as np
 
 
-def save_trajectory(path, traj, top=None):
-    """Save (frames, 3N) coordinates: .pdb (needs ``top``) or .npy."""
+def save_trajectory(path, traj, top=None, box=None, dt_ps=0.002):
+    """Save (frames, 3N) coordinates: .pdb (needs ``top``), .npy, or
+    .dcd (CHARMM/NAMD binary via the native library — readable by VMD,
+    mdtraj, MDAnalysis; optional orthorhombic ``box`` (3,) [nm])."""
     traj = np.atleast_2d(np.asarray(traj))
     ext = os.path.splitext(path)[1].lower()
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -24,19 +26,27 @@ def save_trajectory(path, traj, top=None):
             raise ValueError("PDB output needs a topology (top=pdbfile)")
         from ..md.pdbio import write_pdb_traj
         write_pdb_traj(path, top, traj)
+    elif ext == ".dcd":
+        from ..native import dcd_write_native
+        dcd_write_native(path, traj.reshape(traj.shape[0], -1, 3),
+                         box=box, dt_ps=dt_ps)
     else:
         raise ValueError(f"unsupported trajectory format {ext}")
     return path
 
 
 def load_trajectory(path, stride=1):
-    """Load a trajectory as (frames, 3N): .npy, .pdb (multi-model)."""
+    """Load a trajectory as (frames, 3N): .npy, .pdb (multi-model), .dcd."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".npy":
         return np.load(path)[::stride]
     if ext == ".pdb":
         from ..md.pdbio import read_pdb_traj
         return read_pdb_traj(path)[::stride]
+    if ext == ".dcd":
+        from ..native import dcd_read_native
+        xyz, _ = dcd_read_native(path)
+        return xyz.reshape(xyz.shape[0], -1)[::stride]
     raise ValueError(f"unsupported trajectory format {ext}")
 
 

@@ -181,3 +181,158 @@ void picking_maxmin(const double* X, int64_t npts, int64_t d,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// DCD trajectory I/O (CHARMM/NAMD binary format) — interop with VMD,
+// mdtraj, MDAnalysis.  The reference reads/writes binary trajectories
+// through Chemfiles/mdtraj (C/C++ libraries, src/utils/molutils.jl:75-189);
+// this is the native equivalent for the rebuild.
+//
+// Layout: Fortran unformatted records ([i32 len][payload][i32 len]):
+//   "CORD" + ICNTL[20]  (nframes, start, step, ..., has_cell @ [10],
+//                        version 24 @ [19])
+//   title block, natoms block; per frame: optional unit cell
+//   (6 doubles: A, gamma, B, beta, alpha, C) then X, Y, Z float32 blocks.
+// Coordinates are Angstrom in-file; the API converts nm <-> A.
+// ---------------------------------------------------------------------------
+
+#include <cstdio>
+
+namespace {
+bool wrec(FILE* f, const void* data, int32_t n) {
+    return std::fwrite(&n, 4, 1, f) == 1
+        && (n == 0 || std::fwrite(data, 1, (size_t)n, f) == (size_t)n)
+        && std::fwrite(&n, 4, 1, f) == 1;
+}
+
+bool rrec(FILE* f, void* data, int32_t expect, int32_t* got) {
+    int32_t n = 0, n2 = 0;
+    if (std::fread(&n, 4, 1, f) != 1) return false;
+    if (got) *got = n;
+    if (expect >= 0 && n != expect) return false;
+    if (data) {
+        if (std::fread(data, 1, (size_t)n, f) != (size_t)n) return false;
+    } else {
+        if (std::fseek(f, n, SEEK_CUR) != 0) return false;
+    }
+    return std::fread(&n2, 4, 1, f) == 1 && n2 == n;
+}
+}  // namespace
+
+extern "C" {
+
+// Write (nframes, natoms, 3) nm coordinates; box: 3 doubles [nm] or null.
+// Returns 0 on success.
+int64_t dcd_write(const char* path, const float* xyz, int64_t nframes,
+                  int64_t natoms, const double* box, double dt_ps) {
+    FILE* f = std::fopen(path, "wb");
+    if (!f) return 1;
+    struct { char magic[4]; int32_t icntl[20]; } hdr;
+    std::memcpy(hdr.magic, "CORD", 4);
+    std::memset(hdr.icntl, 0, sizeof(hdr.icntl));
+    hdr.icntl[0] = (int32_t)nframes;   // NSET
+    hdr.icntl[1] = 1;                  // ISTART
+    hdr.icntl[2] = 1;                  // NSAVC
+    float delta = (float)(dt_ps * 20.455);  // AKMA units per CHARMM
+    std::memcpy(&hdr.icntl[9], &delta, 4);
+    hdr.icntl[10] = box ? 1 : 0;       // crystal flag
+    hdr.icntl[19] = 24;                // CHARMM version
+    bool ok = wrec(f, &hdr, 84);
+    struct { int32_t nt; char line[80]; } title;
+    title.nt = 1;
+    std::memset(title.line, ' ', 80);
+    std::memcpy(title.line, "written by isokann_tpu", 22);
+    ok = ok && wrec(f, &title, 84);
+    int32_t na = (int32_t)natoms;
+    ok = ok && wrec(f, &na, 4);
+
+    std::vector<float> buf(natoms);
+    for (int64_t t = 0; ok && t < nframes; ++t) {
+        if (box) {
+            // XTL order: A, gamma, B, beta, alpha, C (orthorhombic: 90s)
+            double cell[6] = {box[0] * 10.0, 90.0, box[1] * 10.0,
+                              90.0, 90.0, box[2] * 10.0};
+            ok = wrec(f, cell, 48);
+        }
+        for (int c = 0; ok && c < 3; ++c) {
+            const float* fr = xyz + (t * natoms) * 3;
+            for (int64_t a = 0; a < natoms; ++a)
+                buf[a] = fr[a * 3 + c] * 10.0f;     // nm -> Angstrom
+            ok = wrec(f, buf.data(), (int32_t)(natoms * 4));
+        }
+    }
+    std::fclose(f);
+    return ok ? 0 : 2;
+}
+
+// Probe natoms / nframes / cell flag.  Returns 0 on success.
+int64_t dcd_info(const char* path, int64_t* natoms, int64_t* nframes,
+                 int64_t* has_cell) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return 1;
+    struct { char magic[4]; int32_t icntl[20]; } hdr;
+    if (!rrec(f, &hdr, 84, nullptr) || std::memcmp(hdr.magic, "CORD", 4)) {
+        std::fclose(f);
+        return 2;
+    }
+    if (!rrec(f, nullptr, -1, nullptr)) { std::fclose(f); return 2; }  // title
+    int32_t na = 0;
+    if (!rrec(f, &na, 4, nullptr)) { std::fclose(f); return 2; }
+    *natoms = na;
+    *has_cell = hdr.icntl[10] ? 1 : 0;
+    // count frames by scanning records (header NSET can be stale)
+    int64_t frames = 0;
+    for (;;) {
+        if (hdr.icntl[10] && !rrec(f, nullptr, 48, nullptr)) break;
+        bool ok = true;
+        for (int c = 0; c < 3; ++c)
+            ok = ok && rrec(f, nullptr, (int32_t)(na * 4), nullptr);
+        if (!ok) break;
+        ++frames;
+    }
+    *nframes = frames;
+    std::fclose(f);
+    return 0;
+}
+
+// Read all frames into (nframes, natoms, 3) nm + per-frame box [nm]
+// (boxes zero-filled when the file has no cell).  Returns 0 on success.
+int64_t dcd_read(const char* path, float* xyz, double* boxes,
+                 int64_t maxframes) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return 1;
+    struct { char magic[4]; int32_t icntl[20]; } hdr;
+    if (!rrec(f, &hdr, 84, nullptr) || std::memcmp(hdr.magic, "CORD", 4)) {
+        std::fclose(f);
+        return 2;
+    }
+    if (!rrec(f, nullptr, -1, nullptr)) { std::fclose(f); return 2; }
+    int32_t na = 0;
+    if (!rrec(f, &na, 4, nullptr)) { std::fclose(f); return 2; }
+    std::vector<float> buf(na);
+    for (int64_t t = 0; t < maxframes; ++t) {
+        if (hdr.icntl[10]) {
+            double cell[6];
+            if (!rrec(f, cell, 48, nullptr)) break;
+            if (boxes) {
+                boxes[t * 3 + 0] = cell[0] / 10.0;
+                boxes[t * 3 + 1] = cell[2] / 10.0;
+                boxes[t * 3 + 2] = cell[5] / 10.0;
+            }
+        } else if (boxes) {
+            boxes[t * 3] = boxes[t * 3 + 1] = boxes[t * 3 + 2] = 0.0;
+        }
+        bool ok = true;
+        for (int c = 0; c < 3 && ok; ++c) {
+            ok = rrec(f, buf.data(), (int32_t)(na * 4), nullptr);
+            if (ok)
+                for (int64_t a = 0; a < na; ++a)
+                    xyz[(t * na + a) * 3 + c] = buf[a] * 0.1f;  // A -> nm
+        }
+        if (!ok) break;
+    }
+    std::fclose(f);
+    return 0;
+}
+
+}  // extern "C"
