@@ -25,10 +25,14 @@ from isokann_tpu.md.fixtures import peptide_pdb
 
 def main(sequence="AQGSAELAKVM", small=True, out="out/solvated_peptide"):
     os.makedirs(out, exist_ok=True)
+    if small:                   # smoke variant: smaller box, engine forced on
+        sequence = sequence[:4]
     pdb = peptide_pdb(sequence, f"{out}/peptide.pdb", minimize=True,
-                      maxiter=300)
-    sim = itk.MDSimulation(pdb=pdb, addwater=True, padding=1.0,
-                           steps=20 if small else 100)
+                      maxiter=150 if small else 300)
+    sim = itk.MDSimulation(pdb=pdb, addwater=True,
+                           padding=0.7 if small else 1.0,
+                           steps=10 if small else 100,
+                           dense_pairs=False)
     print(f"{sim.natoms} atoms, box {sim.system.box}, "
           f"dense_pairs={sim.system.dense_pairs}")
     assert not sim.system.dense_pairs          # neighbor engine active
@@ -36,13 +40,13 @@ def main(sequence="AQGSAELAKVM", small=True, out="out/solvated_peptide"):
     # equilibrate briefly (the lattice water relaxes within a few ps)
     t0 = time.time()
     x0 = sim.coords[None, :]
-    xs = sim.propagate(np.tile(x0, (4, 1)), 1, steps=200)
+    xs = sim.propagate(np.tile(x0, (4, 1)), 1, steps=40 if small else 200)
     print(f"equilibration: {time.time() - t0:.1f}s, "
           f"finite={np.isfinite(np.asarray(xs)).all()}")
 
     nx, nk = (8, 2) if small else (50, 4)
     iso = itk.Iso(sim=sim, nx=nx, nk=nk, key=0)
-    iso.run(20 if small else 200)
+    iso.run(5 if small else 200)
     print(f"loss {iso.losses[0]:.3f} -> {iso.losses[-1]:.4f}")
     iso.save(f"{out}/iso.pkl")
     return iso

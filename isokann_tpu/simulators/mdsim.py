@@ -46,6 +46,8 @@ class MDSimulation(IsoSimulation):
     - bias: optional bias force ``bias(x, t, sigma, F) -> u`` enabling
       Girsanov-weighted sampling (ABOBA integrator)
     - method/cutoff: nonbonded method override ("auto" per reference)
+    - dense_pairs: True = dense all-pairs layout, False = O(n) cell-list
+      neighbor engine, "auto" = switch at 4000 atoms
     """
 
     def __init__(self, pdb: Optional[str] = None, steps: int = 100,
@@ -57,7 +59,7 @@ class MDSimulation(IsoSimulation):
                  constraints: Optional[str] = None,
                  addwater: bool = False, padding: float = 1.0,
                  ionic_strength: float = 0.0, rigidwater: bool = True,
-                 dtype=jnp.float32):
+                 dense_pairs="auto", dtype=jnp.float32):
         if pdb is None:
             from ..md.fixtures import alanine_dipeptide_pdb
             pdb = alanine_dipeptide_pdb()
@@ -71,7 +73,8 @@ class MDSimulation(IsoSimulation):
                                 constraints=constraints, addwater=addwater,
                                 padding=padding,
                                 ionic_strength=ionic_strength,
-                                rigidwater=rigidwater)
+                                rigidwater=rigidwater,
+                                dense_pairs=dense_pairs)
         self.pdbfile = pdb
         self.steps = int(steps)
         self.temp = float(temp)
@@ -90,7 +93,8 @@ class MDSimulation(IsoSimulation):
                                      ionic_strength=ionic_strength)
         self.system = build_system(self.structure if addwater else pdb,
                                    method=method, cutoff=cutoff,
-                                   implicit=implicit, dtype=dtype)
+                                   implicit=implicit,
+                                   dense_pairs=dense_pairs, dtype=dtype)
         self.masses3 = jnp.repeat(self.system.masses, 3)
 
         # holonomic constraints (reference mopenmm.py:117-125 pass-through)
