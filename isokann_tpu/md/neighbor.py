@@ -667,8 +667,9 @@ def neighbor_sweep_pallas(sys: MDSystem, plan: NeighborPlan, xb,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    # batches above 4 walkers fault on v5e when the kernel sits inside a
-    # lax.scan (standalone calls are fine) — process in chunks
+    # v5e faults for >4-walker batches when the kernel sits inside a
+    # lax.scan (standalone calls are fine; reproduced with both 3-D and
+    # folded 2-D grids — backend issue, not geometry) — chunk the batch
     MAXB = 4
     if xb.shape[0] > MAXB:
         return jnp.concatenate(
@@ -718,21 +719,27 @@ def neighbor_sweep_pallas(sys: MDSystem, plan: NeighborPlan, xb,
 
     def kernel(sten_ref, icols_ref, jrows_ref, iexcl_ref, acc_ref, fj_ref):
         _nb_kernel_body(plan, rc, krf, icols_ref, jrows_ref, iexcl_ref,
-                        acc_ref, fj_ref, pl.program_id(2))
+                        acc_ref, fj_ref, pl.program_id(1))
 
+    # grid: (walker*cell, stencil) — batch folded into the leading dim
+    # (a 3-D (B, ncells, S) grid faulted on v5e for B > 4 inside lax.scan)
+    nc = plan.ncells
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, plan.ncells, Sp1),
+        grid=(B * nc, Sp1),
         in_specs=[
-            pl.BlockSpec((1, 1, C, 8), lambda b, c, s, st: (b, c, 0, 0)),
+            pl.BlockSpec((1, 1, C, 8),
+                         lambda g, s, st: (g // nc, g % nc, 0, 0)),
             pl.BlockSpec((1, 1, 8, C),
-                         lambda b, c, s, st: (b, st[c, s], 0, 0)),
-            pl.BlockSpec((1, 1, C, E), lambda b, c, s, st: (b, c, 0, 0)),
+                         lambda g, s, st: (g // nc, st[g % nc, s], 0, 0)),
+            pl.BlockSpec((1, 1, C, E),
+                         lambda g, s, st: (g // nc, g % nc, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, C, 8), lambda b, c, s, st: (b, c, 0, 0)),
+            pl.BlockSpec((1, 1, C, 8),
+                         lambda g, s, st: (g // nc, g % nc, 0, 0)),
             pl.BlockSpec((1, 1, 1, 8, C),
-                         lambda b, c, s, st: (b, c, s, 0, 0)),
+                         lambda g, s, st: (g // nc, g % nc, s, 0, 0)),
         ],
     )
     acc, fj = pl.pallas_call(
