@@ -3,9 +3,9 @@
 per generation 30 stratified + 30 KDE resamples, 300 train iterations,
 data cutoff 10000, checkpoint every 10 generations.
 
-The full production run needs a villin PDB (e.g. the reference's
-``villin nowater.pdb``); pass its path.  ``small=True`` runs a scaled-down
-smoke version.
+Pass a villin PDB path (e.g. the reference's ``villin nowater.pdb``); with
+``pdb=None`` the HP36 subdomain is built from sequence with the bundled
+peptide builder.  ``small=True`` runs a scaled-down smoke version.
 """
 
 import os
@@ -18,8 +18,15 @@ import os
 import isokann_tpu as itk
 
 
-def main(pdb, small=False, out="out/villin"):
+HP36 = "MLSDEDFKAVFGMTRSAFANLPLWKQQNLKKEKGLF"
+
+
+def main(pdb=None, small=False, out="out/villin"):
     os.makedirs(out, exist_ok=True)
+    if pdb is None:
+        from isokann_tpu.md.fixtures import peptide_pdb
+        pdb = peptide_pdb(HP36, f"{out}/hp36.pdb", minimize=True,
+                          maxiter=200 if small else 800, implicit="obc2")
     steps = 50 if small else 10_000       # reference lagtime: 20 ns = 1e4 x 2fs
     sim = itk.MDSimulation(pdb=pdb, steps=steps, implicit="obc2",
                            minimize=True,

@@ -201,12 +201,14 @@ def make_force_parts(plan: PallasMDPlan, consts=None):
         dx, dy, dz = d[:NR], d[NR:2 * NR], d[2 * NR:3 * NR]
 
         # ---- nonbonded on pair rows -------------------------------------
-        px, py, pz = seg(dx, spr), seg(dy, spr), seg(dz, spr)
+        pxu, pyu, pzu = seg(dx, spr), seg(dy, spr), seg(dz, spr)
         if plan.box is not None:
             bx, by, bz = plan.box
-            px = px - bx * jnp.round(px * (1.0 / bx))
-            py = py - by * jnp.round(py * (1.0 / by))
-            pz = pz - bz * jnp.round(pz * (1.0 / bz))
+            px = pxu - bx * jnp.round(pxu * (1.0 / bx))
+            py = pyu - by * jnp.round(pyu * (1.0 / by))
+            pz = pzu - bz * jnp.round(pzu * (1.0 / bz))
+        else:
+            px, py, pz = pxu, pyu, pzu
         r2 = px * px + py * py + pz * pz + 1e-12
         inv_r2 = 1.0 / r2
         r = jnp.sqrt(r2)
@@ -290,7 +292,11 @@ def make_force_parts(plan: PallasMDPlan, consts=None):
         gz = jnp.concatenate([gpz, gbz, guz, gvz, dEdphi * g1z,
                               dEdphi * g2z, dEdphi * g3z, zpad], axis=0)
         g = jnp.concatenate([gx, gy, gz], axis=0)
-        return g, (px, py, pz, r)
+        # aux: UNWRAPPED pair geometry — the chi-bias consumer must match
+        # the host featurizer (FeaturesAll.flatpairdists never wraps);
+        # unused outputs are dead-code-eliminated in the plain kernel
+        r_u = jnp.sqrt(pxu * pxu + pyu * pyu + pzu * pzu + 1e-12)
+        return g, (pxu, pyu, pzu, r_u)
 
     return diff, grows, apply_DT
 

@@ -291,12 +291,13 @@ class MDSimulation(IsoSimulation):
         if key_ in self._jit_cache:
             return self._jit_cache[key_]
         if biased:
-            # evict programs compiled for previous bias objects: adaptive
-            # Girsanov loops refresh the bias every generation, and each
-            # stale entry pins a whole compiled trajectory program (and the
-            # bias closure) forever
+            # evict programs compiled for previous bias objects (any walker
+            # bucket): adaptive Girsanov loops refresh the bias every
+            # generation, and each stale entry pins a whole compiled
+            # trajectory program (and the bias closure) forever
             for k in [k for k in self._jit_cache
-                      if isinstance(k, tuple) and k[:6] == key_[:6]]:
+                      if isinstance(k, tuple) and len(k) == 7
+                      and k[0] == "prop" and k[3] and k[6] != key_[6]]:
                 del self._jit_cache[k]
         force_fn = self._force_fn()
         masses3, T, gamma, dt = self.masses3, self.temp, self.friction, self.step
@@ -439,21 +440,30 @@ class MDSimulation(IsoSimulation):
         self._check_cell_overflow(ys)
         return ys.reshape(n, nk, d)
 
-    def _check_cell_overflow(self, ys):
+    def _check_cell_overflow(self, ys, sample: int = 8):
         """Neighbor-engine safety net: the cell capacity is sized from the
         start coordinates; density drift that overflows a cell silently
-        drops interactions.  Cheap host-side occupancy check after every
-        propagation; on overflow the plan regrows and the cached programs
-        that baked it in are evicted (the *returned* samples carried
-        degraded forces — warn loudly)."""
+        drops interactions.  Host-side occupancy check on a bounded frame
+        sample after each propagation (overflow is a collective density
+        phenomenon — a few frames catch it); on overflow the plan regrows
+        from the offending frame and the cached programs that baked it in
+        are evicted (the *returned* samples carried degraded forces — warn
+        loudly)."""
         plan = getattr(self, "_nbplan", None)
         if plan is None or self.system.dense_pairs:
             return
-        dropped = plan.overflow(np.asarray(ys))
+        xf = np.asarray(ys).reshape(-1, self.dim)[:sample]
+        finite = np.all(np.isfinite(xf), axis=1)
+        if not finite.any():
+            return                 # divergence is handled by the caller
+        xf = xf[finite]
+        dropped = plan.overflow(xf)
         if dropped:
             import warnings
             from ..md.neighbor import NeighborPlan
-            self._nbplan = NeighborPlan(self.system, capacity=2 * plan.C)
+            self._nbplan = NeighborPlan(
+                self.system, x0=xf[0].reshape(-1, 3), margin=2.0,
+                cell_div=plan.cell_div)
             self._jit_cache = {k: v for k, v in self._jit_cache.items()
                                if not (isinstance(k, tuple) and k
                                        and k[0] in ("prop", "prop_girsanov",
@@ -574,6 +584,7 @@ class MDSimulation(IsoSimulation):
                 force_fn, self.bias, x0[None, :], p0, self.masses3, self.temp,
                 self.friction, self.step, steps, ki, save_every=saveevery,
                 constraints=self.constraint_set)
+            self._check_cell_overflow(qs[:, 0, :], sample=16)
             return WeightedSamples(qs[:, 0, :], jnp.exp(logws[:, 0]))
         block = self._block_fn(1, saveevery, resample_velocities)
         kv, key = jax.random.split(key)
@@ -596,8 +607,10 @@ class MDSimulation(IsoSimulation):
             raise FloatingPointError(
                 "trajectory diverged immediately; minimize the structure or "
                 "reduce the timestep")
-        self._check_cell_overflow(saves[-1])
-        return jnp.stack(saves)
+        out = jnp.stack(saves)
+        # check every saved frame: mid-run density drift may relax again
+        self._check_cell_overflow(out, sample=len(saves))
+        return out
 
     def laggedtrajectory(self, lags, steps=None, x0=None,
                          resample_velocities=True, key=None):
