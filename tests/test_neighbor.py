@@ -153,3 +153,29 @@ def test_pallas_sweep_newton_matches_xla():
         lambda xi: _sweep(s, plan, xi.reshape(-1, 3), True))(x)).reshape(1, -1)
     f_new = np.asarray(neighbor_sweep_pallas(s, plan, x, interpret=True))
     assert np.abs(f_ref - f_new).max() / np.abs(f_ref).max() < 1e-5
+
+
+def test_overflow_safety_net(monkeypatch):
+    """Density drift beyond the cell capacity triggers the warn + regrow +
+    program-eviction path in MDSimulation."""
+    import warnings
+    from isokann_tpu.md import system as S
+    from isokann_tpu.md.neighbor import NeighborPlan
+
+    monkeypatch.setattr(S, "DENSE_PAIRS_MAX", 100)
+    sim = itk.MDSimulation(addwater=True, padding=0.55, steps=2)
+    # inject a deliberately under-sized plan
+    sim._nbplan = NeighborPlan(sim.system, capacity=8)
+    sim._jit_cache[("prop", 8, 2, False, "langevin", False, None)] = "stale"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sim._check_cell_overflow(np.tile(np.asarray(sim.coords)[None], (3, 1)))
+    assert any("overflow" in str(x.message) for x in w)
+    assert sim._nbplan.C > 8
+    assert ("prop", 8, 2, False, "langevin", False, None) not in sim._jit_cache
+    # NaN frames must not crash the check
+    bad = np.full((2, sim.dim), np.nan, np.float32)
+    sim._check_cell_overflow(bad)      # no exception
+    # subsequent propagation works on the regrown plan
+    ys = sim.propagate(np.tile(np.asarray(sim.coords)[None], (2, 1)), 1)
+    assert np.isfinite(np.asarray(ys)).all()
