@@ -179,3 +179,22 @@ def test_overflow_safety_net(monkeypatch):
     # subsequent propagation works on the regrown plan
     ys = sim.propagate(np.tile(np.asarray(sim.coords)[None], (2, 1)), 1)
     assert np.isfinite(np.asarray(ys)).all()
+
+
+def test_sparse_sim_save_load_roundtrip(tmp_path, monkeypatch):
+    """Solvated sparse-system Iso checkpoints rebuild the neighbor plan and
+    keep training after load."""
+    from isokann_tpu.md import system as S
+    monkeypatch.setattr(S, "DENSE_PAIRS_MAX", 100)
+    sim = itk.MDSimulation(addwater=True, padding=0.55, steps=2)
+    iso = itk.Iso(sim=sim, nx=4, nk=2, key=0, opt=itk.AdamRegularized())
+    iso.run(3)
+    p = str(tmp_path / "iso.pkl")
+    iso.save(p)
+    iso2 = itk.load(p)
+    assert not iso2.data.sim.system.dense_pairs
+    iso2.run(2)
+    assert np.isfinite(iso2.losses).all() and len(iso2.losses) == 5
+    ys = iso2.data.sim.propagate(np.tile(np.asarray(sim.coords)[None],
+                                         (2, 1)), 1)
+    assert np.isfinite(np.asarray(ys)).all()
