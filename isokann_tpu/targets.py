@@ -698,9 +698,32 @@ def residual_subspace(V, KV=None, V_norms=False, iso=None):
 def isotarget(iso, target=None):
     """Compute the training target for ``iso`` (reference ``src/isotarget.jl:10-12``).
 
-    The model is evaluated through capacity buckets so the non-fused
-    (host-transform) training path compiles one forward pass per dataset
-    size class instead of one per generation."""
+    The model is evaluated through capacity buckets (one compiled forward
+    pass per dataset size class), and chi(xs) and chi(ys) are computed in
+    a SINGLE stacked device call: on remote backends each dispatch costs
+    tens of ms, and the host-transform path pays it every iteration."""
+    from .data import WeightedSamples, model_bucketed
+
     t = iso.target if target is None else target
-    return t(bucketed_model(iso.chifun), features(iso.data),
-             propfeatures(iso.data))
+    xs = np.asarray(features(iso.data))
+    ys_raw = propfeatures(iso.data)
+    weighted = isinstance(ys_raw, WeightedSamples)
+    vals = np.asarray(ys_raw.values if weighted else ys_raw)
+    n, k = vals.shape[:2]
+    out = model_bucketed(iso.chifun, np.concatenate(
+        [xs, vals.reshape(n * k, -1)], axis=0))
+    chi_x = out[:len(xs)]
+    chi_y = out[len(xs):].reshape(n, k, -1)
+
+    fallback = bucketed_model(iso.chifun)
+
+    def model(z):
+        if z is xs:
+            return chi_x
+        if z is vals:
+            return chi_y
+        return fallback(z)
+
+    ys = (WeightedSamples(vals, np.asarray(ys_raw.weights)) if weighted
+          else vals)
+    return t(model, xs, ys)
