@@ -29,7 +29,6 @@ the method the reference's "auto" rule selects for boxed systems.
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
