@@ -414,6 +414,16 @@ class MDSimulation(IsoSimulation):
             xs = jnp.concatenate(
                 [xs, jnp.tile(xs[-1:], (bucket - nw, 1))], axis=0)
         run = self._propagate_fn(bucket, nsteps, self.bias is not None)
+        if (jax.device_count() > 1 and bucket % jax.device_count() == 0
+                and not self._pallas_eligible(bucket)
+                and not (self.bias is not None
+                         and self._pallas_girsanov_eligible(bucket))):
+            # multi-chip: walker-shard the batch; the propagation is
+            # embarrassingly parallel, so GSPMD partitions the program
+            # with zero collectives (Pallas kernel paths stay single-
+            # device — they are not SPMD-partitionable)
+            from ..parallel import make_mesh, shard_batch
+            xs = shard_batch(make_mesh(), xs)
         if self.bias is not None:
             ys, w = run(xs, key)
             self._check_cell_overflow(ys[:nw])

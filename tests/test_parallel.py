@@ -144,3 +144,24 @@ def test_distributed_helpers():
     assert np.allclose(np.asarray(g), x)
     sl = D.process_slice(100)
     assert sl == slice(0, 100)
+
+
+def test_propagate_walker_sharding():
+    """MDSimulation.propagate shards walkers over the (virtual 8-device)
+    mesh; embarrassingly parallel, so the sharded result equals the
+    single-device computation for the same key."""
+    import jax
+    import isokann_tpu as itk
+
+    assert jax.device_count() >= 8
+    sim = itk.MDSimulation(steps=5)
+    x0 = np.tile(np.asarray(sim.coords)[None], (8, 1))
+    key = jax.random.PRNGKey(7)
+    ys = sim.propagate(x0, 2, key=key)
+    assert np.isfinite(np.asarray(ys)).all()
+    # unsharded reference: drive the cached program with replicated inputs
+    import jax.numpy as jnp
+    run = sim._propagate_fn(16, 5, False)
+    ys_ref = np.asarray(run(jnp.repeat(jnp.asarray(x0), 2, axis=0),
+                            key)[:16]).reshape(8, 2, -1)
+    assert np.allclose(np.asarray(ys), ys_ref, atol=1e-5)
