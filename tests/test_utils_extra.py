@@ -182,3 +182,16 @@ def test_dcd_roundtrip(tmp_path):
     assert np.abs(xyz_md / 10.0 - traj.reshape(7, 22, 3)).max() < 1e-5
     assert np.allclose(cell_len[0] / 10.0, [2.5, 2.5, 3.0])
     assert np.allclose(cell_ang[0], 90.0)
+
+
+def test_bench_emits_driver_json():
+    """bench.py's last stdout line must be one JSON object with the driver
+    contract keys (metric/value/unit/vs_baseline).  Static check of the
+    emission site — running the bench needs the TPU."""
+    import ast, re
+    src = open("bench.py").read()
+    assert '"metric"' in src and '"vs_baseline"' in src
+    m = re.search(r'json\.dumps\(', src)
+    assert m, "bench.py must emit its result via json.dumps"
+    for key in ("metric", "value", "unit", "vs_baseline"):
+        assert key in src
