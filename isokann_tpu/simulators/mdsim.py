@@ -485,23 +485,38 @@ class MDSimulation(IsoSimulation):
 
     # ---- fused data generation --------------------------------------------
 
-    def bootstrap_data(self, nx: int, nk: int, featurizer=None, key=None):
+    def bootstrap_data(self, nx: int, nk: int, featurizer=None, key=None,
+                       chains: int = None):
         """Fused dataset bootstrap: ONE jitted program computing
-        - a chain of nx lagged frames from the default state (randx0),
+        - nx lagged frames sampled by ``chains`` independent lagged chains
+          from the default state (randx0 semantics),
         - nk Koopman bursts per frame,
         - features of both.
         Returns (xs, ys, fxs, fys).  This replaces three separately
         compiled programs (chain, bursts, featurize) — compile latency is
-        the dominant non-physics cost under remote-compiled TPU backends."""
+        the dominant non-physics cost under remote-compiled TPU backends.
+
+        ``chains`` (default: 8 when it divides nx, else 1): a single lagged
+        chain is nx * steps *sequential* integrator steps — the wall-clock
+        bottleneck of the whole bootstrap.  Independent chains (each with
+        its own thermal noise and per-lag velocity resampling, all starting
+        from the default state) sample the same burn-in distribution and
+        run chains-way parallel.  ``chains=1`` reproduces the reference's
+        single-trajectory semantics exactly."""
         key = _key(key)
         featurizer = featurizer or self.featurizer
-        cache_key = ("bootstrap", nx, nk, self.steps, id(featurizer))
+        if chains is None:
+            chains = max(d for d in range(1, 9) if nx % d == 0)
+        if nx % chains != 0:
+            raise ValueError(f"chains={chains} must divide nx={nx}")
+        cache_key = ("bootstrap", nx, nk, self.steps, chains, id(featurizer))
         if cache_key not in self._jit_cache:
             force_fn = self._force_fn()
             masses3, T, gamma, dt = (self.masses3, self.temp, self.friction,
                                      self.step)
             nsteps = self.steps
             cset = self.constraint_set
+            nlag = nx // chains
 
             @jax.jit
             def run(x0, key):
@@ -522,11 +537,14 @@ class MDSimulation(IsoSimulation):
                                                   constraints=cset)
                     return (x, v, i + 1), x
 
-                keys = jax.random.split(kchain, nx * nsteps)
-                v0 = jnp.zeros_like(x0)[None, :]
+                keys = jax.random.split(kchain, nlag * nsteps)
+                x0b = jnp.tile(x0[None, :], (chains, 1))
+                v0 = jnp.zeros_like(x0b)
                 (_, _, _), traj = jax.lax.scan(
-                    chainstep, (x0[None, :], v0, 0), keys)
-                xs = traj[nsteps - 1::nsteps, 0, :]         # (nx, 3N)
+                    chainstep, (x0b, v0, 0), keys)
+                # (nlag, chains, 3N) lag frames -> (nx, 3N), chain-major
+                xs = jnp.swapaxes(traj[nsteps - 1::nsteps], 0, 1).reshape(
+                    nx, -1)
 
                 kv, ki = jax.random.split(kprop)
                 yr = jnp.repeat(xs, nk, axis=0)
