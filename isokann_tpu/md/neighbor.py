@@ -165,6 +165,31 @@ class NeighborPlan:
         self.excl_tab = jnp.asarray(tab)
         self.n_soft = int((~hard).sum())   # 1-4 pairs handled by correction
 
+        # bitmask encoding of the same exclusions: bit k of bits[i] is set
+        # iff atom i+k+1 is a hard partner of i.  Almost all hard
+        # exclusions are index-local (intra-residue / backbone-adjacent);
+        # a pair test is then ~6 int ops instead of E compares.  The rare
+        # far partners (e.g. disulfide SG-SG across the chain) go to a
+        # narrow explicit table.
+        WIN = 32
+        bits = np.zeros(self.natoms + 1, np.int32)
+        farp = [[] for _ in range(self.natoms)]
+        for (a, b) in eidx[hard]:
+            lo, hi = (int(a), int(b)) if a < b else (int(b), int(a))
+            d = hi - lo
+            if 1 <= d <= WIN:
+                bits[lo] |= np.int32(1 << (d - 1)) if d < 32 else np.int32(-2147483648)
+            else:
+                farp[lo].append(hi)
+                farp[hi].append(lo)
+        E2 = max(1, max((len(p) for p in farp), default=1))
+        far = np.full((self.natoms + 1, E2), -1, np.int32)
+        for a, p in enumerate(farp):
+            far[a, :len(p)] = p
+        self.excl_bits = jnp.asarray(bits)      # (n+1,) int32, sentinel 0
+        self.excl_far = jnp.asarray(far)        # (n+1, E2)
+        self.excl_win = WIN
+
     def _cell_id_np(self, x):
         xw = np.asarray(x, np.float64).reshape(-1, 3)
         xw = xw - self.box * np.floor(xw / self.box)
@@ -288,13 +313,18 @@ def _sweep(sys: MDSystem, plan: NeighborPlan, x, want_force: bool):
     qs, rms, eps_ = pad_row(q), pad_row(rm), pad_row(ep)
     oid = jnp.concatenate([order.astype(jnp.int32),
                            jnp.full((1,), -2, jnp.int32)])
-    excl_s = jnp.concatenate([plan.excl_tab[:n][order],
-                              jnp.full((1, plan.excl_tab.shape[1]), -1,
-                                       jnp.int32)])
+    bits_s = jnp.concatenate([plan.excl_bits[:n][order],
+                              jnp.zeros((1,), jnp.int32)])
+    far_s = jnp.concatenate([plan.excl_far[:n][order],
+                             jnp.full((1, plan.excl_far.shape[1]), -1,
+                                      jnp.int32)])
 
     pos_i = xs[table]                                 # (ncells, C, 3)
     q_i, rm_i, ep_i = qs[table], rms[table], eps_[table]
-    excl_i = excl_s[table]                            # (ncells, C, E)
+    oid_i = oid[table]
+    bits_i = bits_s[table]
+    far_i = far_s[table]                              # (ncells, C, E2)
+    WIN = plan.excl_win
 
     def block(tj):
         """Pair terms of the i-blocks (= ``table``) against j-blocks
@@ -304,8 +334,16 @@ def _sweep(sys: MDSystem, plan: NeighborPlan, x, want_force: bool):
         d = d - box * jnp.round(d / box)              # minimum image
         r2 = jnp.sum(d * d, axis=-1) + 1e-12
         oid_j = oid[tj]                               # original ids
-        excluded = jnp.any(
-            excl_i[:, :, None, :] == oid_j[:, None, :, None], axis=-1)
+        # hard exclusions: bit d-1 of the lower atom's window mask
+        # (index-local pairs), plus the narrow far-partner table
+        dd = oid_j[:, None, :] - oid_i[:, :, None]
+        fwd = ((dd >= 1) & (dd <= WIN)
+               & (((bits_i[:, :, None] >> jnp.clip(dd - 1, 0, 31)) & 1) == 1))
+        bwd = ((dd <= -1) & (dd >= -WIN)
+               & (((bits_s[tj][:, None, :]
+                    >> jnp.clip(-dd - 1, 0, 31)) & 1) == 1))
+        excluded = fwd | bwd | jnp.any(
+            far_i[:, :, None, :] == oid_j[:, None, :, None], axis=-1)
         maskb = ((r2 < rc * rc)
                  & (table[:, :, None] != tj[:, None, :]) & ~excluded
                  & (tj[:, None, :] < n) & (table[:, :, None] < n))
@@ -594,12 +632,14 @@ def force_flat_neighbor(sys: MDSystem, xflat, plan: NeighborPlan = None,
 # Column layout (8 lanes): [x, y, z, q, rmin_half, sqrt(eps), sid, oid].
 
 
-def _nb_kernel_body(plan, rc, krf, icols_ref, jrows_ref, iexcl_ref,
-                    acc_ref, fj_ref, s_idx):
+def _nb_kernel_body(plan, rc, krf, icols_ref, jrows_ref, ifar_ref,
+                    ibits_ref, jbits_ref, acc_ref, fj_ref, s_idx):
     xi = icols_ref[0, 0]                      # (C, 8)
     xj = jrows_ref[0, 0]                      # (8, C)
-    E = iexcl_ref.shape[-1]
-    excl = iexcl_ref[0, 0]                    # (C, E)
+    E2 = ifar_ref.shape[-1]
+    far = ifar_ref[0, 0]                      # (C, E2)
+    bi = ibits_ref[0, 0]                      # (C, 1) int32
+    bj = jbits_ref[0, 0]                      # (1, C) int32
 
     dx = xi[:, 0:1] - xj[0:1, :]
     dy = xi[:, 1:2] - xj[1:2, :]
@@ -614,9 +654,17 @@ def _nb_kernel_body(plan, rc, krf, icols_ref, jrows_ref, iexcl_ref,
     sid_i = xi[:, 6:7]
     sid_j = xj[6:7, :]
     oid_j = xj[7:8, :]
-    excluded = (excl[:, 0:1] == oid_j)
-    for e in range(1, E):
-        excluded = excluded | (excl[:, e:e + 1] == oid_j)
+    # hard exclusions: window bitmask of the lower-index atom (~6 int ops
+    # per pair instead of E lane compares) + the narrow far-partner table
+    WIN = plan.excl_win
+    dd = oid_j.astype(jnp.int32) - xi[:, 7:8].astype(jnp.int32)   # (C, C)
+    fwd = ((dd >= 1) & (dd <= WIN)
+           & (((bi >> jnp.clip(dd - 1, 0, 31)) & 1) == 1))
+    bwd = ((dd <= -1) & (dd >= -WIN)
+           & (((bj >> jnp.clip(-dd - 1, 0, 31)) & 1) == 1))
+    excluded = fwd | bwd
+    for e in range(E2):
+        excluded = excluded | (far[:, e:e + 1] == oid_j)
     nsent = float(plan.natoms)
     maskb = ((r2 < rc * rc) & (sid_i != sid_j) & ~excluded
              & (sid_i < nsent) & (sid_j < nsent))
@@ -686,7 +734,7 @@ def neighbor_sweep_pallas(sys: MDSystem, plan: NeighborPlan, xb,
     sten = jnp.concatenate([ident, plan.stencil], axis=1)    # (ncells, S+1)
 
     seps = jnp.sqrt(sys.eps)
-    E = plan.excl_tab.shape[1]
+    E2 = plan.excl_far.shape[1]
 
     def prep(xflat):
         """Per-walker sorted-frame (C, 8) column blocks + transposes."""
@@ -709,16 +757,22 @@ def neighbor_sweep_pallas(sys: MDSystem, plan: NeighborPlan, xb,
             jnp.concatenate([order.astype(jnp.float32),
                              jnp.full((1,), -2.0)])[table],  # oid
         ], axis=-1)                                        # (ncells, C, 8)
-        excl = jnp.concatenate(
-            [plan.excl_tab[:n][order].astype(jnp.float32),
-             jnp.full((1, E), -1.0)])[table]               # (ncells, C, E)
-        return cols, jnp.swapaxes(cols, 1, 2), excl, order, pos
+        far = jnp.concatenate(
+            [plan.excl_far[:n][order].astype(jnp.float32),
+             jnp.full((1, E2), -1.0)])[table]              # (ncells, C, E2)
+        bits = jnp.concatenate(
+            [plan.excl_bits[:n][order],
+             jnp.zeros((1,), jnp.int32)])[table]           # (ncells, C)
+        return (cols, jnp.swapaxes(cols, 1, 2), far,
+                bits[..., None], bits[:, None, :], order, pos)
 
-    icols, jrows, iexcl, orders, poss = jax.vmap(prep)(xb)
+    icols, jrows, ifar, ibits, jbits, orders, poss = jax.vmap(prep)(xb)
 
-    def kernel(sten_ref, icols_ref, jrows_ref, iexcl_ref, acc_ref, fj_ref):
-        _nb_kernel_body(plan, rc, krf, icols_ref, jrows_ref, iexcl_ref,
-                        acc_ref, fj_ref, pl.program_id(1))
+    def kernel(sten_ref, icols_ref, jrows_ref, ifar_ref, ibits_ref,
+               jbits_ref, acc_ref, fj_ref):
+        _nb_kernel_body(plan, rc, krf, icols_ref, jrows_ref, ifar_ref,
+                        ibits_ref, jbits_ref, acc_ref, fj_ref,
+                        pl.program_id(1))
 
     # grid: (walker*cell, stencil) — batch folded into the leading dim
     # (a 3-D (B, ncells, S) grid faulted on v5e for B > 4 inside lax.scan)
@@ -731,8 +785,12 @@ def neighbor_sweep_pallas(sys: MDSystem, plan: NeighborPlan, xb,
                          lambda g, s, st: (g // nc, g % nc, 0, 0)),
             pl.BlockSpec((1, 1, 8, C),
                          lambda g, s, st: (g // nc, st[g % nc, s], 0, 0)),
-            pl.BlockSpec((1, 1, C, E),
+            pl.BlockSpec((1, 1, C, E2),
                          lambda g, s, st: (g // nc, g % nc, 0, 0)),
+            pl.BlockSpec((1, 1, C, 1),
+                         lambda g, s, st: (g // nc, g % nc, 0, 0)),
+            pl.BlockSpec((1, 1, 1, C),
+                         lambda g, s, st: (g // nc, st[g % nc, s], 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, C, 8),
@@ -750,7 +808,7 @@ def neighbor_sweep_pallas(sys: MDSystem, plan: NeighborPlan, xb,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(sten, icols, jrows, iexcl)
+    )(sten, icols, jrows, ifar, ibits, jbits)
 
     # Newton reactions back to their cells: static inverse permutations
     total = acc[..., :3]                                   # (B, ncells, C, 3)

@@ -198,3 +198,30 @@ def test_sparse_sim_save_load_roundtrip(tmp_path, monkeypatch):
     ys = iso2.data.sim.propagate(np.tile(np.asarray(sim.coords)[None],
                                          (2, 1)), 1)
     assert np.isfinite(np.asarray(ys)).all()
+
+
+def test_far_exclusion_partners(solvated, xcoords):
+    """Hard exclusions beyond the 32-index bitmask window (disulfide-like)
+    route through the narrow far-partner table; parity with the dense path."""
+    s = solvated.system
+    n = s.natoms
+    i, j = 0, n - 5                        # far-apart artificial exclusion
+    eidx = np.concatenate([np.asarray(s.excl_idx), [[i, j]]]).astype(np.int32)
+    eqq = np.concatenate([np.asarray(s.excl_qq), [0.0]])
+    elj = np.concatenate([np.asarray(s.excl_lj), [0.0]])
+    qq = np.asarray(s.qq_scale).copy()
+    lj = np.asarray(s.lj_scale).copy()
+    qq[i, j] = qq[j, i] = 0.0
+    lj[i, j] = lj[j, i] = 0.0
+    s2 = dataclasses.replace(
+        s, excl_idx=jnp.asarray(eidx), excl_qq=jnp.asarray(eqq),
+        excl_lj=jnp.asarray(elj), qq_scale=jnp.asarray(qq, jnp.float32),
+        lj_scale=jnp.asarray(lj, jnp.float32))
+    plan = NeighborPlan(s2, x0=np.asarray(xcoords))
+    assert int((np.asarray(plan.excl_far) >= 0).sum()) == 2
+    e_ref = float(Fd.nonbonded_energy(s2, xcoords))
+    e_new = float(neighbor_nonbonded_energy(s2, xcoords, plan))
+    assert abs(e_ref - e_new) / abs(e_ref) < 1e-5
+    f_ref = np.asarray(-jax.grad(lambda z: Fd.nonbonded_energy(s2, z))(xcoords))
+    f_new = np.asarray(neighbor_nonbonded_force(s2, xcoords, plan))
+    assert np.abs(f_ref - f_new).max() / np.abs(f_ref).max() < 1e-5
