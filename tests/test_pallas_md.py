@@ -370,3 +370,34 @@ def test_forces_minimum_image_wrap(sim):
     f_ref = np.asarray(force_flat(s, xs))
     f_new = np.asarray(forces_rowmajor(s, xs))
     assert np.abs(f_ref - f_new).max() / np.abs(f_ref).max() < 1e-5
+
+
+
+def test_girsanov_eligibility_dispatch(monkeypatch):
+    """_pallas_girsanov_eligible static checks, with the platform probe
+    faked to 'tpu' (the real kernel path itself is TPU-only)."""
+    from isokann_tpu.iso import Iso
+    from isokann_tpu.optim import AdamRegularized
+    from isokann_tpu.md.integrators import optcontrol
+    from isokann_tpu.models import densenet
+
+    sim = itk.MDSimulation(steps=10)
+
+    class FakeDev:
+        platform = "tpu"
+
+    iso = Iso(sim=sim, nx=8, nk=2, key=6, opt=AdamRegularized())
+    iso.run(2)
+    bias = optcontrol(iso)
+    sim.bias = bias
+    # fake the platform probe only for the eligibility checks
+    monkeypatch.setattr(jax, "devices", lambda *a: [FakeDev()])
+    assert sim._pallas_girsanov_eligible(256)
+    assert not sim._pallas_girsanov_eligible(128)     # < one 256-lane block
+    # wrong model family declines
+    n = sim.natoms * (sim.natoms - 1) // 2
+    bias.optcontrol_spec = dict(
+        bias.optcontrol_spec,
+        model=densenet([n, 4, 1], activation="relu",
+                       key=jax.random.PRNGKey(0)))
+    assert not sim._pallas_girsanov_eligible(256)
