@@ -158,14 +158,9 @@ class NeighborPlan:
         for (a, b) in eidx[hard]:
             partners[a].append(b)
             partners[b].append(a)
-        E = _round_up(max(1, max((len(p) for p in partners), default=1)), 8)
-        tab = np.full((self.natoms + 1, E), -1, np.int32)
-        for a, p in enumerate(partners):
-            tab[a, :len(p)] = p
-        self.excl_tab = jnp.asarray(tab)
         self.n_soft = int((~hard).sum())   # 1-4 pairs handled by correction
 
-        # bitmask encoding of the same exclusions: bit k of bits[i] is set
+        # bitmask encoding of the hard exclusions: bit k of bits[i] is set
         # iff atom i+k+1 is a hard partner of i.  Almost all hard
         # exclusions are index-local (intra-residue / backbone-adjacent);
         # a pair test is then ~6 int ops instead of E compares.  The rare

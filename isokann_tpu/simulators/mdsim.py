@@ -278,6 +278,22 @@ class MDSimulation(IsoSimulation):
         except Exception:
             return False
 
+    def _force_path_has_pallas(self, nwalkers: int) -> bool:
+        """True when the propagation program would embed a Mosaic kernel:
+        the fused trajectory/Girsanov kernels, the GB force kernel, or the
+        neighbor-engine sweep kernel (sparse systems on TPU)."""
+        if self._pallas_eligible(nwalkers) or self._nb_kernel_eligible():
+            return True
+        if (self.bias is not None
+                and self._pallas_girsanov_eligible(nwalkers)):
+            return True
+        if not self.system.dense_pairs:
+            try:
+                return jax.devices()[0].platform == "tpu"
+            except Exception:
+                return False
+        return False
+
     def _propagate_fn(self, nwalkers: int, nsteps: int, biased: bool):
         if biased and self._pallas_girsanov_eligible(nwalkers):
             return self._girsanov_fused_fn(nwalkers, nsteps)
@@ -414,14 +430,15 @@ class MDSimulation(IsoSimulation):
             xs = jnp.concatenate(
                 [xs, jnp.tile(xs[-1:], (bucket - nw, 1))], axis=0)
         run = self._propagate_fn(bucket, nsteps, self.bias is not None)
-        if (jax.device_count() > 1 and bucket % jax.device_count() == 0
-                and not self._pallas_eligible(bucket)
-                and not (self.bias is not None
-                         and self._pallas_girsanov_eligible(bucket))):
+        if (jax.device_count() > 1 and jax.process_count() == 1
+                and bucket % jax.device_count() == 0
+                and not self._force_path_has_pallas(bucket)):
             # multi-chip: walker-shard the batch; the propagation is
             # embarrassingly parallel, so GSPMD partitions the program
-            # with zero collectives (Pallas kernel paths stay single-
-            # device — they are not SPMD-partitionable)
+            # with zero collectives.  Any program containing a Mosaic
+            # kernel stays single-device (not SPMD-partitionable), and
+            # multi-host runs feed per-host data explicitly
+            # (parallel.distributed.host_local_batch).
             from ..parallel import make_mesh, shard_batch
             xs = shard_batch(make_mesh(), xs)
         if self.bias is not None:
@@ -496,17 +513,21 @@ class MDSimulation(IsoSimulation):
         compiled programs (chain, bursts, featurize) — compile latency is
         the dominant non-physics cost under remote-compiled TPU backends.
 
-        ``chains`` (default: 8 when it divides nx, else 1): a single lagged
-        chain is nx * steps *sequential* integrator steps — the wall-clock
+        ``chains`` (default: the largest divisor of nx up to 8 that keeps
+        every chain at >= 4 lags of burn-in depth): a single lagged chain
+        is nx * steps *sequential* integrator steps — the wall-clock
         bottleneck of the whole bootstrap.  Independent chains (each with
-        its own thermal noise and per-lag velocity resampling, all starting
-        from the default state) sample the same burn-in distribution and
-        run chains-way parallel.  ``chains=1`` reproduces the reference's
-        single-trajectory semantics exactly."""
+        its own thermal noise and per-lag velocity resampling, all
+        starting from the default state) sample the same burn-in
+        distribution and run chains-way parallel.  ``chains=1``
+        reproduces the reference's single-trajectory semantics exactly."""
         key = _key(key)
         featurizer = featurizer or self.featurizer
         if chains is None:
-            chains = max(d for d in range(1, 9) if nx % d == 0)
+            # largest divisor of nx up to 8 that still leaves each chain
+            # >= 4 lags of burn-in depth
+            chains = max((d for d in range(1, 9)
+                          if nx % d == 0 and nx // d >= 4), default=1)
         if nx % chains != 0:
             raise ValueError(f"chains={chains} must divide nx={nx}")
         cache_key = ("bootstrap", nx, nk, self.steps, chains, id(featurizer))

@@ -718,6 +718,11 @@ def isotarget(iso, target=None):
     fallback = bucketed_model(iso.chifun)
 
     def model(z):
+        # identity dispatch: transforms receive exactly the xs / ys
+        # objects constructed above and must pass them through untouched
+        # to hit the precomputed stacked results (every in-repo transform
+        # does); any transformed view falls back to a correct — but
+        # per-call — bucketed evaluation
         if z is xs:
             return chi_x
         if z is vals:

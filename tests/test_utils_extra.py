@@ -188,8 +188,9 @@ def test_bench_emits_driver_json():
     """bench.py's last stdout line must be one JSON object with the driver
     contract keys (metric/value/unit/vs_baseline).  Static check of the
     emission site — running the bench needs the TPU."""
-    import ast, re
-    src = open("bench.py").read()
+    import os, re
+    src = open(os.path.join(os.path.dirname(__file__), "..",
+                            "bench.py")).read()
     assert '"metric"' in src and '"vs_baseline"' in src
     m = re.search(r'json\.dumps\(', src)
     assert m, "bench.py must emit its result via json.dumps"
