@@ -184,35 +184,39 @@ def model_bucketed(model, xs):
     return np.asarray(model(_pad_rows(xs, bucket_capacity(m))))[:m]
 
 
-def subsample_inds(model, xs, n, keepedges=True):
+def subsample_inds(model, xs, n, keepedges=True, key=None):
     """Indices such that ``model(xs[inds])`` is approximately uniform, per
     chi-dimension (reference ``src/data.jl:38-42``).  A (near-)constant chi
-    degrades to uniform random selection instead of failing."""
+    degrades to uniform random selection instead of failing.
+
+    ``key``: optional PRNG key; with the same key the selection is
+    deterministic (grid perturbation + degenerate fallback both seeded)."""
     from .sample import subsample_uniformgrid
 
+    rng = np.random.default_rng(_seed(key))
     chi = model_bucketed(model, xs)      # (m, d)
     inds = []
     for j in range(chi.shape[-1]):
         col = chi[:, j]
         lo, hi = col.min(), col.max()
         if hi - lo < 1e-12:
-            inds.extend(np.random.default_rng().choice(
+            inds.extend(rng.choice(
                 len(col), size=min(n, len(col)), replace=False))
             continue
         inds.extend(subsample_uniformgrid((col - lo) / (hi - lo), n,
-                                          keepedges=keepedges))
+                                          keepedges=keepedges, rng=rng))
     return np.asarray(inds, dtype=int)
 
 
-def subsample(model, data, n):
+def subsample(model, data, n, key=None):
     """Subsample `n` points of `data` uniformly in `model`
     (reference ``src/data.jl:49-58``)."""
     if isinstance(data, tuple):
-        return getobs(data, subsample_inds(model, data[0], n))
+        return getobs(data, subsample_inds(model, data[0], n, key=key))
     data = jnp.asarray(data)
     if data.ndim == 3:
         data = flattenfirst(data)
-    return data[subsample_inds(model, data, n)]
+    return data[subsample_inds(model, data, n, key=key)]
 
 
 def subsample_random(data, nx, key=None):
@@ -388,13 +392,17 @@ class SimulationData:
         """chi-stratified resampling (reference ``src/simulation.jl:193-207``)."""
         if n == 0:
             return self
-        xs = self.chistratcoords(model, n, keepedges=keepedges)
+        if key is not None:
+            ksel, key = jax.random.split(key)
+        else:
+            ksel = None
+        xs = self.chistratcoords(model, n, keepedges=keepedges, key=ksel)
         return self.addcoords(xs, key=key)
 
-    def chistratcoords(self, model, n, keepedges=False):
+    def chistratcoords(self, model, n, keepedges=False, key=None):
         fs = flattenfirst(self._propfeatures)
         cs = flattenfirst(self.propcoords)
-        idxs = subsample_inds(model, fs, n, keepedges=keepedges)
+        idxs = subsample_inds(model, fs, n, keepedges=keepedges, key=key)
         return cs[idxs]
 
     def resample_kde(self, model, n, bandwidth=0.02, unique=True, key=None):

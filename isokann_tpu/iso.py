@@ -216,10 +216,15 @@ def ValidationLogger(valdata, logevery=1):
 
 
 def validationloss(iso, valdata):
-    """Reference ``src/iso.jl:160-170``."""
+    """Reference ``src/iso.jl:160-170``.
+
+    Every evaluation routes through the capacity buckets so validation
+    sets of any size reuse the same compiled forward pass."""
+    from .data import model_bucketed
+
     vx, vy = T.features(valdata), T.propfeatures(valdata)
-    c = np.asarray(iso.chifun(vx)).ravel()
-    k1 = np.asarray(T.expectation(iso.chifun, vy)).ravel()
+    c = model_bucketed(iso.chifun, np.asarray(vx)).ravel()
+    k1 = np.asarray(T.expectation_bucketed(iso.chifun, vy)).ravel()
     k2 = np.asarray(T.expectation_bucketed(
         iso.chifun, T.propfeatures(iso.data))).ravel()
     ks = np.concatenate([k1, k2])

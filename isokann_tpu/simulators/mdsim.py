@@ -503,7 +503,7 @@ class MDSimulation(IsoSimulation):
     # ---- fused data generation --------------------------------------------
 
     def bootstrap_data(self, nx: int, nk: int, featurizer=None, key=None,
-                       chains: int = None):
+                       chains: int = None, burnin: int = None):
         """Fused dataset bootstrap: ONE jitted program computing
         - nx lagged frames sampled by ``chains`` independent lagged chains
           from the default state (randx0 semantics),
@@ -518,9 +518,15 @@ class MDSimulation(IsoSimulation):
         is nx * steps *sequential* integrator steps — the wall-clock
         bottleneck of the whole bootstrap.  Independent chains (each with
         its own thermal noise and per-lag velocity resampling, all
-        starting from the default state) sample the same burn-in
-        distribution and run chains-way parallel.  ``chains=1``
-        reproduces the reference's single-trajectory semantics exactly."""
+        starting from the default state) run chains-way parallel.
+
+        ``burnin`` (lag frames discarded per chain before collection;
+        default ``nlag * (chains - 1) // 2``): matches the *mean*
+        equilibration depth of the reference's single nx-lag chain
+        (mean lag (nx+1)/2), so multi-chain statistics are not drawn from
+        a less-equilibrated distribution than reference semantics.
+        ``chains=1`` (burnin 0) reproduces the reference's
+        single-trajectory semantics exactly."""
         key = _key(key)
         featurizer = featurizer or self.featurizer
         if chains is None:
@@ -530,7 +536,10 @@ class MDSimulation(IsoSimulation):
                           if nx % d == 0 and nx // d >= 4), default=1)
         if nx % chains != 0:
             raise ValueError(f"chains={chains} must divide nx={nx}")
-        cache_key = ("bootstrap", nx, nk, self.steps, chains, id(featurizer))
+        if burnin is None:
+            burnin = (nx // chains) * (chains - 1) // 2
+        cache_key = ("bootstrap", nx, nk, self.steps, chains, burnin,
+                     id(featurizer))
         if cache_key not in self._jit_cache:
             force_fn = self._force_fn()
             masses3, T, gamma, dt = (self.masses3, self.temp, self.friction,
@@ -538,6 +547,7 @@ class MDSimulation(IsoSimulation):
             nsteps = self.steps
             cset = self.constraint_set
             nlag = nx // chains
+            ntotal = nlag + burnin
 
             @jax.jit
             def run(x0, key):
@@ -558,14 +568,15 @@ class MDSimulation(IsoSimulation):
                                                   constraints=cset)
                     return (x, v, i + 1), x
 
-                keys = jax.random.split(kchain, nlag * nsteps)
+                keys = jax.random.split(kchain, ntotal * nsteps)
                 x0b = jnp.tile(x0[None, :], (chains, 1))
                 v0 = jnp.zeros_like(x0b)
                 (_, _, _), traj = jax.lax.scan(
                     chainstep, (x0b, v0, 0), keys)
-                # (nlag, chains, 3N) lag frames -> (nx, 3N), chain-major
-                xs = jnp.swapaxes(traj[nsteps - 1::nsteps], 0, 1).reshape(
-                    nx, -1)
+                # (ntotal, chains, 3N) lag frames; drop the burn-in
+                # prefix, then -> (nx, 3N), chain-major
+                xs = jnp.swapaxes(traj[nsteps - 1::nsteps][burnin:], 0,
+                                  1).reshape(nx, -1)
 
                 kv, ki = jax.random.split(kprop)
                 yr = jnp.repeat(xs, nk, axis=0)

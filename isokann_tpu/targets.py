@@ -19,6 +19,7 @@ A "model" argument below is any callable ``x -> chi`` mapping features
 from __future__ import annotations
 
 import itertools
+import logging
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -26,6 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.linalg
+
+_log = logging.getLogger(__name__)
+
+# times a transform missed the precomputed stacked chi evaluation in
+# ``isotarget`` and fell back to a per-call bucketed evaluation
+stacked_fallback_count = 0
 
 
 class DomainError(ValueError):
@@ -646,8 +653,10 @@ def residual_linear(iso, data=None):
 
     chi/kchi treated per chi-dimension; returns per-dim relative residuals."""
     data = iso.data if data is None else data
-    f = np.asarray(iso.chifun(features(data)), dtype=np.float64).T   # (d, n)
-    g = np.asarray(expectation(iso.chifun, propfeatures(data)), dtype=np.float64).T
+    f = np.asarray(bucketed_model(iso.chifun)(features(data)),
+                   dtype=np.float64).T                               # (d, n)
+    g = np.asarray(expectation_bucketed(iso.chifun, propfeatures(data)),
+                   dtype=np.float64).T
     lam = np.mean(g / f, axis=1, keepdims=True)
     res = g - lam * f
     relres = np.linalg.norm(res, axis=1) / np.linalg.norm(g, axis=1)
@@ -662,8 +671,10 @@ def residual_ritz(iso, data=None):
     """Ritz residuals of the approximate invariant subspace
     (reference ``src/isotarget.jl:787-801``)."""
     data = iso.data if data is None else data
-    V = np.asarray(iso.chifun(features(data)), dtype=np.float64)     # (n, d)
-    KV = np.asarray(expectation(iso.chifun, propfeatures(data)), dtype=np.float64)
+    V = np.asarray(bucketed_model(iso.chifun)(features(data)),
+                   dtype=np.float64)                                 # (n, d)
+    KV = np.asarray(expectation_bucketed(iso.chifun, propfeatures(data)),
+                    dtype=np.float64)
     Q, R = qr_thin(V)
     KQ = KV @ np.linalg.inv(R)
     Kr = Q.T @ KQ
@@ -680,8 +691,10 @@ def residual_subspace(V, KV=None, V_norms=False, iso=None):
     (reference ``src/isotarget.jl:804-821``)."""
     if KV is None:  # called with an Iso
         iso = V
-        V = np.asarray(iso.chifun(features(iso.data)), dtype=np.float64)
-        KV = np.asarray(expectation(iso.chifun, propfeatures(iso.data)), dtype=np.float64)
+        V = np.asarray(bucketed_model(iso.chifun)(features(iso.data)),
+                       dtype=np.float64)
+        KV = np.asarray(expectation_bucketed(iso.chifun, propfeatures(iso.data)),
+                        dtype=np.float64)
     V, KV = np.asarray(V, np.float64), np.asarray(KV, np.float64)
     Q, _ = qr_thin(V)
     PKV = Q @ (Q.T @ KV)
@@ -722,11 +735,18 @@ def isotarget(iso, target=None):
         # objects constructed above and must pass them through untouched
         # to hit the precomputed stacked results (every in-repo transform
         # does); any transformed view falls back to a correct — but
-        # per-call — bucketed evaluation
+        # per-call — bucketed evaluation (counted + debug-logged so the
+        # lost optimization is observable, see ``stacked_fallback_count``)
         if z is xs:
             return chi_x
         if z is vals:
             return chi_y
+        global stacked_fallback_count
+        stacked_fallback_count += 1
+        _log.debug("isotarget stacked-evaluation fallback #%d: transform "
+                   "%s passed a transformed view (shape %s) — per-call "
+                   "bucketed evaluation", stacked_fallback_count,
+                   type(t).__name__, np.shape(z))
         return fallback(z)
 
     ys = (WeightedSamples(vals, np.asarray(ys_raw.weights)) if weighted

@@ -9,8 +9,10 @@ background thread so the page updates live.
 
 from __future__ import annotations
 
+import html
 import http.server
 import io
+import secrets
 import threading
 
 _PAGE = """<!doctype html>
@@ -113,6 +115,7 @@ def livegui(iso, iterations: int = 1000, chunk: int = 20, port: int = 8000,
 # ==========================================================================
 
 _FORM = """<form method="post" action="/control" style="margin:10px">
+<input type="hidden" name="token" value="{token}"/>
 <fieldset style="display:inline-block;text-align:left;border-color:#444">
 <legend>simulation / training</legend>
 pdb <input name="pdb" value="{pdb}" size="28"/>
@@ -153,6 +156,10 @@ class InteractiveGui:
         self.lock = threading.Lock()
         self._stop = threading.Event()
         self._worker = None
+        # per-session CSRF token: /control posts must echo it, so a
+        # hostile web page cannot CSRF the localhost endpoint (which reads
+        # arbitrary file paths and launches compute)
+        self._token = secrets.token_urlsafe(16)
 
     # -- model/simulation construction ---------------------------------
 
@@ -215,11 +222,15 @@ class InteractiveGui:
             def do_GET(self):
                 iso = gui.iso
                 if self.path in ("/", "/index.html"):
-                    c = gui.cfg
+                    # escape config values: they round-trip through the
+                    # form and may contain user-supplied paths
+                    c = {k: html.escape(str(v), quote=True)
+                         for k, v in gui.cfg.items()}
                     form = _FORM.format(
+                        token=gui._token,
                         toggle="Pause" if gui.running else "Resume",
-                        sel_adam="selected" if c["opt"] == "adam" else "",
-                        sel_nest="selected" if c["opt"] != "adam" else "",
+                        sel_adam="selected" if gui.cfg["opt"] == "adam" else "",
+                        sel_nest="selected" if gui.cfg["opt"] != "adam" else "",
                         **c)
                     status = ("no run yet — configure and Apply" if iso is None
                               else (f"iterations: {len(iso.losses)} | data: "
@@ -259,6 +270,11 @@ class InteractiveGui:
                 length = int(self.headers.get("Content-Length", 0))
                 form = urllib.parse.parse_qs(
                     self.rfile.read(length).decode())
+                if form.get("token", [""])[0] != gui._token:
+                    self.send_response(403)
+                    self.end_headers()
+                    self.wfile.write(b"bad or missing CSRF token")
+                    return
                 gui.apply(form)
                 self.send_response(303)
                 self.send_header("Location", "/")

@@ -205,17 +205,54 @@ bool wrec(FILE* f, const void* data, int32_t n) {
         && std::fwrite(&n, 4, 1, f) == 1;
 }
 
-bool rrec(FILE* f, void* data, int32_t expect, int32_t* got) {
+inline int32_t bsw32i(int32_t v) {
+    uint32_t u;
+    std::memcpy(&u, &v, 4);
+    u = __builtin_bswap32(u);
+    std::memcpy(&v, &u, 4);
+    return v;
+}
+
+// swap every 4-byte word in place (i32 / f32 payloads)
+void bswap_words4(void* data, size_t nwords) {
+    uint32_t* p = static_cast<uint32_t*>(data);
+    for (size_t i = 0; i < nwords; ++i) p[i] = __builtin_bswap32(p[i]);
+}
+
+// swap every 8-byte word in place (f64 payloads)
+void bswap_words8(void* data, size_t nwords) {
+    uint64_t* p = static_cast<uint64_t*>(data);
+    for (size_t i = 0; i < nwords; ++i) p[i] = __builtin_bswap64(p[i]);
+}
+
+bool rrec(FILE* f, void* data, int32_t expect, int32_t* got,
+          bool swap = false) {
     int32_t n = 0, n2 = 0;
     if (std::fread(&n, 4, 1, f) != 1) return false;
+    if (swap) n = bsw32i(n);
     if (got) *got = n;
     if (expect >= 0 && n != expect) return false;
+    if (n < 0) return false;
     if (data) {
         if (std::fread(data, 1, (size_t)n, f) != (size_t)n) return false;
     } else {
         if (std::fseek(f, n, SEEK_CUR) != 0) return false;
     }
-    return std::fread(&n2, 4, 1, f) == 1 && n2 == n;
+    if (std::fread(&n2, 4, 1, f) != 1) return false;
+    if (swap) n2 = bsw32i(n2);
+    return n2 == n;
+}
+
+// Opposite-endian DCD files (e.g. big-endian CHARMM output read on x86)
+// announce themselves through a byte-swapped 84 header-record marker.
+// Returns false if the first marker is neither 84 nor bswap(84).
+bool dcd_detect_swap(FILE* f, bool* swap) {
+    int32_t n = 0;
+    if (std::fread(&n, 4, 1, f) != 1) return false;
+    if (std::fseek(f, 0, SEEK_SET) != 0) return false;
+    if (n == 84) { *swap = false; return true; }
+    if (bsw32i(n) == 84) { *swap = true; return true; }
+    return false;
 }
 }  // namespace
 
@@ -270,23 +307,27 @@ int64_t dcd_info(const char* path, int64_t* natoms, int64_t* nframes,
                  int64_t* has_cell) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return 1;
+    bool sw = false;
+    if (!dcd_detect_swap(f, &sw)) { std::fclose(f); return 2; }
     struct { char magic[4]; int32_t icntl[20]; } hdr;
-    if (!rrec(f, &hdr, 84, nullptr) || std::memcmp(hdr.magic, "CORD", 4)) {
+    if (!rrec(f, &hdr, 84, nullptr, sw) || std::memcmp(hdr.magic, "CORD", 4)) {
         std::fclose(f);
         return 2;
     }
-    if (!rrec(f, nullptr, -1, nullptr)) { std::fclose(f); return 2; }  // title
+    if (sw) bswap_words4(hdr.icntl, 20);
+    if (!rrec(f, nullptr, -1, nullptr, sw)) { std::fclose(f); return 2; }  // title
     int32_t na = 0;
-    if (!rrec(f, &na, 4, nullptr)) { std::fclose(f); return 2; }
+    if (!rrec(f, &na, 4, nullptr, sw)) { std::fclose(f); return 2; }
+    if (sw) na = bsw32i(na);
     *natoms = na;
     *has_cell = hdr.icntl[10] ? 1 : 0;
     // count frames by scanning records (header NSET can be stale)
     int64_t frames = 0;
     for (;;) {
-        if (hdr.icntl[10] && !rrec(f, nullptr, 48, nullptr)) break;
+        if (hdr.icntl[10] && !rrec(f, nullptr, 48, nullptr, sw)) break;
         bool ok = true;
         for (int c = 0; c < 3; ++c)
-            ok = ok && rrec(f, nullptr, (int32_t)(na * 4), nullptr);
+            ok = ok && rrec(f, nullptr, (int32_t)(na * 4), nullptr, sw);
         if (!ok) break;
         ++frames;
     }
@@ -301,19 +342,24 @@ int64_t dcd_read(const char* path, float* xyz, double* boxes,
                  int64_t maxframes) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return 1;
+    bool sw = false;
+    if (!dcd_detect_swap(f, &sw)) { std::fclose(f); return 2; }
     struct { char magic[4]; int32_t icntl[20]; } hdr;
-    if (!rrec(f, &hdr, 84, nullptr) || std::memcmp(hdr.magic, "CORD", 4)) {
+    if (!rrec(f, &hdr, 84, nullptr, sw) || std::memcmp(hdr.magic, "CORD", 4)) {
         std::fclose(f);
         return 2;
     }
-    if (!rrec(f, nullptr, -1, nullptr)) { std::fclose(f); return 2; }
+    if (sw) bswap_words4(hdr.icntl, 20);
+    if (!rrec(f, nullptr, -1, nullptr, sw)) { std::fclose(f); return 2; }
     int32_t na = 0;
-    if (!rrec(f, &na, 4, nullptr)) { std::fclose(f); return 2; }
+    if (!rrec(f, &na, 4, nullptr, sw)) { std::fclose(f); return 2; }
+    if (sw) na = bsw32i(na);
     std::vector<float> buf(na);
     for (int64_t t = 0; t < maxframes; ++t) {
         if (hdr.icntl[10]) {
             double cell[6];
-            if (!rrec(f, cell, 48, nullptr)) break;
+            if (!rrec(f, cell, 48, nullptr, sw)) break;
+            if (sw) bswap_words8(cell, 6);
             if (boxes) {
                 boxes[t * 3 + 0] = cell[0] / 10.0;
                 boxes[t * 3 + 1] = cell[2] / 10.0;
@@ -324,10 +370,12 @@ int64_t dcd_read(const char* path, float* xyz, double* boxes,
         }
         bool ok = true;
         for (int c = 0; c < 3 && ok; ++c) {
-            ok = rrec(f, buf.data(), (int32_t)(na * 4), nullptr);
-            if (ok)
+            ok = rrec(f, buf.data(), (int32_t)(na * 4), nullptr, sw);
+            if (ok) {
+                if (sw) bswap_words4(buf.data(), (size_t)na);
                 for (int64_t a = 0; a < na; ++a)
                     xyz[(t * na + a) * 3 + c] = buf[a] * 0.1f;  // A -> nm
+            }
         }
         if (!ok) break;
     }

@@ -90,3 +90,35 @@ def test_trajectorydata_linear(key):
     data = D.trajectorydata_linear(dw, 10, key=key)
     assert len(data) == 9
     assert data.nk == 1
+
+
+def test_subsample_inds_deterministic_with_key(key):
+    """Same PRNG key => identical chi-stratified selection; this covers
+    both the perturbed-grid path and the degenerate (constant-chi)
+    uniform fallback."""
+    xs = np.linspace(0.0, 1.0, 200)[:, None].astype(np.float32)
+    model = lambda z: np.asarray(z)          # chi = identity
+    a = D.subsample_inds(model, xs, 17, key=key)
+    b = D.subsample_inds(model, xs, 17, key=key)
+    assert np.array_equal(a, b)
+    k2 = jax.random.PRNGKey(123)
+    c = D.subsample_inds(model, xs, 17, key=k2)
+    assert not np.array_equal(a, c)          # different key, different grid
+
+    const_model = lambda z: np.zeros((len(z), 1), np.float32)
+    a = D.subsample_inds(const_model, xs, 17, key=key)
+    b = D.subsample_inds(const_model, xs, 17, key=key)
+    assert np.array_equal(a, b)
+
+
+def test_resample_strat_deterministic_with_key(key):
+    """resample_strat with the same key appends identical coordinates
+    (selection + propagation both seeded)."""
+    dw = Doublewell()
+    data = D.SimulationData.from_sim(dw, nx=30, nk=2, key=key)
+    model = lambda z: np.asarray(z)
+    k = jax.random.PRNGKey(7)
+    d1 = data.resample_strat(model, 5, key=k)
+    d2 = data.resample_strat(model, 5, key=k)
+    assert np.allclose(np.asarray(d1.coords), np.asarray(d2.coords))
+    assert np.allclose(np.asarray(d1.propcoords), np.asarray(d2.propcoords))

@@ -251,3 +251,22 @@ class TestConstraints:
 
     def test_pallas_path_disabled(self, csim):
         assert not csim._pallas_eligible(4096)
+
+
+def test_bootstrap_burnin_default_and_shapes(key):
+    """Multi-chain bootstrap discards a burn-in prefix per chain (default
+    nlag*(chains-1)//2, matching the mean equilibration depth of the
+    reference's single nx-lag chain)."""
+    import isokann_tpu as itk
+
+    sim = itk.MDSimulation(steps=5)
+    xs, ys, fxs, fys = sim.bootstrap_data(8, 2, key=key, chains=2, burnin=2)
+    assert xs.shape == (8, sim.dim) and ys.shape == (8, 2, sim.dim)
+    assert np.all(np.isfinite(np.asarray(xs)))
+    # same key, different burn-in => different collected frames
+    xs0, *_ = sim.bootstrap_data(8, 2, key=key, chains=2, burnin=0)
+    assert not np.allclose(np.asarray(xs), np.asarray(xs0))
+    # default burnin matches nlag*(chains-1)//2 (compiles a distinct
+    # program; identical to explicit burnin under the same key)
+    xsd, *_ = sim.bootstrap_data(8, 2, key=key, chains=2)
+    assert np.allclose(np.asarray(xsd), np.asarray(xs))

@@ -111,9 +111,21 @@ def test_interactive_gui_controls():
         page = urllib.request.urlopen(
             f"http://127.0.0.1:{port}/", timeout=10).read().decode()
         assert "Apply" in page and "nx" in page
+        # posts without the per-session CSRF token are rejected
+        data = urllib.parse.urlencode(dict(action="toggle")).encode()
+        import urllib.error
+        try:
+            urllib.request.urlopen(urllib.request.Request(
+                f"http://127.0.0.1:{port}/control", data=data), timeout=10)
+            assert False, "tokenless POST must be rejected"
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+        import re
+        token = re.search(r'name="token" value="([^"]+)"', page).group(1)
         data = urllib.parse.urlencode(dict(
             pdb="", steps=10, temp=310.0, nx=8, nk=2, opt="adam",
-            lr=1e-3, reg=1e-4, kde=0, action="apply")).encode()
+            lr=1e-3, reg=1e-4, kde=0, action="apply",
+            token=token)).encode()
         r = urllib.request.urlopen(urllib.request.Request(
             f"http://127.0.0.1:{port}/control", data=data), timeout=30)
         assert r.status == 200
@@ -123,7 +135,8 @@ def test_interactive_gui_controls():
             time.sleep(0.5)
         assert gui.iso is not None and len(gui.iso.losses) >= 5
         # pause toggle
-        data = urllib.parse.urlencode(dict(action="toggle")).encode()
+        data = urllib.parse.urlencode(dict(action="toggle",
+                                           token=token)).encode()
         urllib.request.urlopen(urllib.request.Request(
             f"http://127.0.0.1:{port}/control", data=data), timeout=10)
         assert not gui.running
@@ -196,3 +209,52 @@ def test_bench_emits_driver_json():
     assert m, "bench.py must emit its result via json.dumps"
     for key in ("metric", "value", "unit", "vs_baseline"):
         assert key in src
+
+
+def test_dcd_bigendian_read(tmp_path):
+    """The native DCD reader detects a byte-swapped record marker (84 with
+    reversed bytes) and byte-swaps opposite-endian (big-endian CHARMM)
+    files transparently."""
+    from isokann_tpu.native import dcd_read_native
+    from isokann_tpu.utils.save import save_trajectory
+
+    rng = np.random.default_rng(3)
+    traj = rng.normal(scale=0.5, size=(3, 30)).astype(np.float32) + 1.0
+    p = str(tmp_path / "le.dcd")
+    save_trajectory(p, traj, box=(2.0, 2.5, 3.0))
+
+    # convert the little-endian file to big-endian record by record
+    raw = open(p, "rb").read()
+    out = bytearray()
+    off = 0
+
+    def swap4(b):
+        return np.frombuffer(b, "<u4").astype(">u4").tobytes()
+
+    def swap8(b):
+        return np.frombuffer(b, "<u8").astype(">u8").tobytes()
+
+    rec = 0
+    import struct
+    while off < len(raw):
+        n = struct.unpack_from("<i", raw, off)[0]
+        payload = raw[off + 4:off + 4 + n]
+        if rec == 0:                       # header: magic + 20 i32
+            payload = payload[:4] + swap4(payload[4:])
+        elif rec == 1:                     # title: i32 count + text
+            payload = swap4(payload[:4]) + payload[4:]
+        elif n == 48:                      # unit cell: 6 f64
+            payload = swap8(payload)
+        else:                              # natoms / coordinate blocks
+            payload = swap4(payload)
+        m = struct.pack(">i", n)
+        out += m + payload + m
+        off += 4 + n + 4
+        rec += 1
+    pbe = str(tmp_path / "be.dcd")
+    open(pbe, "wb").write(bytes(out))
+
+    xyz_le, box_le = dcd_read_native(p)
+    xyz_be, box_be = dcd_read_native(pbe)
+    assert np.abs(xyz_be - xyz_le).max() == 0.0
+    assert np.allclose(box_be, box_le)
