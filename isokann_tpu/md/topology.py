@@ -260,10 +260,12 @@ def _derive_bonded_terms(top: Topology):
     top.propers = propers
 
     # impropers at trigonal sp2 centers: carbonyl/carboxylate C, amide and
-    # aromatic N-H, aromatic C-H ring planarity, guanidinium CZ
+    # aromatic N-H, tertiary amide N (proline), aromatic C-H ring planarity,
+    # ring-substituent attachment (PHE/TYR/TRP/HIS CG), guanidinium CZ
     impropers = []
     types = top.atom_types
     sp2_CH = ("CA", "CW", "CR", "CV")
+    ring_subst = ("CA", "CC", "C*")
     for c in range(top.natoms):
         nb = sorted(adj[c])
         if len(nb) != 3:
@@ -281,11 +283,25 @@ def _derive_bonded_terms(top: Topology):
             rest = [a for a in nb if not types[a].startswith("H")]
             if len(hs) == 1 and len(rest) == 2:
                 impropers.append((rest[0], rest[1], c, hs[0]))
-        elif tc in sp2_CH:
+            elif tc == "N" and len(hs) == 0:
+                # tertiary amide (PRO backbone N: C, CA, CD); the carbonyl
+                # C goes in a peripheral slot so parm94 X-CT-N-CT matches
+                cts = [a for a in rest if types[a] == "CT"]
+                other = [a for a in rest if types[a] != "CT"]
+                if len(cts) == 2 and len(other) == 1:
+                    impropers.append((other[0], cts[0], c, cts[1]))
+        elif tc in sp2_CH or tc in ring_subst:
             hs = [a for a in nb if types[a].startswith("H")]
             rest = [a for a in nb if not types[a].startswith("H")]
-            if len(hs) == 1 and len(rest) == 2:
+            if tc in sp2_CH and len(hs) == 1 and len(rest) == 2:
                 impropers.append((rest[0], rest[1], c, hs[0]))
             elif tc == "CA" and all(types[a] == "N2" for a in nb):
                 impropers.append((nb[0], nb[1], c, nb[2]))  # guanidinium
+            elif tc in ring_subst and len(hs) == 0:
+                # ring carbon with a heavy substituent (CG of PHE/TYR/HIS/
+                # TRP): 4th slot = the exocyclic CT substituent
+                sub = [a for a in nb if types[a] == "CT"]
+                ring = [a for a in nb if types[a] != "CT"]
+                if len(sub) == 1:
+                    impropers.append((ring[0], ring[1], c, sub[0]))
     top.impropers = impropers
