@@ -39,6 +39,29 @@ def grid_assign(cv, lo, hi, nbins, periodic=True):
     return ids, tuple(int(b) for b in nb)
 
 
+def stratified_sample(cv, n, lo, hi, nbins, rng=None, periodic=True):
+    """Pick ~n sample indices spread uniformly over the occupied cells of a
+    CV grid (round-robin over cells, random within each cell).  The 2-D+
+    counterpart of ``sample.subsample_uniformgrid``."""
+    rng = np.random.default_rng(0) if rng is None else rng
+    ids, shape = grid_assign(cv, lo, hi, nbins, periodic)
+    cells = {}
+    for i, c in enumerate(ids):
+        cells.setdefault(int(c), []).append(i)
+    for members in cells.values():
+        rng.shuffle(members)
+    picked = []
+    rounds = 0
+    while len(picked) < n and rounds < max(len(m) for m in cells.values()):
+        for members in cells.values():
+            if rounds < len(members):
+                picked.append(members[rounds])
+                if len(picked) >= n:
+                    break
+        rounds += 1
+    return np.asarray(sorted(picked), np.int64)
+
+
 def ulam_transition_matrix(cv_x, cv_y, lo, hi, nbins, periodic=True,
                            min_count=1):
     """Row-stochastic Ulam matrix from lagged CV pairs.
@@ -127,7 +150,7 @@ def chi_msm_correlation(chi, cv_x, golden):
     return float(abs(r)), float(ok.mean())
 
 
-def ramachandran_msm(sim, xs, ys, nbins=20, k=3):
+def ramachandran_msm(sim, xs, ys, nbins=20, k=3, min_count=1):
     """Convenience: Ulam MSM of an MDSimulation's (xs, ys) data on the
     (phi, psi) torus.  Returns dict(P, cells, eigvals, eigvecs, cv_x,
     cv_y, lo, hi, nbins, lag_ps)."""
@@ -147,7 +170,8 @@ def ramachandran_msm(sim, xs, ys, nbins=20, k=3):
     cv_x = cv(xs)
     cv_y = cv(ys.reshape(-1, ys.shape[-1])).reshape(ys.shape[:-1] + (2,))
     P, cells, counts = ulam_transition_matrix(
-        cv_x, cv_y, -_np.pi, _np.pi, nbins, periodic=True)
+        cv_x, cv_y, -_np.pi, _np.pi, nbins, periodic=True,
+        min_count=min_count)
     vals, vecs = koopman_eigenfunctions(P, k=k)
     return dict(P=P, cells=cells, counts=counts, eigvals=vals, eigvecs=vecs,
                 cv_x=cv_x, cv_y=cv_y, lo=-_np.pi, hi=_np.pi, nbins=nbins,

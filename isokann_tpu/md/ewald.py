@@ -1,0 +1,155 @@
+"""Ewald summation for periodic electrostatics — TPU-first design.
+
+The reference exposes OpenMM's Ewald/PME nonbonded methods for boxed
+systems (``src/simulators/mopenmm.py:101-115``).  Classic smooth PME is
+built around B-spline charge *scatter* onto a grid + FFTs; TPU runtime
+scatters serialize, so this rebuild computes the reciprocal sum directly
+from structure factors:
+
+    S(k) = sum_j q_j exp(i k.r_j)
+
+evaluated as two dense (natoms, nk) cos/sin matmuls — exactly the shape
+the MXU wants, batched over walkers with vmap.  For the system sizes this
+framework targets (10^3-10^4 atoms, a few 10^3 k-vectors) the O(n*K)
+matmul formulation is faster on TPU than grid PME and is *exact* (it IS
+Ewald, with the same tunable error tolerance as OpenMM's method="Ewald").
+
+Conventions: coordinates nm, charges e, energies kJ/mol (COULOMB =
+1/(4 pi eps0) in those units).  The real-space erfc part rides the
+existing cutoff machinery (dense path: ``forces.nonbonded_energy``;
+O(n) path: ``neighbor.py`` sweep); this module owns the reciprocal sum,
+the self term, and the exclusion corrections.
+
+Forces on the dense path come from autodiff (cos/sin/matmul VJPs are
+clean, no scatters); the analytic gradient used by the neighbor path is
+``ewald_recip_force``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .system import COULOMB
+
+
+def ewald_alpha(cutoff: float, tol: float = 5e-4) -> float:
+    """Splitting parameter from the direct-space error tolerance (OpenMM's
+    rule: erfc(alpha rc) ~ tol at the cutoff)."""
+    return math.sqrt(-math.log(2.0 * tol)) / cutoff
+
+
+def ewald_kvectors(box, alpha: float, tol: float = 5e-4):
+    """Half-space reciprocal vectors and coefficients for an orthorhombic
+    box.
+
+    kmax_i = alpha L_i sqrt(-ln tol) / pi  (reciprocal error ~ tol).
+    Returns (kvecs (nk, 3) [1/nm], coefs (nk,) [kJ/mol per |S|^2], both
+    host numpy).  Only one of each +-k pair is kept; the energy doubles
+    their contribution."""
+    box = np.asarray(box, np.float64)
+    V = float(np.prod(box))
+    kmax = np.maximum(np.ceil(alpha * box * math.sqrt(-math.log(tol))
+                              / math.pi).astype(int), 1)
+    ms = []
+    for mx in range(0, kmax[0] + 1):
+        ylo = -kmax[1] if mx > 0 else 0
+        for my in range(ylo, kmax[1] + 1):
+            zlo = -kmax[2] if (mx > 0 or my > 0) else 1
+            for mz in range(zlo, kmax[2] + 1):
+                ms.append((mx, my, mz))
+    m = np.asarray(ms, np.float64)
+    # ellipsoidal prune: drop the rectangular corners beyond the per-axis
+    # resolution (~2x fewer k-vectors at equal accuracy)
+    keep = np.sum((m / kmax) ** 2, axis=1) <= 1.0 + 1e-9
+    m = m[keep]
+    k = 2.0 * math.pi * m / box                     # (nk, 3)
+    k2 = np.sum(k * k, axis=1)
+    coefs = (COULOMB * 2.0 * math.pi / V) * np.exp(-k2 / (4.0 * alpha ** 2)) / k2
+    return k.astype(np.float64), coefs.astype(np.float64)
+
+
+def ewald_recip_energy(kvecs, coefs, charges, x):
+    """Reciprocal-space energy.  ``x``: (natoms, 3); differentiable."""
+    phases = jnp.matmul(x, kvecs.T, precision=jax.lax.Precision.HIGHEST)
+    c = jnp.cos(phases)
+    s = jnp.sin(phases)
+    Sc = jnp.matmul(charges, c, precision=jax.lax.Precision.HIGHEST)
+    Ss = jnp.matmul(charges, s, precision=jax.lax.Precision.HIGHEST)
+    return 2.0 * jnp.sum(coefs * (Sc * Sc + Ss * Ss))
+
+
+def ewald_recip_force(kvecs, coefs, charges, x):
+    """Analytic -dE/dx of ``ewald_recip_energy`` (for the no-autodiff
+    neighbor path): F_i = 4 q_i sum_k coef_k k (Sc sin(k.r_i) - Ss cos(k.r_i))."""
+    phases = jnp.matmul(x, kvecs.T, precision=jax.lax.Precision.HIGHEST)
+    c = jnp.cos(phases)
+    s = jnp.sin(phases)
+    Sc = jnp.matmul(charges, c, precision=jax.lax.Precision.HIGHEST)
+    Ss = jnp.matmul(charges, s, precision=jax.lax.Precision.HIGHEST)
+    w = s * (coefs * Sc)[None, :] - c * (coefs * Ss)[None, :]   # (n, nk)
+    f = jnp.matmul(w, kvecs, precision=jax.lax.Precision.HIGHEST)
+    return 4.0 * charges[:, None] * f
+
+
+def ewald_self_energy(alpha, charges):
+    """Gaussian self-interaction removal: -C alpha/sqrt(pi) sum q^2."""
+    return -COULOMB * alpha / math.sqrt(math.pi) * jnp.sum(charges * charges)
+
+
+def erfc_approx(x):
+    """Abramowitz & Stegun 7.1.26 erfc (abs err < 1.5e-7) from primitives
+    available inside Pallas kernels (exp/mul/add only)."""
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return poly * jnp.exp(-x * x)
+
+
+def ewald_exception_energy(sys, x, alpha):
+    """Exclusion corrections for Ewald methods.
+
+    The reciprocal sum includes every pair (and would, combined with a
+    full real-space term, yield qq/r).  For each exception pair the full
+    Ewald interaction qq erf(alpha r)/r (recip) is subtracted — the
+    real-space sweep/dense term already masks these pairs out — and the
+    target scaled straight-Coulomb 1-4 term is added back, mirroring
+    OpenMM exception semantics.  LJ corrections are handled by the
+    caller's existing machinery (identical to the cutoff methods)."""
+    from jax.scipy.special import erf
+
+    if sys.excl_idx.shape[0] == 0:
+        return jnp.zeros((), x.dtype)
+    box = jnp.asarray(sys.box, x.dtype)
+    i, j = sys.excl_idx[:, 0], sys.excl_idx[:, 1]
+    d = x[i] - x[j]
+    d = d - box * jnp.round(d / box)
+    r = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+    qq = COULOMB * sys.charges[i] * sys.charges[j]
+    return jnp.sum(qq * (sys.excl_qq - erf(alpha * r)) / r)
+
+
+def ewald_exception_force(sys, x, alpha):
+    """Analytic counterpart of ``ewald_exception_energy`` (scatter-add over
+    the sparse exception list — O(n) and solute-local)."""
+    from jax.scipy.special import erf
+
+    if sys.excl_idx.shape[0] == 0:
+        return jnp.zeros_like(x)
+    box = jnp.asarray(sys.box, x.dtype)
+    i, j = sys.excl_idx[:, 0], sys.excl_idx[:, 1]
+    d = x[i] - x[j]
+    d = d - box * jnp.round(d / box)
+    r2 = jnp.sum(d * d, axis=-1) + 1e-12
+    r = jnp.sqrt(r2)
+    qq = COULOMB * sys.charges[i] * sys.charges[j]
+    # E(r) = qq (scee - erf(a r))/r
+    # dE/dr = -qq (scee - erf(a r))/r^2 - qq (2a/sqrt(pi)) e^{-a^2 r^2}/r
+    dEdr = (-qq * (sys.excl_qq - erf(alpha * r)) / r2
+            - qq * (2.0 * alpha / math.sqrt(math.pi))
+            * jnp.exp(-(alpha * r) ** 2) / r)
+    g = (dEdr / r)[:, None] * d
+    return jnp.zeros_like(x).at[i].add(-g).at[j].add(g)

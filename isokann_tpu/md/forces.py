@@ -76,7 +76,8 @@ def nonbonded_energy(sys: MDSystem, x):
     # diff tensor fuses cleanly on the VPU.
     n = sys.natoms
     diff = x[:, None, :] - x[None, :, :]
-    if sys.method == "CutoffPeriodic" and sys.box is not None:
+    if (sys.method in ("CutoffPeriodic", "Ewald", "PME")
+            and sys.box is not None):
         box = jnp.asarray(sys.box, x.dtype)
         diff = diff - box * jnp.round(diff / box)
     r2 = jnp.sum(diff * diff, axis=-1)
@@ -97,6 +98,29 @@ def nonbonded_energy(sys: MDSystem, x):
         mask = sys.qq_scale
         lmask = sys.lj_scale
         return 0.5 * jnp.sum(ec * mask + elj * lmask)
+
+    if sys.method in ("Ewald", "PME"):
+        # Ewald summation (md/ewald.py): erfc real-space pairs here;
+        # reciprocal/self/exception terms from the structure-factor module.
+        # 1-4 Coulomb is entirely inside the exception correction (OpenMM
+        # exception semantics); 1-4 LJ keeps the cutoff-method machinery.
+        from jax.scipy.special import erfc
+        from .ewald import (ewald_recip_energy, ewald_self_energy,
+                            ewald_exception_energy)
+        rc = sys.cutoff
+        al = sys.ewald_alpha
+        within = (r < rc).astype(x.dtype)
+        full = (sys.qq_scale >= 0.999).astype(x.dtype)
+        l_full = (sys.lj_scale >= 0.999).astype(x.dtype)
+        l_one4 = ((sys.lj_scale > 0) & (sys.lj_scale < 0.999)).astype(x.dtype)
+        ec_real = qq * erfc(al * r) * inv_r * within * full
+        elj_cut = elj * within * l_full
+        elj_14 = elj * sys.lj_scale * l_one4
+        return (0.5 * jnp.sum(ec_real + elj_cut + elj_14)
+                + ewald_recip_energy(sys.ewald_kvecs, sys.ewald_coefs,
+                                     sys.charges, x)
+                + ewald_self_energy(al, sys.charges)
+                + ewald_exception_energy(sys, x, al))
 
     # reaction field
     rc = sys.cutoff

@@ -54,8 +54,10 @@ class NeighborPlan:
 
     def __init__(self, sys: MDSystem, x0=None, capacity: int = None,
                  margin: float = 1.5, cell_div: int = None):
-        if sys.method != "CutoffPeriodic" or sys.box is None:
-            raise ValueError("neighbor engine requires CutoffPeriodic + box")
+        if sys.method not in ("CutoffPeriodic", "Ewald", "PME") \
+                or sys.box is None:
+            raise ValueError("neighbor engine requires a periodic cutoff "
+                             "method (CutoffPeriodic/Ewald/PME) + box")
         self.box = np.asarray(sys.box, np.float64)
         self.cutoff = float(sys.cutoff)
         if not self.cutoff < float(self.box.min()) / 2:
@@ -272,6 +274,29 @@ def _pair_terms(r2, qq, rmin, epsij, krf, crf):
     return e_lj + e_c, g_lj + g_c
 
 
+_SQRT_PI = math.sqrt(math.pi)
+
+
+def _pair_terms_ewald(r2, qq, rmin, epsij, alpha):
+    """Full-pair Ewald real-space (erfc) energy and dE/dr2.  Uses the A&S
+    polynomial erfc (``ewald.erfc_approx``) — exp/mul only, so the same
+    expression runs inside the Pallas kernel."""
+    from .ewald import erfc_approx
+    inv_r = jax.lax.rsqrt(r2)
+    inv_r2 = inv_r * inv_r
+    x6 = (rmin * rmin * inv_r2) ** 3
+    e_lj = epsij * (x6 * x6 - 2.0 * x6)
+    g_lj = 6.0 * epsij * (x6 - x6 * x6) * inv_r2
+    r = r2 * inv_r
+    er = erfc_approx(alpha * r)
+    gauss = jnp.exp(-(alpha * alpha) * r2)
+    e_c = qq * er * inv_r
+    # d(erfc(ar)/r)/dr = -erfc/r^2 - (2a/sqrt(pi)) e^{-a^2 r^2}/r
+    g_c = -qq * (0.5 * er * inv_r2 * inv_r
+                 + (alpha / _SQRT_PI) * gauss * inv_r2)
+    return e_lj + e_c, g_lj + g_c
+
+
 # ==========================================================================
 # Neighbor sweep: energy and analytic forces
 # ==========================================================================
@@ -347,7 +372,10 @@ def _sweep(sys: MDSystem, plan: NeighborPlan, x, want_force: bool):
         qq = COULOMB * q_i[:, :, None] * qs[tj][:, None, :]
         rmin = rm_i[:, :, None] + rms[tj][:, None, :]
         epsij = jnp.sqrt(ep_i[:, :, None] * eps_[tj][:, None, :])
-        e, g = _pair_terms(r2s, qq, rmin, epsij, krf, crf)
+        if sys.method in ("Ewald", "PME"):
+            e, g = _pair_terms_ewald(r2s, qq, rmin, epsij, sys.ewald_alpha)
+        else:
+            e, g = _pair_terms(r2s, qq, rmin, epsij, krf, crf)
         mask = maskb.astype(dtype)
         return e * mask, g * mask, d
 
@@ -409,6 +437,33 @@ def _exception_terms(sys: MDSystem, x, want_force: bool):
     g_lj = 6.0 * epsij * (x6 - x6 * x6) * inv_r2
     within = (r < rc).astype(dtype)
 
+    if sys.method in ("Ewald", "PME"):
+        # Ewald exception semantics: the reciprocal sum contains EVERY
+        # pair (qq erf(ar)/r), the sweep added full erfc pairs for soft
+        # (1-4) exceptions only.  Correction per exception pair:
+        #   + excl_qq * qq / r              (target 1-4 straight Coulomb)
+        #   - qq erf(ar)/r                  (remove reciprocal part)
+        #   - soft*within * qq erfc(ar)/r  (remove sweep's real part)
+        #   + soft * (excl_lj - within) * E_LJ
+        from jax.scipy.special import erf
+        al = sys.ewald_alpha
+        erf_ar = erf(al * r)
+        erfc_ar = 1.0 - erf_ar
+        gauss = jnp.exp(-(al * r) ** 2)
+        two_a = 2.0 * al / _SQRT_PI
+        e = (qq * (sys.excl_qq - erf_ar - soft * within * erfc_ar) * inv_r
+             + soft * (sys.excl_lj - within) * e_lj)
+        if not want_force:
+            return jnp.sum(e)
+        dEdr_c = qq * (-sys.excl_qq * inv_r2
+                       - two_a * gauss * inv_r + erf_ar * inv_r2
+                       + soft * within * (two_a * gauss * inv_r
+                                          + erfc_ar * inv_r2))
+        g = (0.5 * dEdr_c * inv_r
+             + soft * (sys.excl_lj - within) * g_lj)
+        gd = (-2.0 * g)[:, None] * d
+        return jnp.zeros_like(x).at[i].add(gd).at[j].add(-gd)
+
     e_full, g_full = _pair_terms(r2, qq, rmin, epsij, krf, crf)
     # target: scaled straight Coulomb + scaled LJ (no RF, no cutoff)
     e = soft * (sys.excl_qq * qq * inv_r + sys.excl_lj * e_lj
@@ -433,15 +488,26 @@ def _default_plan(sys, x):
 
 def neighbor_nonbonded_energy(sys: MDSystem, x, plan: NeighborPlan = None):
     """O(n) nonbonded energy; matches ``forces.nonbonded_energy`` on
-    CutoffPeriodic systems.  ``x``: (natoms, 3)."""
+    periodic cutoff systems (RF or Ewald/PME).  ``x``: (natoms, 3)."""
     plan = plan or _default_plan(sys, x)
-    return _sweep(sys, plan, x, False) + _exception_terms(sys, x, False)
+    e = _sweep(sys, plan, x, False) + _exception_terms(sys, x, False)
+    if sys.method in ("Ewald", "PME"):
+        from .ewald import ewald_recip_energy, ewald_self_energy
+        e = (e + ewald_recip_energy(sys.ewald_kvecs, sys.ewald_coefs,
+                                    sys.charges, x)
+             + ewald_self_energy(sys.ewald_alpha, sys.charges))
+    return e
 
 
 def neighbor_nonbonded_force(sys: MDSystem, x, plan: NeighborPlan = None):
     """O(n) analytic nonbonded forces (no autodiff).  ``x``: (natoms, 3)."""
     plan = plan or _default_plan(sys, x)
-    return _sweep(sys, plan, x, True) + _exception_terms(sys, x, True)
+    f = _sweep(sys, plan, x, True) + _exception_terms(sys, x, True)
+    if sys.method in ("Ewald", "PME"):
+        from .ewald import ewald_recip_force
+        f = f + ewald_recip_force(sys.ewald_kvecs, sys.ewald_coefs,
+                                  sys.charges, x)
+    return f
 
 
 # ==========================================================================
@@ -600,9 +666,16 @@ def force_flat_neighbor(sys: MDSystem, xflat, plan: NeighborPlan = None,
     xb = x.reshape((-1, 3 * sys.natoms))
     if use_pallas:
         f = neighbor_sweep_pallas(sys, plan, xb)
-        rest = jax.vmap(lambda xi: (_exception_terms(sys, xi, True)
-                                    + bonded_force_sparse(sys, xi)))(
-            xb.reshape(-1, sys.natoms, 3))
+
+        def _rest(xi):
+            r = _exception_terms(sys, xi, True) + bonded_force_sparse(sys, xi)
+            if sys.method in ("Ewald", "PME"):
+                from .ewald import ewald_recip_force
+                r = r + ewald_recip_force(sys.ewald_kvecs, sys.ewald_coefs,
+                                          sys.charges, xi)
+            return r
+
+        rest = jax.vmap(_rest)(xb.reshape(-1, sys.natoms, 3))
         f = f + rest.reshape(f.shape)
     else:
         f = jax.vmap(lambda xi: force_neighbor(
@@ -628,7 +701,8 @@ def force_flat_neighbor(sys: MDSystem, xflat, plan: NeighborPlan = None,
 
 
 def _nb_kernel_body(plan, rc, krf, icols_ref, jrows_ref, ifar_ref,
-                    ibits_ref, jbits_ref, acc_ref, fj_ref, s_idx):
+                    ibits_ref, jbits_ref, acc_ref, fj_ref, s_idx,
+                    alpha=None):
     xi = icols_ref[0, 0]                      # (C, 8)
     xj = jrows_ref[0, 0]                      # (8, C)
     E2 = ifar_ref.shape[-1]
@@ -672,7 +746,14 @@ def _nb_kernel_body(plan, rc, krf, icols_ref, jrows_ref, ifar_ref,
     epsij = xi[:, 5:6] * xj[5:6, :]
     x6 = (rmin * rmin * inv_r2) ** 3
     g_lj = 6.0 * epsij * (x6 - x6 * x6) * inv_r2
-    g_c = qq * (-0.5 * inv_r2 * inv_r) + qq * krf
+    if alpha is None:                       # reaction field
+        g_c = qq * (-0.5 * inv_r2 * inv_r) + qq * krf
+    else:                                   # Ewald real space (erfc)
+        from .ewald import erfc_approx
+        er = erfc_approx(alpha * (r2s * inv_r))
+        g_c = -qq * (0.5 * er * inv_r2 * inv_r
+                     + (alpha / _SQRT_PI)
+                     * jnp.exp(-(alpha * alpha) * r2s) * inv_r2)
     w = -2.0 * (g_lj + g_c) * maskb.astype(jnp.float32)
 
     z5 = jnp.zeros((plan.C, 5), jnp.float32)
@@ -700,6 +781,9 @@ def _nb_kernel_body(plan, rc, krf, icols_ref, jrows_ref, ifar_ref,
          -live * jnp.sum(w * dz, axis=0, keepdims=True), z5r], axis=0)
 
 
+_SCAN_CHUNK = 4     # v5e in-scan batch fault workaround (see kernel notes)
+
+
 def neighbor_sweep_pallas(sys: MDSystem, plan: NeighborPlan, xb,
                           interpret=False):
     """Nonbonded sweep forces via the VMEM pair-block kernel.
@@ -712,7 +796,8 @@ def neighbor_sweep_pallas(sys: MDSystem, plan: NeighborPlan, xb,
     # v5e faults for >4-walker batches when the kernel sits inside a
     # lax.scan (standalone calls are fine; reproduced with both 3-D and
     # folded 2-D grids — backend issue, not geometry) — chunk the batch
-    MAXB = 4
+    # (module-level so the perf/fault harness can probe other values)
+    MAXB = _SCAN_CHUNK
     if xb.shape[0] > MAXB:
         return jnp.concatenate(
             [neighbor_sweep_pallas(sys, plan, xb[i:i + MAXB],
@@ -763,11 +848,13 @@ def neighbor_sweep_pallas(sys: MDSystem, plan: NeighborPlan, xb,
 
     icols, jrows, ifar, ibits, jbits, orders, poss = jax.vmap(prep)(xb)
 
+    alpha = sys.ewald_alpha if sys.method in ("Ewald", "PME") else None
+
     def kernel(sten_ref, icols_ref, jrows_ref, ifar_ref, ibits_ref,
                jbits_ref, acc_ref, fj_ref):
         _nb_kernel_body(plan, rc, krf, icols_ref, jrows_ref, ifar_ref,
                         ibits_ref, jbits_ref, acc_ref, fj_ref,
-                        pl.program_id(1))
+                        pl.program_id(1), alpha=alpha)
 
     # grid: (walker*cell, stencil) — batch folded into the leading dim
     # (a 3-D (B, ncells, S) grid faulted on v5e for B > 4 inside lax.scan)

@@ -63,6 +63,10 @@ class MDSystem:
     excl_idx: jnp.ndarray = None     # (m, 2) int32, i<j
     excl_qq: jnp.ndarray = None      # (m,) target Coulomb scale
     excl_lj: jnp.ndarray = None      # (m,) target LJ scale
+    # Ewald reciprocal-space tables (method="Ewald"/"PME"; zero-size
+    # otherwise).  See md/ewald.py — structure-factor matmul formulation.
+    ewald_kvecs: jnp.ndarray = None   # (nk, 3) [1/nm]
+    ewald_coefs: jnp.ndarray = None   # (nk,) [kJ/mol per |S|^2]
     # nonbonded method (static)
     method: str = "CutoffPeriodic"
     cutoff: float = 1.0         # nm
@@ -73,6 +77,7 @@ class MDSystem:
     # (nterms, n) incidence matrices are left empty and every force/energy
     # call routes through the O(n) neighbor-list engine
     dense_pairs: bool = True
+    ewald_alpha: float = 0.0    # splitting parameter [1/nm] (static)
 
     def tree_flatten(self):
         children = (self.bond_idx, self.bond_k, self.bond_r0,
@@ -83,15 +88,17 @@ class MDSystem:
                     self.charges, self.rmin_half, self.eps,
                     self.qq_scale, self.lj_scale, self.masses,
                     self.gb_radii, self.gb_scales,
-                    self.excl_idx, self.excl_qq, self.excl_lj)
+                    self.excl_idx, self.excl_qq, self.excl_lj,
+                    self.ewald_kvecs, self.ewald_coefs)
         aux = (self.method, self.cutoff, self.eps_rf, self.box, self.implicit,
-               self.dense_pairs)
+               self.dense_pairs, self.ewald_alpha)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, method=aux[0], cutoff=aux[1], eps_rf=aux[2],
-                   box=aux[3], implicit=aux[4], dense_pairs=aux[5])
+                   box=aux[3], implicit=aux[4], dense_pairs=aux[5],
+                   ewald_alpha=aux[6])
 
     @property
     def natoms(self):
@@ -184,13 +191,19 @@ DENSE_PAIRS_MAX = 4000   # above this, build_system(dense_pairs="auto")
 
 def build_system(source, method: str = "auto", cutoff: float = 1.0,
                  eps_rf: float = 78.5, implicit: str = None,
-                 dense_pairs="auto", dtype=jnp.float32) -> MDSystem:
+                 dense_pairs="auto", ewald_tol: float = 5e-4,
+                 dtype=jnp.float32) -> MDSystem:
     """Construct an MDSystem from a PDB path / PDBStructure / Topology.
 
     ``method='auto'`` mirrors the reference's nonbonded auto-selection
     (``src/simulators/mopenmm.py:103-115``): CutoffPeriodic when the PDB has
-    a box, CutoffNonPeriodic otherwise.  ``implicit='obc2'`` enables GBSA
-    implicit solvent (forces NoCutoff, as for OpenMM implicit setups).
+    a box, CutoffNonPeriodic otherwise.  ``method='Ewald'``/``'PME'``
+    (reference pass-through ``mopenmm.py:101-115``) enables full periodic
+    electrostatics via the structure-factor Ewald module (``md/ewald.py``;
+    both names select the same exact matmul formulation — the TPU-first
+    replacement for grid PME) with error tolerance ``ewald_tol`` (OpenMM's
+    ewaldErrorTolerance).  ``implicit='obc2'`` enables GBSA implicit
+    solvent (forces NoCutoff, as for OpenMM implicit setups).
 
     ``dense_pairs``: True keeps the dense (n, n) scale and (nterms, n)
     incidence matrices (small/medium systems — everything on the MXU);
@@ -213,9 +226,19 @@ def build_system(source, method: str = "auto", cutoff: float = 1.0,
         method = "NoCutoff"
     if method == "auto":
         method = "CutoffPeriodic" if box is not None else "CutoffNonPeriodic"
-    if box is not None and method == "CutoffPeriodic":
+    if method in ("Ewald", "PME") and box is None:
+        raise ValueError(f"method={method} requires a periodic box")
+    if box is not None and method in ("CutoffPeriodic", "Ewald", "PME"):
         # OpenMM requires cutoff < box/2
         cutoff = min(cutoff, 0.999 * float(min(box)) / 2)
+
+    ewald_alpha_v = 0.0
+    ekv = np.zeros((0, 3), np.float32)
+    ecf = np.zeros((0,), np.float32)
+    if method in ("Ewald", "PME"):
+        from .ewald import ewald_alpha, ewald_kvectors
+        ewald_alpha_v = ewald_alpha(float(cutoff), ewald_tol)
+        ekv, ecf = ewald_kvectors(box, ewald_alpha_v, ewald_tol)
 
     types = top.atom_types
 
@@ -300,6 +323,8 @@ def build_system(source, method: str = "auto", cutoff: float = 1.0,
         gb_radii=arr(_gb_params(top)[0] if implicit else np.zeros(0)),
         gb_scales=arr(_gb_params(top)[1] if implicit else np.zeros(0)),
         excl_idx=arr(eidx, jnp.int32), excl_qq=arr(eqq), excl_lj=arr(elj_w),
+        ewald_kvecs=arr(ekv), ewald_coefs=arr(ecf),
+        ewald_alpha=float(ewald_alpha_v),
         method=method, cutoff=float(cutoff), eps_rf=float(eps_rf),
         box=tuple(float(b) for b in box) if box is not None else None,
         implicit=implicit, dense_pairs=bool(dense_pairs),

@@ -221,11 +221,12 @@ class MDSimulation(IsoSimulation):
         intermediates through HBM, the kernel keeps them in VMEM.  Small
         systems use the fully fused trajectory kernel instead
         (``_pallas_eligible``); very large ones exceed the VMEM budget."""
-        if self.system.method == "CutoffPeriodic":
+        if self.system.method in ("CutoffPeriodic", "Ewald", "PME"):
             # the kernel supports minimum image (tested), but measured
             # even with the XLA path end-to-end at 1009 atoms (both are
             # VPU-compute-bound) while costing an extra remote compile —
-            # not worth enabling by default
+            # not worth enabling by default; Ewald/PME additionally need
+            # the reciprocal term the GB kernel does not compute
             return False
         if not (64 < self.natoms <= 640):   # GBPlan pads to 640 anyway
             return False
@@ -241,6 +242,9 @@ class MDSimulation(IsoSimulation):
         if self.bias is not None or self.integrator != "langevin":
             return False
         if self.system.implicit is not None or self.constraint_set is not None:
+            return False
+        if self.system.method in ("Ewald", "PME"):
+            # the fused kernel has no reciprocal-space term
             return False
         # the kernel's dense difference operator scales with all-pairs rows:
         # small-molecule systems only (<=64 atoms keeps D under ~10 MB)

@@ -1,0 +1,264 @@
+"""Generate the MD chi golden anchors (VERDICT round-1 item 1).
+
+Builds an independent ground truth for the alanine-dipeptide chi function:
+an Ulam/MSM discretization of the transfer operator on the (phi, psi)
+torus, estimated from a large set of lagged trajectory pairs produced by
+the native MD engine, whose dominant nontrivial eigenvector is the
+committor-like function chi must match (reference acceptance metric:
+chi-correlation >= 0.99, reference quickstart ``README.md:27-37``).
+
+Outputs
+  data/golden/ala2_vacuum_msm.npz   grid eigenfunction + the start points
+  data/golden/ala2_solvated_msm.npz (with --solvated)
+  out/golden_md.json                evidence: eigenvalues, timescales, and
+                                    the trained-chi correlation achieved
+
+The committed golden is then used by tests/test_golden_md.py, which
+regenerates the *dynamics* fresh (new ys from the committed xs) and
+re-estimates the eigenfunction — so any force-field, integrator, or
+featurizer regression that shifts chi breaks the correlation.
+
+Usage:  python tools/make_golden_md.py [--cpu] [--solvated] [--quick]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+# one distinct jitted program per shape family; keep the count small
+N_XS = 1536          # start points (uniform over occupied phi/psi cells)
+NK = 8               # endpoints per start
+LAG_STEPS = 2500     # 5 ps lag at 2 fs: lambda3/lambda2 ~ 0.8, so both the
+                     # MSM eigenfunction and ISOKANN's power iteration
+                     # separate the slow phi process in a few applications
+NBINS = 18           # phi/psi grid (18x18 = 324 cells)
+HOT_TEMP = 600.0     # coverage trajectory temperature
+HOT_STEPS = 400_000  # coverage trajectory length (saveevery 50 -> 8000)
+TRAIN_ITERS = 1500
+N_ETERM = 64         # conformations in the energy-decomposition golden
+
+
+def vacuum_golden(quick=False):
+    import numpy as np
+    import jax
+    import isokann_tpu as itk
+    from isokann_tpu.analysis.msm import (
+        ramachandran_msm, stratified_sample, eigenfunction_on_samples,
+        implied_timescale, chi_msm_correlation)
+
+    n_xs = N_XS // 4 if quick else N_XS
+    hot_steps = HOT_STEPS // 8 if quick else HOT_STEPS
+
+    t0 = time.time()
+    # 1) coverage: a hot trajectory visits both metastable basins
+    hot = itk.MDSimulation(steps=LAG_STEPS, temp=HOT_TEMP)
+    traj = hot.trajectory(steps=hot_steps, saveevery=50)
+    print(f"hot trajectory {traj.shape} in {time.time()-t0:.1f}s")
+
+    from isokann_tpu.ops.dihedrals import dihedrals_from_indices, phi_psi_indices
+    from isokann_tpu.md.topology import build_topology
+    from isokann_tpu.md.pdbio import read_pdb
+    top = build_topology(read_pdb(hot.pdbfile))
+    phis, psis = phi_psi_indices(top)
+    quads = np.concatenate([phis[:1], psis[:1]], axis=0)
+    cv_traj = np.asarray(dihedrals_from_indices(traj, quads))
+
+    inds = stratified_sample(cv_traj, n_xs, -np.pi, np.pi, NBINS,
+                             rng=np.random.default_rng(7))
+    xs = np.asarray(traj)[inds]
+    print(f"xs {xs.shape}: {len(np.unique(inds))} unique frames, "
+          f"phi/psi coverage "
+          f"{len(np.unique((np.floor((cv_traj[inds]+np.pi)/(2*np.pi)*NBINS)).astype(int) @ [NBINS,1]))} cells")
+
+    # 2) lagged endpoints at the production temperature
+    sim = itk.MDSimulation(steps=LAG_STEPS, temp=310.0)
+    t0 = time.time()
+    ys = sim.propagate(xs, NK, key=jax.random.PRNGKey(42))
+    print(f"ys {ys.shape} in {time.time()-t0:.1f}s")
+
+    # 3) Ulam MSM in f64 on the host
+    msm = ramachandran_msm(sim, xs, np.asarray(ys), nbins=NBINS, k=4)
+    lam = msm["eigvals"]
+    ts = implied_timescale(lam[1:], msm["lag_ps"])
+    print(f"eigvals {lam.round(4)}  implied timescales (ps) {ts.round(2)}")
+
+    vec = msm["eigvecs"][:, 1]
+    vec = (vec - vec.min()) / (vec.max() - vec.min())   # chi-like [0, 1]
+
+    golden = dict(cells=msm["cells"], vec=vec, lo=-np.pi, hi=np.pi,
+                  nbins=NBINS, periodic=True)
+
+    # 4) train chi on this exact data and measure the correlation
+    from isokann_tpu.data import SimulationData
+    t0 = time.time()
+    fx = sim.featurizer(jax.numpy.asarray(xs))
+    fy = sim.featurizer(jax.numpy.asarray(ys))
+    data = SimulationData.from_coords(sim, xs, np.asarray(ys),
+                                      features=(fx, fy))
+    iso = itk.Iso(data=data, key=3, opt=itk.AdamRegularized(),
+                  minibatch=512)
+    iso.run(TRAIN_ITERS // (4 if quick else 1))
+    chi = np.asarray(iso.chis()).ravel()
+    corr, frac = chi_msm_correlation(chi, msm["cv_x"], golden)
+    print(f"trained-chi vs MSM golden: corr={corr:.4f} "
+          f"(on {frac*100:.0f}% of samples) loss={iso.losses[-1]:.4g} "
+          f"train {time.time()-t0:.1f}s")
+
+    out = dict(system="ala2_vacuum", n_xs=int(xs.shape[0]), nk=NK,
+               lag_steps=LAG_STEPS, lag_ps=float(msm["lag_ps"]),
+               nbins=NBINS, eigvals=[float(v) for v in lam],
+               timescales_ps=[float(t) for t in ts],
+               chi_corr=float(corr), chi_frac=float(frac),
+               loss=float(iso.losses[-1]))
+
+    # deterministic per-term energy golden on the first conformations:
+    # the sharp force-field regression net (f64 host reference values)
+    from isokann_tpu.md.forces import energy_terms
+    ex = xs[:N_ETERM].reshape(N_ETERM, -1, 3)
+    terms = {k: np.asarray([float(v) for v in vals]) for k, vals in
+             _energy_terms_batch(sim.system, ex).items()}
+
+    path = os.path.join(ROOT, "data", "golden", "ala2_vacuum_msm.npz")
+    np.savez_compressed(
+        path, xs=xs.astype(np.float32),
+        ys=np.asarray(ys, np.float32), cells=msm["cells"],
+        vec=vec, eigvals=lam, nbins=NBINS, lag_steps=LAG_STEPS,
+        temp=310.0, nk=NK, counts=msm["counts"],
+        **{f"eterm_{k}": v for k, v in terms.items()})
+    print("wrote", path)
+    return out
+
+
+def _energy_terms_batch(system, confs):
+    """Per-term energies for (m, natoms, 3) conformations."""
+    import numpy as np
+    from isokann_tpu.md.forces import energy_terms
+    out = {}
+    for x in confs:
+        for k, v in energy_terms(system, x).items():
+            out.setdefault(k, []).append(float(v))
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def solvated_golden(quick=False):
+    """Same anchor for the solvated (TIP3P reaction-field) configuration.
+    Heavier: run on TPU.  The committed artifact additionally stores the
+    *features* of (xs, ys) so chi can be retrained host-side without
+    re-simulating 1000-atom dynamics."""
+    import numpy as np
+    import jax
+    import isokann_tpu as itk
+    from isokann_tpu.analysis.msm import (
+        ramachandran_msm, stratified_sample, implied_timescale,
+        chi_msm_correlation)
+
+    n_xs = 256 if quick else 768
+    nk = 4
+    lag = 250
+
+    # coverage from a hot implicit-solvent trajectory (cheap), then
+    # re-solvate those configurations for the explicit-solvent propagation
+    hot = itk.MDSimulation(steps=lag, temp=500.0)
+    traj = hot.trajectory(steps=60_000 if quick else 200_000, saveevery=50)
+
+    from isokann_tpu.ops.dihedrals import dihedrals_from_indices, phi_psi_indices
+    from isokann_tpu.md.topology import build_topology
+    from isokann_tpu.md.pdbio import read_pdb
+    top = build_topology(read_pdb(hot.pdbfile))
+    phis, psis = phi_psi_indices(top)
+    quads = np.concatenate([phis[:1], psis[:1]], axis=0)
+    cv_traj = np.asarray(dihedrals_from_indices(traj, quads))
+    inds = stratified_sample(cv_traj, n_xs, -np.pi, np.pi, NBINS,
+                             rng=np.random.default_rng(11))
+    solute_xs = np.asarray(traj)[inds]
+
+    sim = itk.MDSimulation(steps=lag, temp=310.0, addwater=True,
+                           padding=0.65, constraints="HBonds")
+    nsol = 22 * 3
+    # embed each solute configuration into the solvated template: replace
+    # the solute coordinates, keep the equilibrated water positions
+    base = np.asarray(sim.coords)
+    # center each solute conformation at the template solute centroid
+    cs = solute_xs.reshape(n_xs, -1, 3)
+    cs = cs - cs.mean(axis=1, keepdims=True) + \
+        base[:nsol].reshape(-1, 3).mean(axis=0)
+    xs = np.tile(base, (n_xs, 1))
+    xs[:, :nsol] = cs.reshape(n_xs, -1)
+
+    # short equilibration with the solute held by propagating a fraction
+    # of the lag first (waters relax around the inserted conformation)
+    eq = sim.propagate(xs, 1, key=jax.random.PRNGKey(5))[:, 0]
+    xs = np.asarray(eq)
+
+    t0 = time.time()
+    ys = sim.propagate(xs, nk, key=jax.random.PRNGKey(43))
+    print(f"solvated ys {ys.shape} in {time.time()-t0:.1f}s")
+
+    msm = ramachandran_msm(sim, xs, np.asarray(ys), nbins=NBINS, k=4)
+    lam = msm["eigvals"]
+    ts = implied_timescale(lam[1:], msm["lag_ps"])
+    print(f"solvated eigvals {lam.round(4)} timescales (ps) {ts.round(2)}")
+    vec = msm["eigvecs"][:, 1]
+    vec = (vec - vec.min()) / (vec.max() - vec.min())
+    golden = dict(cells=msm["cells"], vec=vec, lo=-np.pi, hi=np.pi,
+                  nbins=NBINS, periodic=True)
+
+    from isokann_tpu.data import SimulationData
+    fx = np.asarray(sim.featurizer(jax.numpy.asarray(xs)))
+    fy = np.asarray(sim.featurizer(jax.numpy.asarray(ys)))
+    data = SimulationData.from_coords(sim, xs, np.asarray(ys),
+                                      features=(fx, fy))
+    iso = itk.Iso(data=data, key=3, opt=itk.AdamRegularized(), minibatch=256)
+    iso.run(TRAIN_ITERS)
+    chi = np.asarray(iso.chis()).ravel()
+    corr, frac = chi_msm_correlation(chi, msm["cv_x"], golden)
+    print(f"solvated trained-chi corr={corr:.4f} ({frac*100:.0f}%)")
+
+    path = os.path.join(ROOT, "data", "golden", "ala2_solvated_msm.npz")
+    np.savez_compressed(
+        path, cells=msm["cells"], vec=vec, eigvals=lam, nbins=NBINS,
+        lag_steps=lag, temp=310.0, nk=nk,
+        cv_x=msm["cv_x"].astype(np.float32),
+        feat_x=fx.astype(np.float16), feat_y=fy.astype(np.float16))
+    print("wrote", path)
+    return dict(system="ala2_solvated", n_xs=n_xs, nk=nk, lag_steps=lag,
+                eigvals=[float(v) for v in lam],
+                timescales_ps=[float(t) for t in ts],
+                chi_corr=float(corr), chi_frac=float(frac),
+                loss=float(iso.losses[-1]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--solvated", action="store_true")
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    results = []
+    if args.solvated:
+        results.append(solvated_golden(quick=args.quick))
+    else:
+        results.append(vacuum_golden(quick=args.quick))
+
+    outp = os.path.join(ROOT, "out", "golden_md.json")
+    os.makedirs(os.path.dirname(outp), exist_ok=True)
+    old = []
+    if os.path.exists(outp):
+        old = json.load(open(outp))
+        old = [r for r in old if r["system"] not in
+               {x["system"] for x in results}]
+    json.dump(old + results, open(outp, "w"), indent=1)
+    print("evidence ->", outp)
+
+
+if __name__ == "__main__":
+    main()
