@@ -526,8 +526,8 @@ def parameterize_ligand(name, struct_or_pdb, residue_filter=None,
             hcount: Dict[int, int] = {}
             for p in h_parent:
                 hcount[p] = hcount.get(p, 0) + 1
-            names = names + [f"H{names[p]}{k}" for k, p in
-                             zip(_running_counts(h_parent), h_parent)]
+            # short unique names (PDB atom-name field is 4 chars)
+            names = names + [f"H{k + 1}" for k in range(len(h_parent))]
             els_all = perc.elements + ["H"] * len(h_parent)
             coords = np.concatenate([coords, h_xyz])
             bonds_all = list(perc.bonds) + [
@@ -667,13 +667,3 @@ def parameterize_ligand(name, struct_or_pdb, residue_filter=None,
         box=None,
     )
     return tmpl, out
-
-
-def _running_counts(parents):
-    """Per-parent running index for H naming."""
-    seen: Dict[int, int] = {}
-    out = []
-    for p in parents:
-        seen[p] = seen.get(p, 0) + 1
-        out.append(seen[p])
-    return out

@@ -195,9 +195,14 @@ def build_topology(struct: PDBStructure) -> Topology:
             masses[idx] = amber.mass(t)
         for a, b in tmpl["bonds"]:
             bonds.append((name_to_idx[a], name_to_idx[b]))
-        # peptide bond to previous residue: prev C -- this N
+        # peptide bond to previous residue: prev C -- this N (geometry-
+        # guarded: a heterogen with an atom named N after a TER, or a
+        # genuine chain break sharing a chain id, must not be linked)
         if prev_map is not None and "C" in prev_map and "N" in name_to_idx:
-            bonds.append((prev_map["C"], name_to_idx["N"]))
+            d = float(np.linalg.norm(struct.coords[prev_map["C"]]
+                                     - struct.coords[name_to_idx["N"]]))
+            if d < 0.25:
+                bonds.append((prev_map["C"], name_to_idx["N"]))
         prev_map = name_to_idx
 
     # disulfide bridges: pair CYX sulfurs by proximity (< 2.5 A), the same

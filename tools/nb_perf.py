@@ -26,12 +26,17 @@ def build(small=False):
     out = os.path.join(ROOT, "out", "nb_perf")
     os.makedirs(out, exist_ok=True)
     seq = "AQGS" if small else "AQGSAELAKVM"
-    pdb = peptide_pdb(seq, f"{out}/peptide.pdb", minimize=True,
-                      maxiter=150 if small else 300)
+    pdb = f"{out}/peptide.pdb"
+    if not os.path.exists(pdb):
+        # prep is CPU work (run `--prep-only` under JAX_PLATFORMS=cpu
+        # first so the TPU session doesn't burn its window on the
+        # minimizer's mini-compiles)
+        peptide_pdb(seq, pdb, minimize=True,
+                    maxiter=150 if small else 300)
     sim = itk.MDSimulation(pdb=pdb, addwater=True,
                            padding=0.7 if small else 1.0,
                            steps=100, dense_pairs=False)
-    print(f"{sim.natoms} atoms, box {sim.system.box}")
+    print(f"{sim.natoms} atoms, box {sim.system.box}", flush=True)
     return sim
 
 
@@ -152,9 +157,15 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--fault-only", action="store_true")
     ap.add_argument("--perf-only", action="store_true")
+    ap.add_argument("--prep-only", action="store_true")
     args = ap.parse_args()
 
+    if args.prep_only:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     sim = build(small=args.quick)
+    if args.prep_only:
+        return
     if not args.fault_only:
         measure_propagate(sim, 4, label="baseline pallas")
         measure_sweep(sim, 4, label="pallas sweep")
