@@ -3,3 +3,7 @@ from .topology import Topology, Residue, build_topology
 from .system import MDSystem, build_system
 from . import forces, integrators, amber
 from .minimize import minimize_energy
+from .barostat import MonteCarloBarostat, npt_langevin, molecule_map
+from .ligand import parameterize_ligand
+from .importers import (load_frcmod, load_mol2, load_ffxml,
+                        register_ligand_frcmod, register_ligand_ffxml)

@@ -72,6 +72,22 @@ def ewald_kvectors(box, alpha: float, tol: float = 5e-4):
     return k.astype(np.float64), coefs.astype(np.float64)
 
 
+def ewald_tables_for_box(sys, box):
+    """Reciprocal tables for a *traced* box (NPT support): the integer
+    triples m are recovered host-side from the build-time static tables,
+    then k = 2 pi m / box and the coefficients are recomputed from the
+    traced box — O(nk) elementwise work per call, one compiled program
+    across volume moves (docs/npt_design.md)."""
+    m = np.round(np.asarray(sys.ewald_kvecs)
+                 * np.asarray(sys.box) / (2.0 * math.pi))
+    kv = 2.0 * math.pi * jnp.asarray(m, jnp.float32) / box
+    k2 = jnp.sum(kv * kv, axis=1)
+    V = jnp.prod(box)
+    al = sys.ewald_alpha
+    cf = (COULOMB * 2.0 * math.pi / V) * jnp.exp(-k2 / (4.0 * al * al)) / k2
+    return kv, cf
+
+
 def ewald_recip_energy(kvecs, coefs, charges, x):
     """Reciprocal-space energy.  ``x``: (natoms, 3); differentiable."""
     phases = jnp.matmul(x, kvecs.T, precision=jax.lax.Precision.HIGHEST)
@@ -109,7 +125,7 @@ def erfc_approx(x):
     return poly * jnp.exp(-x * x)
 
 
-def ewald_exception_energy(sys, x, alpha):
+def ewald_exception_energy(sys, x, alpha, box=None):
     """Exclusion corrections for Ewald methods.
 
     The reciprocal sum includes every pair (and would, combined with a
@@ -123,7 +139,7 @@ def ewald_exception_energy(sys, x, alpha):
 
     if sys.excl_idx.shape[0] == 0:
         return jnp.zeros((), x.dtype)
-    box = jnp.asarray(sys.box, x.dtype)
+    box = jnp.asarray(sys.box if box is None else box, x.dtype)
     i, j = sys.excl_idx[:, 0], sys.excl_idx[:, 1]
     d = x[i] - x[j]
     d = d - box * jnp.round(d / box)
@@ -132,14 +148,14 @@ def ewald_exception_energy(sys, x, alpha):
     return jnp.sum(qq * (sys.excl_qq - erf(alpha * r)) / r)
 
 
-def ewald_exception_force(sys, x, alpha):
+def ewald_exception_force(sys, x, alpha, box=None):
     """Analytic counterpart of ``ewald_exception_energy`` (scatter-add over
     the sparse exception list — O(n) and solute-local)."""
     from jax.scipy.special import erf
 
     if sys.excl_idx.shape[0] == 0:
         return jnp.zeros_like(x)
-    box = jnp.asarray(sys.box, x.dtype)
+    box = jnp.asarray(sys.box if box is None else box, x.dtype)
     i, j = sys.excl_idx[:, 0], sys.excl_idx[:, 1]
     d = x[i] - x[j]
     d = d - box * jnp.round(d / box)

@@ -60,7 +60,7 @@ def dihedral_energy(sys: MDSystem, x):
     return jnp.sum(sys.dih_pk * (1.0 + jnp.cos(sys.dih_n * phi - sys.dih_phase)))
 
 
-def nonbonded_energy(sys: MDSystem, x):
+def nonbonded_energy(sys: MDSystem, x, box=None):
     """All-pairs LJ + Coulomb with exclusion/1-4 scale matrices.
 
     Cutoff methods mirror OpenMM semantics:
@@ -69,17 +69,23 @@ def nonbonded_energy(sys: MDSystem, x):
       E = qq (1/r + k_rf r^2 - c_rf) for r < cutoff; periodic variant
       applies minimum-image convention first.
     1-4 pairs always use straight (scaled) Coulomb, as in OpenMM.
+
+    ``box``: optional *traced* box lengths overriding the static
+    ``sys.box`` — the NPT/barostat hook (docs/npt_design.md): volume
+    moves change only this runtime value, so one compiled program serves
+    every accepted volume.
     """
     # NOTE (measured on v5e): the elementwise (n, n, 3) diff formulation
     # beats the Gram-trick matmul variant ~4x under vmap+grad here — tiny
     # per-walker (22x22x3) batched matmuls can't tile the MXU, while the
     # diff tensor fuses cleanly on the VPU.
     n = sys.natoms
+    traced_box = box
     diff = x[:, None, :] - x[None, :, :]
     if (sys.method in ("CutoffPeriodic", "Ewald", "PME")
             and sys.box is not None):
-        box = jnp.asarray(sys.box, x.dtype)
-        diff = diff - box * jnp.round(diff / box)
+        wrap = jnp.asarray(sys.box if box is None else box, x.dtype)
+        diff = diff - wrap * jnp.round(diff / wrap)
     r2 = jnp.sum(diff * diff, axis=-1)
     r2 = r2 + jnp.eye(n, dtype=x.dtype)        # avoid 0 on diagonal
     r = jnp.sqrt(r2)
@@ -106,7 +112,7 @@ def nonbonded_energy(sys: MDSystem, x):
         # exception semantics); 1-4 LJ keeps the cutoff-method machinery.
         from jax.scipy.special import erfc
         from .ewald import (ewald_recip_energy, ewald_self_energy,
-                            ewald_exception_energy)
+                            ewald_exception_energy, ewald_tables_for_box)
         rc = sys.cutoff
         al = sys.ewald_alpha
         within = (r < rc).astype(x.dtype)
@@ -116,11 +122,12 @@ def nonbonded_energy(sys: MDSystem, x):
         ec_real = qq * erfc(al * r) * inv_r * within * full
         elj_cut = elj * within * l_full
         elj_14 = elj * sys.lj_scale * l_one4
+        kv, cf = ((sys.ewald_kvecs, sys.ewald_coefs) if traced_box is None
+                  else ewald_tables_for_box(sys, traced_box))
         return (0.5 * jnp.sum(ec_real + elj_cut + elj_14)
-                + ewald_recip_energy(sys.ewald_kvecs, sys.ewald_coefs,
-                                     sys.charges, x)
+                + ewald_recip_energy(kv, cf, sys.charges, x)
                 + ewald_self_energy(al, sys.charges)
-                + ewald_exception_energy(sys, x, al))
+                + ewald_exception_energy(sys, x, al, box=traced_box))
 
     # reaction field
     rc = sys.cutoff
@@ -196,16 +203,20 @@ def gbsa_obc2_energy(sys: MDSystem, x):
     return e_gb + e_sa
 
 
-def potential_energy(sys: MDSystem, x):
+def potential_energy(sys: MDSystem, x, box=None):
     """Total potential; ``x``: (natoms, 3) nm -> kJ/mol.
 
     Large systems built with ``dense_pairs=False`` route through the O(n)
-    cell-list neighbor engine (``md/neighbor.py``)."""
+    cell-list neighbor engine (``md/neighbor.py``).  ``box`` optionally
+    overrides the static box with a traced value (dense path only; the
+    NPT hook, docs/npt_design.md)."""
     if not sys.dense_pairs:
+        if box is not None:
+            raise NotImplementedError("traced box requires the dense path")
         from .neighbor import potential_energy_neighbor
         return potential_energy_neighbor(sys, x)
     e = (bond_energy(sys, x) + angle_energy(sys, x)
-         + dihedral_energy(sys, x) + nonbonded_energy(sys, x))
+         + dihedral_energy(sys, x) + nonbonded_energy(sys, x, box=box))
     if sys.implicit == "obc2":
         e = e + gbsa_obc2_energy(sys, x)
     return e

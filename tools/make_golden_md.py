@@ -159,7 +159,8 @@ def solvated_golden(quick=False):
 
     n_xs = 256 if quick else 768
     nk = 4
-    lag = 250
+    lag = 2500        # 5 ps: solvent friction slows the phi process, so
+                      # the same lag as vacuum keeps usable contrast
 
     # coverage from a hot implicit-solvent trajectory (cheap), then
     # re-solvate those configurations for the explicit-solvent propagation
@@ -190,8 +191,14 @@ def solvated_golden(quick=False):
     xs = np.tile(base, (n_xs, 1))
     xs[:, :nsol] = cs.reshape(n_xs, -1)
 
-    # short equilibration with the solute held by propagating a fraction
-    # of the lag first (waters relax around the inserted conformation)
+    # staged equilibration: the splice clashes waters against the new
+    # solute conformation, so quench with a 0.25 fs step first (same
+    # system/topology — addwater solvation is deterministic), then relax
+    # one full lag at production settings
+    soft = itk.MDSimulation(steps=3000, temp=150.0, addwater=True,
+                            padding=0.65, constraints="HBonds",
+                            step=0.00025)
+    xs = np.asarray(soft.propagate(xs, 1, key=jax.random.PRNGKey(4))[:, 0])
     eq = sim.propagate(xs, 1, key=jax.random.PRNGKey(5))[:, 0]
     xs = np.asarray(eq)
 
