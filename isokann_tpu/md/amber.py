@@ -330,6 +330,15 @@ IMPROPERS = {
 SCEE = 1.0 / 1.2      # electrostatic 1-4 scale
 SCNB = 1.0 / 2.0      # LJ 1-4 scale
 
+# snapshot of the built-in protein tables, taken before any runtime
+# registration (register_residue / ligand parameterization extends the
+# live tables; provenance tests diff only the builtin entries)
+BUILTIN_ATOM_TYPES = frozenset(ATOM_TYPES)
+BUILTIN_BONDS = frozenset(BONDS)
+BUILTIN_ANGLES = frozenset(ANGLES)
+BUILTIN_DIHEDRALS = frozenset(DIHEDRALS)
+BUILTIN_IMPROPERS = frozenset(IMPROPERS)
+
 
 # ==========================================================================
 # Residue templates: name -> dict(atoms={name: (type, charge)}, bonds=[...])

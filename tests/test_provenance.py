@@ -75,7 +75,7 @@ def test_angles_fully_tracked():
     for k in list(fx.ANGLES_HIGH) + list(fx.ANGLES_APPROX):
         tracked.add(k)
         tracked.add(k[::-1])
-    untracked = [k for k in amber.ANGLES if k not in tracked]
+    untracked = [k for k in amber.BUILTIN_ANGLES if k not in tracked]
     assert not untracked, f"angle entries without provenance: {untracked}"
 
 
@@ -112,7 +112,7 @@ def test_dihedrals_fully_tracked():
     for k in fx.DIHEDRALS_HIGH:
         tracked.add(k)
         tracked.add(k[::-1])
-    untracked = [k for k in amber.DIHEDRALS if k not in tracked]
+    untracked = [k for k in amber.BUILTIN_DIHEDRALS if k not in tracked]
     assert not untracked, f"dihedral entries without provenance: {untracked}"
 
 
@@ -128,7 +128,7 @@ def test_impropers_match_fixture():
     for (t1, t2, tc, t4) in fx.IMPROPERS_HIGH:
         tracked.add((t1, t2, tc, t4))
         tracked.add((t2, t1, tc, t4))
-    untracked = [k for k in amber.IMPROPERS if k not in tracked]
+    untracked = [k for k in amber.BUILTIN_IMPROPERS if k not in tracked]
     assert not untracked, f"improper entries without provenance: {untracked}"
 
 

@@ -191,14 +191,16 @@ def solvated_golden(quick=False):
     xs = np.tile(base, (n_xs, 1))
     xs[:, :nsol] = cs.reshape(n_xs, -1)
 
-    # staged equilibration: the splice clashes waters against the new
-    # solute conformation, so quench with a 0.25 fs step first (same
-    # system/topology — addwater solvation is deterministic), then relax
-    # one full lag at production settings
-    soft = itk.MDSimulation(steps=3000, temp=150.0, addwater=True,
-                            padding=0.65, constraints="HBonds",
-                            step=0.00025)
-    xs = np.asarray(soft.propagate(xs, 1, key=jax.random.PRNGKey(4))[:, 0])
+    # the splice clashes waters against the new solute conformation:
+    # batched FIRE minimization removes the clashes, then one full lag of
+    # Langevin re-thermalizes before production
+    from isokann_tpu.md.forces import potential_energy_flat
+    from isokann_tpu.md.minimize import minimize_energy
+    t0 = time.time()
+    xs = np.asarray(minimize_energy(
+        lambda z: potential_energy_flat(sim.system, z),
+        jax.numpy.asarray(xs), maxiter=200))
+    print(f"batched minimize in {time.time()-t0:.1f}s", flush=True)
     eq = sim.propagate(xs, 1, key=jax.random.PRNGKey(5))[:, 0]
     xs = np.asarray(eq)
 
