@@ -8,7 +8,9 @@ analytic forces, rigid-water constraints.  This extends the reference,
 whose practical explicit-solvent sizes end where OpenMM's all-pairs
 CutoffPeriodic becomes the bottleneck (``src/simulators/mopenmm.py:59-66``).
 
-Measured on 1x TPU v5e: 42 MD steps/s/walker (7.3 ns/day at 2 fs).
+Measured on 1x TPU v5e (round 2, column-plan auto geometry): 250
+walker-steps/s at 16 walkers (43 ns/day aggregate at 2 fs; 2.5-2.7x the
+round-1 plan on the same runtime).
 """
 
 import os

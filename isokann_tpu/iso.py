@@ -661,13 +661,29 @@ def koopman(iso: Iso):
 
 def rates(x: np.ndarray, y: np.ndarray):
     """K from least squares chi @ K = kchi, then matrix log
-    (reference ``src/iso.jl:344-351``; x, y are (n, d) row-major)."""
+    (reference ``src/iso.jl:344-351``; x, y are (n, d) row-major).
+
+    For processes much slower than the lag, finite-sample noise can push
+    the fitted K spectrum to >= 1, which flips the sign structure of
+    log(K).  Eigenvalues are clamped into (0, 1) with a warning — the
+    resulting rates are then upper bounds set by the sampling resolution,
+    not converged estimates (increase the lag or the data)."""
     import scipy.linalg
     if x.shape[1] == 1:
         x = np.hstack([x, 1.0 - x])
         y = np.hstack([y, 1.0 - y])
     K, *_ = np.linalg.lstsq(x, y, rcond=None)
-    return np.real(scipy.linalg.logm(K.T))
+    K = K.T
+    w, V = np.linalg.eig(K)
+    if np.any(np.real(w) >= 1.0) or np.any(np.real(w) <= 0.0):
+        import warnings
+        warnings.warn(
+            "fitted Koopman matrix has eigenvalues outside (0, 1) "
+            f"({np.real(w).round(5).tolist()}): the slow process is not "
+            "resolved at this lag; rates are clamped upper bounds")
+        w = np.clip(np.real(w), 1e-12, 1.0 - 1e-9) + 0j
+        K = np.real(V @ np.diag(w) @ np.linalg.inv(V))
+    return np.real(scipy.linalg.logm(K))
 
 
 def chi_exit_rate(x, Kx, tau):

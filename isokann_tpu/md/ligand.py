@@ -121,8 +121,8 @@ def _planarity(xyz, ring):
     """RMS out-of-plane deviation (Angstrom) of a ring."""
     pts = xyz[ring]
     c = pts.mean(axis=0)
-    u, s, vt = np.linalg.svd(pts - c)
-    return float(np.sqrt(np.mean((pts - c) @ vt[2] ** 0 * 0 + ((pts - c) @ vt[2]) ** 2)))
+    _, _, vt = np.linalg.svd(pts - c)
+    return float(np.sqrt(np.mean(((pts - c) @ vt[2]) ** 2)))
 
 
 @dataclass
@@ -523,9 +523,6 @@ def parameterize_ligand(name, struct_or_pdb, residue_filter=None,
     if add_h:
         h_parent, h_xyz = add_hydrogens(perc, coords)
         if len(h_parent):
-            hcount: Dict[int, int] = {}
-            for p in h_parent:
-                hcount[p] = hcount.get(p, 0) + 1
             # short unique names (PDB atom-name field is 4 chars)
             names = names + [f"H{k + 1}" for k in range(len(h_parent))]
             els_all = perc.elements + ["H"] * len(h_parent)

@@ -193,20 +193,35 @@ def solvated_golden(quick=False):
 
     # the splice clashes waters against the new solute conformation:
     # batched FIRE minimization removes the clashes, then one full lag of
-    # Langevin re-thermalizes before production
+    # Langevin re-thermalizes before production.  All device calls are
+    # chunked: the dense-path autodiff holds O(natoms^2) intermediates
+    # per walker, and a few hundred 1009-atom walkers fill v5e HBM
+    # (unchunked 768-walker batches crashed the TPU worker).
     from isokann_tpu.md.forces import potential_energy_flat
     from isokann_tpu.md.minimize import minimize_energy
-    t0 = time.time()
-    xs = np.asarray(minimize_energy(
-        lambda z: potential_energy_flat(sim.system, z),
-        jax.numpy.asarray(xs), maxiter=200))
-    print(f"batched minimize in {time.time()-t0:.1f}s", flush=True)
-    eq = sim.propagate(xs, 1, key=jax.random.PRNGKey(5))[:, 0]
-    xs = np.asarray(eq)
+
+    CHUNK = 64
+
+    def prop_chunked(xarr, nk_, key):
+        outs = []
+        for i in range(0, len(xarr), CHUNK):
+            k = jax.random.fold_in(key, i)
+            outs.append(np.asarray(sim.propagate(xarr[i:i + CHUNK], nk_,
+                                                 key=k)))
+        return np.concatenate(outs)
 
     t0 = time.time()
-    ys = sim.propagate(xs, nk, key=jax.random.PRNGKey(43))
-    print(f"solvated ys {ys.shape} in {time.time()-t0:.1f}s")
+    xs = np.concatenate([
+        np.asarray(minimize_energy(
+            lambda z: potential_energy_flat(sim.system, z),
+            jax.numpy.asarray(xs[i:i + CHUNK]), maxiter=200))
+        for i in range(0, len(xs), CHUNK)])
+    print(f"batched minimize in {time.time()-t0:.1f}s", flush=True)
+    xs = prop_chunked(xs, 1, jax.random.PRNGKey(5))[:, 0]
+
+    t0 = time.time()
+    ys = prop_chunked(xs, nk, jax.random.PRNGKey(43))
+    print(f"solvated ys {ys.shape} in {time.time()-t0:.1f}s", flush=True)
 
     msm = ramachandran_msm(sim, xs, np.asarray(ys), nbins=NBINS, k=4)
     lam = msm["eigvals"]

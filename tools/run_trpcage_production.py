@@ -32,10 +32,9 @@ def main(generations=1000, iters=300, resamples=3, cutoff=2000,
     os.makedirs(out, exist_ok=True)
 
     TC5B = "NLYIQWLKDGGPSSGRPPPS"
-    pdb = peptide_pdb(TC5B, os.path.join(ROOT, "out", "trpcage.pdb"),
-                      minimize=not os.path.exists(
-                          os.path.join(ROOT, "out", "trpcage.pdb")),
-                      implicit="obc2", maxiter=1500)
+    pdb = os.path.join(ROOT, "out", "trpcage.pdb")
+    if not os.path.exists(pdb):
+        peptide_pdb(TC5B, pdb, minimize=True, implicit="obc2", maxiter=1500)
     sim = itk.MDSimulation(pdb=pdb, steps=100, implicit="obc2")
     print(f"{sim.natoms} atoms, lag {sim.lagtime} ps", flush=True)
 
