@@ -51,8 +51,12 @@ def main(quick=False, smoke=False):
           f"[{chi_x.min():.2f}, {chi_x.max():.2f}]", flush=True)
 
     def estimates(bias):
+        """Per-start estimates: raw weighted mean, self-normalized mean,
+        plus weight diagnostics (E[w], effective sample size)."""
         sim.bias = bias
-        out = np.zeros((reps, n_starts))
+        raw = np.zeros((reps, n_starts))
+        norm = np.zeros((reps, n_starts))
+        wmeans, esss = [], []
         for r in range(reps):
             ys = sim.propagate(xs, nk, key=jax.random.PRNGKey(100 + r))
             if isinstance(ys, WeightedSamples):
@@ -60,46 +64,62 @@ def main(quick=False, smoke=False):
                 chi_y = np.asarray(iso.chicoords(
                     np.asarray(ys.values).reshape(-1, sim.dim))
                 ).reshape(n_starts, nk)
-                out[r] = (w * chi_y).mean(axis=1)
+                raw[r] = (w * chi_y).mean(axis=1)
+                norm[r] = (w * chi_y).sum(axis=1) / w.sum(axis=1)
+                wmeans.append(float(w.mean()))
+                esss.append(float((w.sum(axis=1) ** 2
+                                   / (w ** 2).sum(axis=1)).mean()))
             else:
                 chi_y = np.asarray(iso.chicoords(
                     np.asarray(ys).reshape(-1, sim.dim))
                 ).reshape(n_starts, nk)
-                out[r] = chi_y.mean(axis=1)
-        return out
+                raw[r] = norm[r] = chi_y.mean(axis=1)
+                wmeans.append(1.0)
+                esss.append(float(nk))
+        return raw, norm, float(np.mean(wmeans)), float(np.mean(esss))
 
     t0 = time.time()
-    est_plain = estimates(None)
+    plain_raw, plain_norm, _, _ = estimates(None)
     t_plain = time.time() - t0
-    bias = optcontrol(iso)
-    t0 = time.time()
-    est_bias = estimates(bias)
-    t_bias = time.time() - t0
-    sim.bias = None
-
-    var_plain = est_plain.var(axis=0, ddof=1)
-    var_bias = est_bias.var(axis=0, ddof=1)
+    var_plain = plain_raw.var(axis=0, ddof=1)
     trans = (chi_x > 0.2) & (chi_x < 0.8)
     eps = 1e-12
 
-    def ratio(sel):
-        return float(var_plain[sel].mean() / (var_bias[sel].mean() + eps))
+    def ratio(vb, sel):
+        return float(var_plain[sel].mean() / (vb[sel].mean() + eps))
 
     res = dict(
         n_starts=int(n_starts), nk=nk, reps=reps,
         lag_ps=float(sim.lagtime),
-        mean_bias_shift=float(np.abs(est_plain.mean(0)
-                                     - est_bias.mean(0)).mean()),
-        var_ratio_overall=ratio(slice(None)),
-        var_ratio_transition=ratio(trans) if trans.any() else None,
         n_transition=int(trans.sum()),
         mean_var_plain=float(var_plain.mean()),
-        mean_var_biased=float(var_bias.mean()),
-        t_plain_s=t_plain, t_biased_s=t_bias,
+        t_plain_s=t_plain,
         kernel_girsanov=bool(sim._pallas_girsanov_eligible(
             n_starts * nk)) if hasattr(sim, "_pallas_girsanov_eligible")
         else None,
+        by_forcescale={},
     )
+    for fs in (0.25, 0.5, 1.0):
+        bias = optcontrol(iso, forcescale=fs)
+        t0 = time.time()
+        b_raw, b_norm, ew, ess = estimates(bias)
+        t_b = time.time() - t0
+        vb_raw = b_raw.var(axis=0, ddof=1)
+        vb_norm = b_norm.var(axis=0, ddof=1)
+        res["by_forcescale"][str(fs)] = dict(
+            mean_weight=ew, ess_of_nk=ess,
+            shift_raw=float(np.abs(plain_raw.mean(0)
+                                   - b_raw.mean(0)).mean()),
+            shift_selfnorm=float(np.abs(plain_norm.mean(0)
+                                        - b_norm.mean(0)).mean()),
+            var_ratio_raw_overall=ratio(vb_raw, slice(None)),
+            var_ratio_selfnorm_overall=ratio(vb_norm, slice(None)),
+            var_ratio_raw_transition=(ratio(vb_raw, trans)
+                                      if trans.any() else None),
+            var_ratio_selfnorm_transition=(ratio(vb_norm, trans)
+                                           if trans.any() else None),
+            t_s=t_b)
+    sim.bias = None
     os.makedirs(os.path.join(ROOT, "out"), exist_ok=True)
     json.dump(res, open(os.path.join(ROOT, "out",
                                      "girsanov_variance.json"), "w"),

@@ -162,21 +162,32 @@ def solvated_golden(quick=False):
     lag = 2500        # 5 ps: solvent friction slows the phi process, so
                       # the same lag as vacuum keeps usable contrast
 
-    # coverage from a hot implicit-solvent trajectory (cheap), then
-    # re-solvate those configurations for the explicit-solvent propagation
-    hot = itk.MDSimulation(steps=lag, temp=500.0)
-    traj = hot.trajectory(steps=60_000 if quick else 200_000, saveevery=50)
-
-    from isokann_tpu.ops.dihedrals import dihedrals_from_indices, phi_psi_indices
-    from isokann_tpu.md.topology import build_topology
-    from isokann_tpu.md.pdbio import read_pdb
-    top = build_topology(read_pdb(hot.pdbfile))
-    phis, psis = phi_psi_indices(top)
-    quads = np.concatenate([phis[:1], psis[:1]], axis=0)
-    cv_traj = np.asarray(dihedrals_from_indices(traj, quads))
-    inds = stratified_sample(cv_traj, n_xs, -np.pi, np.pi, NBINS,
-                             rng=np.random.default_rng(11))
-    solute_xs = np.asarray(traj)[inds]
+    # coverage starts: reuse the committed vacuum-golden xs when present
+    # (saves the hot-trajectory programs — remote compiles dominate wall
+    # time); otherwise generate a hot vacuum trajectory
+    vac = os.path.join(ROOT, "data", "golden", "ala2_vacuum_msm.npz")
+    if os.path.exists(vac):
+        pool = np.load(vac)["xs"]
+        rng = np.random.default_rng(11)
+        solute_xs = pool[rng.choice(len(pool), size=min(n_xs, len(pool)),
+                                    replace=False)]
+        n_xs = len(solute_xs)
+        print(f"reusing {n_xs} vacuum-golden starts", flush=True)
+    else:
+        hot = itk.MDSimulation(steps=lag, temp=500.0)
+        traj = hot.trajectory(steps=60_000 if quick else 200_000,
+                              saveevery=50)
+        from isokann_tpu.ops.dihedrals import (dihedrals_from_indices,
+                                               phi_psi_indices)
+        from isokann_tpu.md.topology import build_topology
+        from isokann_tpu.md.pdbio import read_pdb
+        top = build_topology(read_pdb(hot.pdbfile))
+        phis, psis = phi_psi_indices(top)
+        quads = np.concatenate([phis[:1], psis[:1]], axis=0)
+        cv_traj = np.asarray(dihedrals_from_indices(traj, quads))
+        inds = stratified_sample(cv_traj, n_xs, -np.pi, np.pi, NBINS,
+                                 rng=np.random.default_rng(11))
+        solute_xs = np.asarray(traj)[inds]
 
     sim = itk.MDSimulation(steps=lag, temp=310.0, addwater=True,
                            padding=0.65, constraints="HBonds")
