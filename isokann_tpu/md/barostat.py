@@ -59,14 +59,20 @@ class MonteCarloBarostat:
 
     def __init__(self, sys: MDSystem, pressure: float = 1.0,
                  temp: float = 300.0, interval: int = 25,
-                 initial_scale: float = None):
-        if not sys.dense_pairs:
-            raise NotImplementedError(
-                "MC barostat currently requires the dense path "
-                "(traced-box neighbor plans: docs/npt_design.md)")
+                 initial_scale: float = None, x0=None,
+                 box_slack: float = 0.1):
         if sys.box is None:
             raise ValueError("barostat requires a periodic box")
         self.sys = sys
+        self.plan = None
+        if not sys.dense_pairs:
+            # O(n) systems: one static-stencil plan valid for boxes down
+            # to (1 - box_slack) of the build box (docs/npt_design.md)
+            from .neighbor import NeighborPlan
+            self.plan = NeighborPlan(
+                sys, x0=None if x0 is None
+                else np.asarray(x0).reshape(-1, 3),
+                box_slack=box_slack)
         self.pressure = float(pressure) * BAR_TO_KJ_NM3   # kJ/mol/nm^3
         self.kt = KB * float(temp)
         self.interval = int(interval)
@@ -102,8 +108,14 @@ class MonteCarloBarostat:
         xn = x + disp[self.mol_id]
         boxn = box * f
 
-        u0 = potential_energy(self.sys, x, box=box)
-        u1 = potential_energy(self.sys, xn, box=boxn)
+        if self.plan is not None:
+            from .neighbor import potential_energy_neighbor
+            u0 = potential_energy_neighbor(self.sys, x, self.plan, box=box)
+            u1 = potential_energy_neighbor(self.sys, xn, self.plan,
+                                           box=boxn)
+        else:
+            u0 = potential_energy(self.sys, x, box=box)
+            u1 = potential_energy(self.sys, xn, box=boxn)
         w = (u1 - u0 + self.pressure * dV
              - self.nmol * self.kt * jnp.log(Vn / V))
         accept = (jax.random.uniform(k2, ()) < jnp.exp(
@@ -136,10 +148,10 @@ def npt_langevin(sim, x0=None, key=None, steps=1000, pressure=1.0,
 
     sys = sim.system
     temp = float(temp if temp is not None else sim.temp)
-    baro = MonteCarloBarostat(sys, pressure=pressure, temp=temp,
-                              interval=interval)
     key = jr.PRNGKey(0) if key is None else key
     x = jnp.asarray(sim.coords if x0 is None else x0).reshape(-1)
+    baro = MonteCarloBarostat(sys, pressure=pressure, temp=temp,
+                              interval=interval, x0=np.asarray(x))
     n3 = x.shape[0]
 
     dt = sim.step
@@ -149,9 +161,16 @@ def npt_langevin(sim, x0=None, key=None, steps=1000, pressure=1.0,
     c1 = jnp.exp(-gamma * dt)
     c3 = jnp.sqrt(kt * (1 - c1 ** 2)) * jnp.sqrt(1.0 / m3)
 
-    def force(xf, box):
-        return -jax.grad(lambda z: potential_energy(
-            sys, z.reshape(-1, 3), box=box))(xf)
+    if baro.plan is not None:
+        from .neighbor import force_neighbor
+
+        def force(xf, box):
+            return force_neighbor(sys, xf.reshape(-1, 3), baro.plan,
+                                  box=box).reshape(-1)
+    else:
+        def force(xf, box):
+            return -jax.grad(lambda z: potential_energy(
+                sys, z.reshape(-1, 3), box=box))(xf)
 
     nblocks = max(1, steps // interval)
 

@@ -211,10 +211,8 @@ def potential_energy(sys: MDSystem, x, box=None):
     overrides the static box with a traced value (dense path only; the
     NPT hook, docs/npt_design.md)."""
     if not sys.dense_pairs:
-        if box is not None:
-            raise NotImplementedError("traced box requires the dense path")
         from .neighbor import potential_energy_neighbor
-        return potential_energy_neighbor(sys, x)
+        return potential_energy_neighbor(sys, x, box=box)
     e = (bond_energy(sys, x) + angle_energy(sys, x)
          + dihedral_energy(sys, x) + nonbonded_energy(sys, x, box=box))
     if sys.implicit == "obc2":

@@ -54,7 +54,13 @@ class NeighborPlan:
 
     def __init__(self, sys: MDSystem, x0=None, capacity: int = None,
                  margin: float = 1.5, cell_div: int = None,
-                 cells=None):
+                 cells=None, box_slack: float = 0.0):
+        # box_slack > 0 builds the stencil as if every cell edge were
+        # (1 - box_slack) shorter, so the static offset table stays valid
+        # while a traced NPT box shrinks up to that fraction
+        # (docs/npt_design.md); capacity margins already absorb the
+        # density change.
+        self.box_slack = float(box_slack)
         if sys.method not in ("CutoffPeriodic", "Ewald", "PME") \
                 or sys.box is None:
             raise ValueError("neighbor engine requires a periodic cutoff "
@@ -94,9 +100,10 @@ class NeighborPlan:
                 for oy in range(-Rd[1], Rd[1] + 1):
                     for oz in range(-Rd[2], Rd[2] + 1):
                         o = canon((ox, oy, oz))
-                        sep = np.array([max(abs(o[0]) - 1, 0) * edge[0],
-                                        max(abs(o[1]) - 1, 0) * edge[1],
-                                        max(abs(o[2]) - 1, 0) * edge[2]])
+                        shrunk = edge * (1.0 - getattr(self, "box_slack", 0.0))
+                        sep = np.array([max(abs(o[0]) - 1, 0) * shrunk[0],
+                                        max(abs(o[1]) - 1, 0) * shrunk[1],
+                                        max(abs(o[2]) - 1, 0) * shrunk[2]])
                         if np.dot(sep, sep) < self.cutoff ** 2:
                             offs.append(o)
             # dedupe offsets that wrap onto the same cell (small/collapsed
@@ -232,14 +239,19 @@ class NeighborPlan:
 
     # ---- device-side table construction ---------------------------------
 
-    def cell_id(self, xw):
-        """(n, 3) wrapped coords -> (n,) cell ids."""
-        cell = jnp.asarray(self.cell, xw.dtype)
+    def cell_id(self, xw, box=None):
+        """(n, 3) wrapped coords -> (n,) cell ids.  ``box`` optionally
+        overrides the static box with a traced value (the cell edge then
+        traces as box/nc while the grid shape stays static — the NPT
+        hook, docs/npt_design.md)."""
+        cell = (jnp.asarray(self.cell, xw.dtype) if box is None
+                else jnp.asarray(box, xw.dtype)
+                / jnp.asarray(self.nc, xw.dtype))
         cd = jnp.clip((xw / cell).astype(jnp.int32), 0,
                       jnp.asarray(self.nc - 1, jnp.int32))
         return (cd[:, 0] * self.nc[1] + cd[:, 1]) * self.nc[2] + cd[:, 2]
 
-    def sorted_frame(self, xw):
+    def sorted_frame(self, xw, box=None):
         """Scatter-free cell table in the *sorted* frame.
 
         TPU scatters serialize; everything here is sorts, searchsorted and
@@ -251,7 +263,7 @@ class NeighborPlan:
           gather-back map from the per-slot force accumulator.
         """
         n, C = self.natoms, self.C
-        cid = self.cell_id(xw)
+        cid = self.cell_id(xw, box=box)
         order = jnp.argsort(cid)
         scid = cid[order]
         cells = jnp.arange(self.ncells, dtype=scid.dtype)
@@ -346,7 +358,8 @@ def _padded_params(sys):
     return q, rm, ep
 
 
-def _sweep(sys: MDSystem, plan: NeighborPlan, x, want_force: bool):
+def _sweep(sys: MDSystem, plan: NeighborPlan, x, want_force: bool,
+           box=None):
     """Cell-blocked pair sweep over the stencil, entirely in the sorted
     frame — sorts and gathers only, zero scatters (TPU scatters
     serialize).  The self-cell block runs with a full i!=j mask; each
@@ -356,10 +369,10 @@ def _sweep(sys: MDSystem, plan: NeighborPlan, x, want_force: bool):
     Returns force (natoms, 3) or energy scalar."""
     dtype = x.dtype
     n = plan.natoms
-    box = jnp.asarray(plan.box, dtype)
+    box = jnp.asarray(plan.box if box is None else box, dtype)
     rc, krf, crf = _rf_consts(sys)
     xw = x - box * jnp.floor(x / box)
-    order, table, pos, _ = plan.sorted_frame(xw)
+    order, table, pos, _ = plan.sorted_frame(xw, box=box)
 
     def pad_row(a, fill=0.0):
         return jnp.concatenate(
@@ -450,7 +463,7 @@ def _sweep(sys: MDSystem, plan: NeighborPlan, x, want_force: bool):
     return jax.lax.fori_loop(0, plan.S, offset_energy, e0)
 
 
-def _exception_terms(sys: MDSystem, x, want_force: bool):
+def _exception_terms(sys: MDSystem, x, want_force: bool, box=None):
     """Sparse 1-4 corrections: subtract the full-pair term the sweep added,
     add the target scaled straight-Coulomb + LJ (dense-path semantics,
     ``forces.nonbonded_energy``).  Hard (1-2/1-3) exclusions are masked
@@ -459,7 +472,7 @@ def _exception_terms(sys: MDSystem, x, want_force: bool):
         return (jnp.zeros_like(x) if want_force
                 else jnp.zeros((), x.dtype))
     dtype = x.dtype
-    box = jnp.asarray(sys.box, dtype)
+    box = jnp.asarray(sys.box if box is None else box, dtype)
     rc, krf, crf = _rf_consts(sys)
     i, j = sys.excl_idx[:, 0], sys.excl_idx[:, 1]
     soft = ((sys.excl_qq > 0) | (sys.excl_lj > 0)).astype(dtype)
@@ -526,27 +539,40 @@ def _default_plan(sys, x):
     return NeighborPlan(sys, x0=np.asarray(x).reshape(-1, 3)[:sys.natoms])
 
 
-def neighbor_nonbonded_energy(sys: MDSystem, x, plan: NeighborPlan = None):
+def _ewald_tables(sys, box):
+    if box is None:
+        return sys.ewald_kvecs, sys.ewald_coefs
+    from .ewald import ewald_tables_for_box
+    return ewald_tables_for_box(sys, box)
+
+
+def neighbor_nonbonded_energy(sys: MDSystem, x, plan: NeighborPlan = None,
+                              box=None):
     """O(n) nonbonded energy; matches ``forces.nonbonded_energy`` on
-    periodic cutoff systems (RF or Ewald/PME).  ``x``: (natoms, 3)."""
+    periodic cutoff systems (RF or Ewald/PME).  ``x``: (natoms, 3).
+    ``box`` optionally overrides the static box with a traced value (NPT;
+    build the plan with ``box_slack`` covering the expected shrink)."""
     plan = plan or _default_plan(sys, x)
-    e = _sweep(sys, plan, x, False) + _exception_terms(sys, x, False)
+    e = (_sweep(sys, plan, x, False, box=box)
+         + _exception_terms(sys, x, False, box=box))
     if sys.method in ("Ewald", "PME"):
         from .ewald import ewald_recip_energy, ewald_self_energy
-        e = (e + ewald_recip_energy(sys.ewald_kvecs, sys.ewald_coefs,
-                                    sys.charges, x)
+        kv, cf = _ewald_tables(sys, box)
+        e = (e + ewald_recip_energy(kv, cf, sys.charges, x)
              + ewald_self_energy(sys.ewald_alpha, sys.charges))
     return e
 
 
-def neighbor_nonbonded_force(sys: MDSystem, x, plan: NeighborPlan = None):
+def neighbor_nonbonded_force(sys: MDSystem, x, plan: NeighborPlan = None,
+                             box=None):
     """O(n) analytic nonbonded forces (no autodiff).  ``x``: (natoms, 3)."""
     plan = plan or _default_plan(sys, x)
-    f = _sweep(sys, plan, x, True) + _exception_terms(sys, x, True)
+    f = (_sweep(sys, plan, x, True, box=box)
+         + _exception_terms(sys, x, True, box=box))
     if sys.method in ("Ewald", "PME"):
         from .ewald import ewald_recip_force
-        f = f + ewald_recip_force(sys.ewald_kvecs, sys.ewald_coefs,
-                                  sys.charges, x)
+        kv, cf = _ewald_tables(sys, box)
+        f = f + ewald_recip_force(kv, cf, sys.charges, x)
     return f
 
 
@@ -675,16 +701,17 @@ def strip_rigid_water_bonded(sys: MDSystem, triplets):
 # Whole-system entry points (large / sparse-only systems)
 # ==========================================================================
 
-def potential_energy_neighbor(sys: MDSystem, x, plan: NeighborPlan = None):
+def potential_energy_neighbor(sys: MDSystem, x, plan: NeighborPlan = None,
+                              box=None):
     """Total potential for sparse-only systems; ``x``: (natoms, 3)."""
     return (bonded_energy_sparse(sys, x)
-            + neighbor_nonbonded_energy(sys, x, plan))
+            + neighbor_nonbonded_energy(sys, x, plan, box=box))
 
 
-def force_neighbor(sys: MDSystem, x, plan: NeighborPlan = None):
+def force_neighbor(sys: MDSystem, x, plan: NeighborPlan = None, box=None):
     """Total analytic force; ``x``: (natoms, 3)."""
     return (bonded_force_sparse(sys, x)
-            + neighbor_nonbonded_force(sys, x, plan))
+            + neighbor_nonbonded_force(sys, x, plan, box=box))
 
 
 def force_flat_neighbor(sys: MDSystem, xflat, plan: NeighborPlan = None,

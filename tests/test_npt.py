@@ -122,3 +122,86 @@ def test_npt_dynamics_bounded(water_sim):
     V0 = float(np.prod(water_sim.system.box))
     Vf = float(np.prod(np.asarray(box_f)))
     assert 0.6 < Vf / V0 < 1.7, (Vf, V0)
+
+
+# --------------------------------------------------------------------------
+# traced-box O(n) neighbor path (docs/npt_design.md round-3 item, pulled in)
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def sparse_sim():
+    import dataclasses
+    from isokann_tpu.md.system import build_system
+
+    base = itk.MDSimulation(addwater=True, padding=0.9, steps=3)
+    s = build_system(base.structure, dense_pairs=False)
+    return base, s
+
+
+def test_traced_box_neighbor_matches_static(sparse_sim):
+    from isokann_tpu.md.neighbor import (NeighborPlan,
+                                         potential_energy_neighbor)
+
+    base, s = sparse_sim
+    x = jnp.asarray(np.asarray(base.coords).reshape(-1, 3))
+    plan = NeighborPlan(s, x0=np.asarray(x), box_slack=0.1)
+    e0 = float(potential_energy_neighbor(s, x, plan))
+    e1 = float(potential_energy_neighbor(s, x, plan,
+                                         box=jnp.asarray(s.box)))
+    assert abs(e0 - e1) < 1e-3 + 1e-6 * abs(e0)
+
+
+def test_traced_box_neighbor_matches_rebuilt(sparse_sim):
+    """Scaled box through the traced argument == dense system rebuilt at
+    the scaled static box (same static stencil thanks to box_slack)."""
+    import dataclasses
+    from isokann_tpu.md import forces as Fd
+    from isokann_tpu.md.neighbor import (NeighborPlan,
+                                         potential_energy_neighbor,
+                                         force_neighbor)
+
+    base, s = sparse_sim
+    x = jnp.asarray(np.asarray(base.coords).reshape(-1, 3))
+    plan = NeighborPlan(s, x0=np.asarray(x), box_slack=0.12)
+    for f in (0.95, 1.04):
+        box2 = tuple(b * f for b in s.box)
+        s2 = dataclasses.replace(s, box=box2, dense_pairs=True)
+        # the dense reference needs its scale matrices; rebuild fully
+        from isokann_tpu.md.system import build_system
+        s2 = build_system(base.structure)
+        s2 = dataclasses.replace(s2, box=box2)
+        e_tr = float(potential_energy_neighbor(
+            s, x, plan, box=jnp.asarray(box2, jnp.float32)))
+        e_ref = float(Fd.bond_energy(s2, x) + Fd.angle_energy(s2, x)
+                      + Fd.dihedral_energy(s2, x)
+                      + Fd.nonbonded_energy(s2, x))
+        assert abs(e_tr - e_ref) < 2e-3 * abs(e_ref) + 1.0, (f, e_tr, e_ref)
+        # analytic force under the traced box matches autodiff of the
+        # traced-box energy
+        f_a = np.asarray(force_neighbor(
+            s, x, plan, box=jnp.asarray(box2, jnp.float32)))
+        f_g = np.asarray(-jax.grad(lambda z: potential_energy_neighbor(
+            s, z, plan, box=jnp.asarray(box2, jnp.float32)))(x))
+        scale = np.abs(f_g).max()
+        assert np.abs(f_a - f_g).max() < 5e-4 * scale + 0.5
+
+
+def test_npt_on_sparse_system(sparse_sim):
+    """End-to-end NPT through the O(n) neighbor path."""
+    import dataclasses
+
+    base, s = sparse_sim
+    sim = base
+    old = sim.system
+    sim.system = s
+    try:
+        xf, box_f, info = npt_langevin(sim, key=jax.random.PRNGKey(3),
+                                       steps=200, interval=20,
+                                       pressure=1.0)
+    finally:
+        sim.system = old
+    assert np.isfinite(np.asarray(xf)).all()
+    assert info["attempted"] == 10
+    V0 = float(np.prod(s.box))
+    Vf = float(np.prod(np.asarray(box_f)))
+    assert 0.5 < Vf / V0 < 2.0
