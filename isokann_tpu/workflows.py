@@ -85,6 +85,17 @@ def run_girsanov(iso, generations=1, iter=100, kde=1, forcescale=1.0,
     refresh reuses one compiled program.
 
     Before chi contracts (lambda >= 1) the generation samples unbiased.
+
+    Practical regime (quantified in tools/girsanov_variance.py, results
+    in out/girsanov_variance.json): the Girsanov weights are exact
+    martingales (E[w] = 1 verified for arbitrary biases), but their
+    variance grows exponentially with sum |Delta eta|^2 along the lag —
+    at 1 ps lags the full-strength optcontrol bias collapses the raw
+    weighted estimator's effective sample size to ~1.  Keep the
+    per-generation lag short (the reference's 0.2 ps regime) or temper
+    with ``forcescale`` <= 0.5; the measured sweet spot at 1 ps was
+    forcescale 0.5 with self-normalized estimators (3-4x variance
+    reduction in the transition region).
     """
     from .md.integrators import optcontrol
     from .targets import DomainError

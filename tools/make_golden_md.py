@@ -159,8 +159,12 @@ def solvated_golden(quick=False):
 
     n_xs = 256 if quick else 768
     nk = 4
-    lag = 2500        # 5 ps: solvent friction slows the phi process, so
-                      # the same lag as vacuum keeps usable contrast
+    lag = 12500       # 25 ps: solvent friction slows the phi process to
+                      # ~2 ns (measured: lambda2=0.9975 at 5 ps, only ~8
+                      # transition events in the dataset — chi then locks
+                      # onto the 78 ps psi process instead); at 25 ps
+                      # lambda2~0.988 vs lambda3~0.73 gives the power
+                      # iteration a clean gap
 
     # coverage starts: reuse the committed vacuum-golden xs when present
     # (saves the hot-trajectory programs — remote compiles dominate wall
