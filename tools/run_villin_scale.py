@@ -24,7 +24,10 @@ sys.path.insert(0, ROOT)
 HP35 = "LSDEDFKAVFGMTRSAFANLPLWKQQNLKKEKGLF"
 
 
-def main(generations=50, iters=300, nx=200, nk=4, lag_steps=2500):
+def main(generations=50, iters=300, nx=96, nk=4, lag_steps=2500):
+    # nx=96 x nk=4 = 384 concurrent walkers: 800-walker villin batches
+    # crashed the v5e worker (same HBM/kernel fragility class as the
+    # dense-path 768-walker crash; see round-2 notes)
     import numpy as np
     import jax
     import isokann_tpu as itk
