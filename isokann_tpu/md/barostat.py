@@ -22,8 +22,6 @@ static gather, and the adaptive step size lives in the carried state.
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -28,7 +28,6 @@ sys.path.insert(0, ROOT)
 def main(quick=False, smoke=False):
     import numpy as np
     import jax
-    import jax.numpy as jnp
     import isokann_tpu as itk
     from isokann_tpu.md.integrators import optcontrol
     from isokann_tpu.data import WeightedSamples

@@ -48,7 +48,7 @@ def vacuum_golden(quick=False):
     import jax
     import isokann_tpu as itk
     from isokann_tpu.analysis.msm import (
-        ramachandran_msm, stratified_sample, eigenfunction_on_samples,
+        ramachandran_msm, stratified_sample,
         implied_timescale, chi_msm_correlation)
 
     n_xs = N_XS // 4 if quick else N_XS

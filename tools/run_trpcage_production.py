@@ -23,7 +23,6 @@ sys.path.insert(0, ROOT)
 def main(generations=1000, iters=300, resamples=3, cutoff=2000,
          out=None):
     import numpy as np
-    import jax
 
     import isokann_tpu as itk
     from isokann_tpu.md.fixtures import peptide_pdb

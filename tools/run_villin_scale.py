@@ -28,8 +28,6 @@ def main(generations=50, iters=300, nx=96, nk=4, lag_steps=2500):
     # nx=96 x nk=4 = 384 concurrent walkers: 800-walker villin batches
     # crashed the v5e worker (same HBM/kernel fragility class as the
     # dense-path 768-walker crash; see round-2 notes)
-    import numpy as np
-    import jax
     import isokann_tpu as itk
     from isokann_tpu.md.fixtures import peptide_pdb
 
