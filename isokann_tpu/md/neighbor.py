@@ -726,10 +726,17 @@ def force_flat_neighbor(sys: MDSystem, xflat, plan: NeighborPlan = None,
     if plan is None:
         plan = _default_plan(sys, x)
     if use_pallas is None:
-        try:
-            use_pallas = jax.devices()[0].platform == "tpu"
-        except Exception:
+        import os
+        if os.environ.get("ISOKANN_DISABLE_PALLAS_SWEEP"):
+            # operational escape hatch: v5e kernel faults are flaky and
+            # geometry-dependent (see round-2 notes); the XLA sweep is
+            # ~2x slower but has never faulted
             use_pallas = False
+        else:
+            try:
+                use_pallas = jax.devices()[0].platform == "tpu"
+            except Exception:
+                use_pallas = False
     xb = x.reshape((-1, 3 * sys.natoms))
     if use_pallas:
         f = neighbor_sweep_pallas(sys, plan, xb)
