@@ -32,8 +32,13 @@ from .forces import potential_energy
 BAR_TO_KJ_NM3 = 0.0602214076      # 1 bar in kJ/mol/nm^3
 
 
-def molecule_map(sys: MDSystem):
-    """(natoms,) molecule ids from the bond graph (host, once)."""
+def molecule_map(sys: MDSystem, extra_pairs=None):
+    """(natoms,) molecule ids from the bond graph (host, once).
+
+    ``extra_pairs``: additional connectivity not present in
+    ``sys.bond_idx`` — rigid waters on the sparse path have their bond
+    terms *stripped* (replaced by constraints), so the water triplets
+    must be passed here or every water atom becomes its own molecule."""
     n = sys.natoms
     parent = list(range(n))
 
@@ -43,7 +48,10 @@ def molecule_map(sys: MDSystem):
             a = parent[a]
         return a
 
-    for a, b in np.asarray(sys.bond_idx):
+    pairs = [tuple(p) for p in np.asarray(sys.bond_idx)]
+    if extra_pairs is not None:
+        pairs += [tuple(p) for p in np.asarray(extra_pairs).reshape(-1, 2)]
+    for a, b in pairs:
         ra, rb = find(int(a)), find(int(b))
         if ra != rb:
             parent[ra] = rb
@@ -58,7 +66,7 @@ class MonteCarloBarostat:
     def __init__(self, sys: MDSystem, pressure: float = 1.0,
                  temp: float = 300.0, interval: int = 25,
                  initial_scale: float = None, x0=None,
-                 box_slack: float = 0.1):
+                 box_slack: float = 0.1, extra_pairs=None):
         if sys.box is None:
             raise ValueError("barostat requires a periodic box")
         self.sys = sys
@@ -74,7 +82,7 @@ class MonteCarloBarostat:
         self.pressure = float(pressure) * BAR_TO_KJ_NM3   # kJ/mol/nm^3
         self.kt = KB * float(temp)
         self.interval = int(interval)
-        mol = molecule_map(sys)
+        mol = molecule_map(sys, extra_pairs=extra_pairs)
         self.mol_id = jnp.asarray(mol)
         self.nmol = int(mol.max()) + 1
         # mass-weighted molecule centers via one (nmol, natoms) matmul
@@ -86,14 +94,15 @@ class MonteCarloBarostat:
                             else 0.01 * V0)
 
     def init_state(self, box=None):
-        """(box, dV_scale, n_attempted, n_accepted)."""
+        """(box, dV_scale, n_attempted, n_accepted, window_accepted)."""
         box = jnp.asarray(self.sys.box if box is None else box, jnp.float32)
         return (box, jnp.asarray(self.scale0, jnp.float32),
-                jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+                jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                jnp.zeros((), jnp.int32))
 
     def move(self, key, x, state):
         """One MC volume move.  ``x``: (natoms, 3); returns (x', state')."""
-        box, dv_scale, n_att, n_acc = state
+        box, dv_scale, n_att, n_acc, win_acc = state
         k1, k2 = jax.random.split(key)
         V = jnp.prod(box)
         dV = dv_scale * jax.random.uniform(k1, (), minval=-1.0, maxval=1.0)
@@ -123,16 +132,18 @@ class MonteCarloBarostat:
         box_out = jnp.where(accept, boxn, box)
         n_att = n_att + 1
         n_acc = n_acc + accept.astype(jnp.int32)
-        # OpenMM-style adaptation every 10 attempts
-        frac = n_acc.astype(jnp.float32) / jnp.maximum(
-            n_att.astype(jnp.float32), 1.0)
+        win_acc = win_acc + accept.astype(jnp.int32)
+        # OpenMM-style adaptation: acceptance over the LAST 10 attempts
+        # (a cumulative fraction stops adapting as n_att grows)
         adapt = (n_att % 10) == 0
+        frac = win_acc.astype(jnp.float32) / 10.0
         dv_scale = jnp.where(
             adapt & (frac < 0.25), dv_scale / 1.1,
             jnp.where(adapt & (frac > 0.75),
                       jnp.minimum(dv_scale * 1.1, 0.3 * jnp.prod(box_out)),
                       dv_scale))
-        return x_out, (box_out, dv_scale, n_att, n_acc)
+        win_acc = jnp.where(adapt, 0, win_acc)
+        return x_out, (box_out, dv_scale, n_att, n_acc, win_acc)
 
 
 def npt_langevin(sim, x0=None, key=None, steps=1000, pressure=1.0,
@@ -193,7 +204,7 @@ def npt_langevin(sim, x0=None, key=None, steps=1000, pressure=1.0,
     v0 = jnp.sqrt(kt / m3) * jr.normal(jr.fold_in(key, 1), (n3,))
     (xf, vf, bstate), boxes = jax.lax.scan(
         block, (x, v0, baro.init_state()), jr.split(key, nblocks))
-    box_f, dv_scale, n_att, n_acc = bstate
+    box_f, dv_scale, n_att, n_acc, _ = bstate
     info = dict(boxes=boxes, attempted=int(n_att), accepted=int(n_acc),
                 acceptance=float(n_acc) / max(int(n_att), 1),
                 dv_scale=float(dv_scale))
