@@ -147,6 +147,23 @@ def nonbonded_energy(sys: MDSystem, x, box=None):
     return 0.5 * jnp.sum(ec_rf + ec_14 + elj_cut + elj_14)
 
 
+def dispersion_correction_energy(sys: MDSystem, box=None):
+    """Isotropic long-range LJ tail: E(V) = 2 pi/V (S12/9rc^9 - S6/3rc^3).
+
+    OpenMM's useDispersionCorrection (NonbondedForceImpl::
+    calcDispersionCorrection); the pair-coefficient sums are precomputed at
+    build time (``system._dispersion_sums``).  Zero coordinate gradient —
+    forces are untouched — but the traced-box dependence feeds the NPT
+    barostat's accept/reject, which is the whole point of the term."""
+    if not sys.use_dispersion:
+        return 0.0
+    b = jnp.asarray(sys.box if box is None else box)
+    V = jnp.prod(b)
+    rc = sys.cutoff
+    return (2.0 * jnp.pi / V) * (sys.disp_c12sum / (9.0 * rc ** 9)
+                                 - sys.disp_c6sum / (3.0 * rc ** 3))
+
+
 def gbsa_obc2_energy(sys: MDSystem, x):
     """OBC2 generalized-Born + ACE surface-area implicit solvent.
 
@@ -214,7 +231,8 @@ def potential_energy(sys: MDSystem, x, box=None):
         from .neighbor import potential_energy_neighbor
         return potential_energy_neighbor(sys, x, box=box)
     e = (bond_energy(sys, x) + angle_energy(sys, x)
-         + dihedral_energy(sys, x) + nonbonded_energy(sys, x, box=box))
+         + dihedral_energy(sys, x) + nonbonded_energy(sys, x, box=box)
+         + dispersion_correction_energy(sys, box=box))
     if sys.implicit == "obc2":
         e = e + gbsa_obc2_energy(sys, x)
     return e
@@ -259,6 +277,8 @@ def energy_terms(sys: MDSystem, x):
         dihedral=dihedral_energy(sys, x),
         nonbonded=nonbonded_energy(sys, x),
     )
+    if sys.use_dispersion:
+        terms["dispersion"] = dispersion_correction_energy(sys)
     if sys.implicit == "obc2":
         terms["gbsa"] = gbsa_obc2_energy(sys, x)
     return terms

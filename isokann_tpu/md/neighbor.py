@@ -704,8 +704,10 @@ def strip_rigid_water_bonded(sys: MDSystem, triplets):
 def potential_energy_neighbor(sys: MDSystem, x, plan: NeighborPlan = None,
                               box=None):
     """Total potential for sparse-only systems; ``x``: (natoms, 3)."""
+    from .forces import dispersion_correction_energy
     return (bonded_energy_sparse(sys, x)
-            + neighbor_nonbonded_energy(sys, x, plan, box=box))
+            + neighbor_nonbonded_energy(sys, x, plan, box=box)
+            + dispersion_correction_energy(sys, box=box))
 
 
 def force_neighbor(sys: MDSystem, x, plan: NeighborPlan = None, box=None):

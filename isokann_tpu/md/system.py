@@ -78,6 +78,13 @@ class MDSystem:
     # call routes through the O(n) neighbor-list engine
     dense_pairs: bool = True
     ewald_alpha: float = 0.0    # splitting parameter [1/nm] (static)
+    # isotropic long-range LJ tail correction (OpenMM's
+    # useDispersionCorrection, on by default for periodic methods).
+    # Coordinate-independent but volume-dependent: E(V) = 2 pi / V *
+    # (S12 / 9 rc^9 - S6 / 3 rc^3), so it contributes NPT virial only.
+    use_dispersion: bool = False
+    disp_c6sum: float = 0.0     # sum_ij 2 eps_ij rmin_ij^6  [kJ/mol nm^6]
+    disp_c12sum: float = 0.0    # sum_ij  eps_ij rmin_ij^12  [kJ/mol nm^12]
 
     def tree_flatten(self):
         children = (self.bond_idx, self.bond_k, self.bond_r0,
@@ -91,14 +98,16 @@ class MDSystem:
                     self.excl_idx, self.excl_qq, self.excl_lj,
                     self.ewald_kvecs, self.ewald_coefs)
         aux = (self.method, self.cutoff, self.eps_rf, self.box, self.implicit,
-               self.dense_pairs, self.ewald_alpha)
+               self.dense_pairs, self.ewald_alpha,
+               self.use_dispersion, self.disp_c6sum, self.disp_c12sum)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, method=aux[0], cutoff=aux[1], eps_rf=aux[2],
                    box=aux[3], implicit=aux[4], dense_pairs=aux[5],
-                   ewald_alpha=aux[6])
+                   ewald_alpha=aux[6], use_dispersion=aux[7],
+                   disp_c6sum=aux[8], disp_c12sum=aux[9])
 
     @property
     def natoms(self):
@@ -189,9 +198,28 @@ DENSE_PAIRS_MAX = 4000   # above this, build_system(dense_pairs="auto")
                          # switches to the O(n) neighbor-engine layout
 
 
+def _dispersion_sums(rmin_half, eps):
+    """(S6, S12) over all ordered atom pairs for the isotropic LJ tail
+    correction, via unique-type grouping (O(T^2), not O(n^2)).
+
+    OpenMM's NonbondedForceImpl::calcDispersionCorrection homogeneous-fluid
+    approximation: exclusions/1-4 scaling are ignored, self-type pairs
+    included.  Amber Rmin/eps form: c6 = 2 eps rmin^6, c12 = eps rmin^12."""
+    pars = np.stack([np.asarray(rmin_half, np.float64),
+                     np.asarray(eps, np.float64)], axis=1)
+    uniq, counts = np.unique(pars, axis=0, return_counts=True)
+    rmin = uniq[:, 0][:, None] + uniq[:, 0][None, :]
+    epsij = np.sqrt(uniq[:, 1][:, None] * uniq[:, 1][None, :])
+    w = counts[:, None].astype(np.float64) * counts[None, :]
+    s6 = float(np.sum(w * 2.0 * epsij * rmin ** 6))
+    s12 = float(np.sum(w * epsij * rmin ** 12))
+    return s6, s12
+
+
 def build_system(source, method: str = "auto", cutoff: float = 1.0,
                  eps_rf: float = 78.5, implicit: str = None,
                  dense_pairs="auto", ewald_tol: float = 5e-4,
+                 dispersion_correction: bool = True,
                  dtype=jnp.float32) -> MDSystem:
     """Construct an MDSystem from a PDB path / PDBStructure / Topology.
 
@@ -204,6 +232,11 @@ def build_system(source, method: str = "auto", cutoff: float = 1.0,
     replacement for grid PME) with error tolerance ``ewald_tol`` (OpenMM's
     ewaldErrorTolerance).  ``implicit='obc2'`` enables GBSA implicit
     solvent (forces NoCutoff, as for OpenMM implicit setups).
+
+    ``dispersion_correction``: isotropic long-range LJ tail correction for
+    periodic cutoff methods (OpenMM's ``useDispersionCorrection``, default
+    True there too).  Coordinate-independent — identical NVT dynamics —
+    but volume-dependent, so NPT pressures are correct under truncation.
 
     ``dense_pairs``: True keeps the dense (n, n) scale and (nterms, n)
     incidence matrices (small/medium systems — everything on the MXU);
@@ -278,6 +311,9 @@ def build_system(source, method: str = "auto", cutoff: float = 1.0,
 
     rmin_half = np.array([amber.lj_params(t)[0] / 10.0 for t in types])
     eps = np.array([amber.lj_params(t)[1] * KCAL for t in types])
+    use_disp = bool(dispersion_correction and box is not None
+                    and method in ("CutoffPeriodic", "Ewald", "PME"))
+    s6, s12 = _dispersion_sums(rmin_half, eps) if use_disp else (0.0, 0.0)
     if dense_pairs == "auto":
         dense_pairs = top.natoms <= DENSE_PAIRS_MAX
     if dense_pairs:
@@ -325,6 +361,7 @@ def build_system(source, method: str = "auto", cutoff: float = 1.0,
         excl_idx=arr(eidx, jnp.int32), excl_qq=arr(eqq), excl_lj=arr(elj_w),
         ewald_kvecs=arr(ekv), ewald_coefs=arr(ecf),
         ewald_alpha=float(ewald_alpha_v),
+        use_dispersion=use_disp, disp_c6sum=s6, disp_c12sum=s12,
         method=method, cutoff=float(cutoff), eps_rf=float(eps_rf),
         box=tuple(float(b) for b in box) if box is not None else None,
         implicit=implicit, dense_pairs=bool(dense_pairs),

@@ -59,7 +59,8 @@ class MDSimulation(IsoSimulation):
                  constraints: Optional[str] = None,
                  addwater: bool = False, padding: float = 1.0,
                  ionic_strength: float = 0.0, rigidwater: bool = True,
-                 dense_pairs="auto", dtype=jnp.float32):
+                 dense_pairs="auto", dispersion_correction: bool = True,
+                 dtype=jnp.float32):
         if pdb is None:
             from ..md.fixtures import alanine_dipeptide_pdb
             pdb = alanine_dipeptide_pdb()
@@ -74,7 +75,8 @@ class MDSimulation(IsoSimulation):
                                 padding=padding,
                                 ionic_strength=ionic_strength,
                                 rigidwater=rigidwater,
-                                dense_pairs=dense_pairs)
+                                dense_pairs=dense_pairs,
+                                dispersion_correction=dispersion_correction)
         self.pdbfile = pdb
         self.steps = int(steps)
         self.temp = float(temp)
@@ -94,7 +96,9 @@ class MDSimulation(IsoSimulation):
         self.system = build_system(self.structure if addwater else pdb,
                                    method=method, cutoff=cutoff,
                                    implicit=implicit,
-                                   dense_pairs=dense_pairs, dtype=dtype)
+                                   dense_pairs=dense_pairs,
+                                   dispersion_correction=dispersion_correction,
+                                   dtype=dtype)
         self.masses3 = jnp.repeat(self.system.masses, 3)
 
         # holonomic constraints (reference mopenmm.py:117-125 pass-through)

@@ -174,7 +174,8 @@ def test_traced_box_neighbor_matches_rebuilt(sparse_sim):
             s, x, plan, box=jnp.asarray(box2, jnp.float32)))
         e_ref = float(Fd.bond_energy(s2, x) + Fd.angle_energy(s2, x)
                       + Fd.dihedral_energy(s2, x)
-                      + Fd.nonbonded_energy(s2, x))
+                      + Fd.nonbonded_energy(s2, x)
+                      + Fd.dispersion_correction_energy(s2))
         assert abs(e_tr - e_ref) < 2e-3 * abs(e_ref) + 1.0, (f, e_tr, e_ref)
         # analytic force under the traced box matches autodiff of the
         # traced-box energy
