@@ -82,7 +82,7 @@ def nonbonded_energy(sys: MDSystem, x, box=None):
     n = sys.natoms
     traced_box = box
     diff = x[:, None, :] - x[None, :, :]
-    if (sys.method in ("CutoffPeriodic", "Ewald", "PME")
+    if (sys.method in ("CutoffPeriodic", "Ewald", "PME", "LJPME")
             and sys.box is not None):
         wrap = jnp.asarray(sys.box if box is None else box, x.dtype)
         diff = diff - wrap * jnp.round(diff / wrap)
@@ -105,7 +105,7 @@ def nonbonded_energy(sys: MDSystem, x, box=None):
         lmask = sys.lj_scale
         return 0.5 * jnp.sum(ec * mask + elj * lmask)
 
-    if sys.method in ("Ewald", "PME"):
+    if sys.method in ("Ewald", "PME", "LJPME"):
         # Ewald summation (md/ewald.py): erfc real-space pairs here;
         # reciprocal/self/exception terms from the structure-factor module.
         # 1-4 Coulomb is entirely inside the exception correction (OpenMM
@@ -124,10 +124,29 @@ def nonbonded_energy(sys: MDSystem, x, box=None):
         elj_14 = elj * sys.lj_scale * l_one4
         kv, cf = ((sys.ewald_kvecs, sys.ewald_coefs) if traced_box is None
                   else ewald_tables_for_box(sys, traced_box))
-        return (0.5 * jnp.sum(ec_real + elj_cut + elj_14)
-                + ewald_recip_energy(kv, cf, sys.charges, x)
-                + ewald_self_energy(al, sys.charges)
-                + ewald_exception_energy(sys, x, al, box=traced_box))
+        e = (0.5 * jnp.sum(ec_real + elj_cut + elj_14)
+             + ewald_recip_energy(kv, cf, sys.charges, x)
+             + ewald_self_energy(al, sys.charges)
+             + ewald_exception_energy(sys, x, al, box=traced_box))
+        if sys.method == "LJPME":
+            # dispersion Ewald: the real-space h-term cancels the k-space
+            # contribution for every in-cutoff pair (exact Amber mixing
+            # there; geometric mixing only beyond the cutoff) — including
+            # excluded/1-4 pairs, whose direct LJ is already handled by
+            # the masked elj terms above.
+            from .ewald import (ljpme_hker, ljpme_const_energy,
+                                ljpme_tables_for_box)
+            beta = sys.ljpme_beta
+            c6geo = sys.q6[:, None] * sys.q6[None, :]
+            offdiag = 1.0 - jnp.eye(n, dtype=x.dtype)
+            e6_real = 0.5 * jnp.sum(
+                c6geo * ljpme_hker(r2, beta) * within * offdiag)
+            kv6, cf6 = ((kv, sys.ljpme_coefs) if traced_box is None
+                        else ljpme_tables_for_box(sys, traced_box))
+            e = (e + e6_real
+                 + ewald_recip_energy(kv6, cf6, sys.q6, x)
+                 + ljpme_const_energy(sys, box=traced_box))
+        return e
 
     # reaction field
     rc = sys.cutoff

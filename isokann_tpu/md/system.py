@@ -67,6 +67,9 @@ class MDSystem:
     # otherwise).  See md/ewald.py — structure-factor matmul formulation.
     ewald_kvecs: jnp.ndarray = None   # (nk, 3) [1/nm]
     ewald_coefs: jnp.ndarray = None   # (nk,) [kJ/mol per |S|^2]
+    # LJPME (method="LJPME"): dispersion handled by the same k-vector list
+    q6: jnp.ndarray = None            # (n,) sqrt(c6_ii) geometric amplitudes
+    ljpme_coefs: jnp.ndarray = None   # (nk,) signed: -h^(k)/(2V)
     # nonbonded method (static)
     method: str = "CutoffPeriodic"
     cutoff: float = 1.0         # nm
@@ -85,6 +88,7 @@ class MDSystem:
     use_dispersion: bool = False
     disp_c6sum: float = 0.0     # sum_ij 2 eps_ij rmin_ij^6  [kJ/mol nm^6]
     disp_c12sum: float = 0.0    # sum_ij  eps_ij rmin_ij^12  [kJ/mol nm^12]
+    ljpme_beta: float = 0.0     # dispersion splitting parameter [1/nm]
 
     def tree_flatten(self):
         children = (self.bond_idx, self.bond_k, self.bond_r0,
@@ -96,10 +100,12 @@ class MDSystem:
                     self.qq_scale, self.lj_scale, self.masses,
                     self.gb_radii, self.gb_scales,
                     self.excl_idx, self.excl_qq, self.excl_lj,
-                    self.ewald_kvecs, self.ewald_coefs)
+                    self.ewald_kvecs, self.ewald_coefs,
+                    self.q6, self.ljpme_coefs)
         aux = (self.method, self.cutoff, self.eps_rf, self.box, self.implicit,
                self.dense_pairs, self.ewald_alpha,
-               self.use_dispersion, self.disp_c6sum, self.disp_c12sum)
+               self.use_dispersion, self.disp_c6sum, self.disp_c12sum,
+               self.ljpme_beta)
         return children, aux
 
     @classmethod
@@ -107,7 +113,8 @@ class MDSystem:
         return cls(*children, method=aux[0], cutoff=aux[1], eps_rf=aux[2],
                    box=aux[3], implicit=aux[4], dense_pairs=aux[5],
                    ewald_alpha=aux[6], use_dispersion=aux[7],
-                   disp_c6sum=aux[8], disp_c12sum=aux[9])
+                   disp_c6sum=aux[8], disp_c12sum=aux[9],
+                   ljpme_beta=aux[10])
 
     @property
     def natoms(self):
@@ -259,16 +266,17 @@ def build_system(source, method: str = "auto", cutoff: float = 1.0,
         method = "NoCutoff"
     if method == "auto":
         method = "CutoffPeriodic" if box is not None else "CutoffNonPeriodic"
-    if method in ("Ewald", "PME") and box is None:
+    if method in ("Ewald", "PME", "LJPME") and box is None:
         raise ValueError(f"method={method} requires a periodic box")
-    if box is not None and method in ("CutoffPeriodic", "Ewald", "PME"):
+    if box is not None and method in ("CutoffPeriodic", "Ewald", "PME",
+                                      "LJPME"):
         # OpenMM requires cutoff < box/2
         cutoff = min(cutoff, 0.999 * float(min(box)) / 2)
 
     ewald_alpha_v = 0.0
     ekv = np.zeros((0, 3), np.float32)
     ecf = np.zeros((0,), np.float32)
-    if method in ("Ewald", "PME"):
+    if method in ("Ewald", "PME", "LJPME"):
         from .ewald import ewald_alpha, ewald_kvectors
         ewald_alpha_v = ewald_alpha(float(cutoff), ewald_tol)
         ekv, ecf = ewald_kvectors(box, ewald_alpha_v, ewald_tol)
@@ -314,8 +322,25 @@ def build_system(source, method: str = "auto", cutoff: float = 1.0,
     use_disp = bool(dispersion_correction and box is not None
                     and method in ("CutoffPeriodic", "Ewald", "PME"))
     s6, s12 = _dispersion_sums(rmin_half, eps) if use_disp else (0.0, 0.0)
+
+    # LJPME: geometric dispersion amplitudes + signed k-space coefficients
+    # on the same k-vector list as the Coulomb part (tail correction is
+    # replaced by the k=0/self terms — see md/ewald.py)
+    q6_v = np.zeros((0,))
+    lj6cf = np.zeros((0,))
+    ljpme_beta_v = 0.0
+    if method == "LJPME":
+        from .ewald import ljpme_coefs
+        q6_v = np.sqrt(2.0 * eps) * (2.0 * rmin_half) ** 3
+        ljpme_beta_v = ewald_alpha_v
+        lj6cf = ljpme_coefs(box, ljpme_beta_v, ekv)
     if dense_pairs == "auto":
         dense_pairs = top.natoms <= DENSE_PAIRS_MAX
+    if method == "LJPME" and not dense_pairs:
+        raise NotImplementedError(
+            "LJPME currently runs on the dense path only; use method='PME' "
+            "(cutoff LJ + isotropic tail correction) for O(n) neighbor-"
+            "engine systems")
     if dense_pairs:
         qq, lj = _exclusion_scales(top, amber.SCEE, amber.SCNB)
     else:
@@ -361,6 +386,8 @@ def build_system(source, method: str = "auto", cutoff: float = 1.0,
         excl_idx=arr(eidx, jnp.int32), excl_qq=arr(eqq), excl_lj=arr(elj_w),
         ewald_kvecs=arr(ekv), ewald_coefs=arr(ecf),
         ewald_alpha=float(ewald_alpha_v),
+        q6=arr(q6_v), ljpme_coefs=arr(lj6cf),
+        ljpme_beta=float(ljpme_beta_v),
         use_dispersion=use_disp, disp_c6sum=s6, disp_c12sum=s12,
         method=method, cutoff=float(cutoff), eps_rf=float(eps_rf),
         box=tuple(float(b) for b in box) if box is not None else None,

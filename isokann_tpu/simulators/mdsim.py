@@ -225,7 +225,7 @@ class MDSimulation(IsoSimulation):
         intermediates through HBM, the kernel keeps them in VMEM.  Small
         systems use the fully fused trajectory kernel instead
         (``_pallas_eligible``); very large ones exceed the VMEM budget."""
-        if self.system.method in ("CutoffPeriodic", "Ewald", "PME"):
+        if self.system.method in ("CutoffPeriodic", "Ewald", "PME", "LJPME"):
             # the kernel supports minimum image (tested), but measured
             # even with the XLA path end-to-end at 1009 atoms (both are
             # VPU-compute-bound) while costing an extra remote compile —
@@ -247,7 +247,7 @@ class MDSimulation(IsoSimulation):
             return False
         if self.system.implicit is not None or self.constraint_set is not None:
             return False
-        if self.system.method in ("Ewald", "PME"):
+        if self.system.method in ("Ewald", "PME", "LJPME"):
             # the fused kernel has no reciprocal-space term
             return False
         # the kernel's dense difference operator scales with all-pairs rows:
