@@ -165,6 +165,27 @@ def ljpme_hker(r2, beta):
     return jnp.where(small, series, direct)
 
 
+def ljpme_hker_grad(r2, beta):
+    """(h, dh/dr^2) for the sweep/exception force paths.
+
+    dh/dr^2 = beta^2 u^2 e^{-u} / (2 r^6) - 3 (1 - g6)/r^8,  u = (beta r)^2
+    (series branch: d/dr^2 [beta^6 (1/6 - u/8 + u^2/20)]
+                  = beta^8 (-1/8 + u/10))."""
+    u = beta * beta * r2
+    small = u < 0.1225
+    us = jnp.where(small, u, 1.0)
+    h_series = beta ** 6 * (1.0 / 6.0 - us / 8.0 + us * us / 20.0)
+    g_series = beta ** 8 * (-1.0 / 8.0 + us / 10.0)
+    r2safe = jnp.where(small, 1.0, r2)
+    r6 = r2safe ** 3
+    one_m_g6 = 1.0 - ljpme_g6(u)
+    h_direct = one_m_g6 / r6
+    g_direct = (beta * beta * u * u * jnp.exp(-u) / (2.0 * r6)
+                - 3.0 * one_m_g6 / (r6 * r2safe))
+    return (jnp.where(small, h_series, h_direct),
+            jnp.where(small, g_series, g_direct))
+
+
 def ljpme_hhat(k2, beta):
     """Closed-form h^(k) from k^2 (works for k = 0; jnp or numpy input)."""
     b2 = k2 / (4.0 * beta * beta)

@@ -61,10 +61,10 @@ class NeighborPlan:
         # (docs/npt_design.md); capacity margins already absorb the
         # density change.
         self.box_slack = float(box_slack)
-        if sys.method not in ("CutoffPeriodic", "Ewald", "PME") \
+        if sys.method not in ("CutoffPeriodic", "Ewald", "PME", "LJPME") \
                 or sys.box is None:
             raise ValueError("neighbor engine requires a periodic cutoff "
-                             "method (CutoffPeriodic/Ewald/PME) + box")
+                             "method (CutoffPeriodic/Ewald/PME/LJPME) + box")
         self.box = np.asarray(sys.box, np.float64)
         self.cutoff = float(sys.cutoff)
         if not self.cutoff < float(self.box.min()) / 2:
@@ -381,6 +381,8 @@ def _sweep(sys: MDSystem, plan: NeighborPlan, x, want_force: bool,
     q, rm, ep = sys.charges, sys.rmin_half, sys.eps
     xs = pad_row(xw)                                  # sorted coords + pad
     qs, rms, eps_ = pad_row(q), pad_row(rm), pad_row(ep)
+    if sys.method == "LJPME":
+        q6s = pad_row(sys.q6)
     oid = jnp.concatenate([order.astype(jnp.int32),
                            jnp.full((1,), -2, jnp.int32)])
     bits_s = jnp.concatenate([plan.excl_bits[:n][order],
@@ -391,6 +393,8 @@ def _sweep(sys: MDSystem, plan: NeighborPlan, x, want_force: bool,
 
     pos_i = xs[table]                                 # (ncells, C, 3)
     q_i, rm_i, ep_i = qs[table], rms[table], eps_[table]
+    if sys.method == "LJPME":
+        q6_i = q6s[table]
     oid_i = oid[table]
     bits_i = bits_s[table]
     far_i = far_s[table]                              # (ncells, C, E2)
@@ -422,8 +426,16 @@ def _sweep(sys: MDSystem, plan: NeighborPlan, x, want_force: bool,
         qq = COULOMB * q_i[:, :, None] * qs[tj][:, None, :]
         rmin = rm_i[:, :, None] + rms[tj][:, None, :]
         epsij = jnp.sqrt(ep_i[:, :, None] * eps_[tj][:, None, :])
-        if sys.method in ("Ewald", "PME"):
+        if sys.method in ("Ewald", "PME", "LJPME"):
             e, g = _pair_terms_ewald(r2s, qq, rmin, epsij, sys.ewald_alpha)
+            if sys.method == "LJPME":
+                # real-space dispersion h-term (cancels the k-space
+                # contribution for in-cutoff pairs; md/ewald.py)
+                from .ewald import ljpme_hker_grad
+                c6 = q6_i[:, :, None] * q6s[tj][:, None, :]
+                h, dh = ljpme_hker_grad(r2s, sys.ljpme_beta)
+                e = e + c6 * h
+                g = g + c6 * dh
         else:
             e, g = _pair_terms(r2s, qq, rmin, epsij, krf, crf)
         mask = maskb.astype(dtype)
@@ -490,7 +502,7 @@ def _exception_terms(sys: MDSystem, x, want_force: bool, box=None):
     g_lj = 6.0 * epsij * (x6 - x6 * x6) * inv_r2
     within = (r < rc).astype(dtype)
 
-    if sys.method in ("Ewald", "PME"):
+    if sys.method in ("Ewald", "PME", "LJPME"):
         # Ewald exception semantics: the reciprocal sum contains EVERY
         # pair (qq erf(ar)/r), the sweep added full erfc pairs for soft
         # (1-4) exceptions only.  Correction per exception pair:
@@ -498,6 +510,8 @@ def _exception_terms(sys: MDSystem, x, want_force: bool, box=None):
         #   - qq erf(ar)/r                  (remove reciprocal part)
         #   - soft*within * qq erfc(ar)/r  (remove sweep's real part)
         #   + soft * (excl_lj - within) * E_LJ
+        # LJPME adds the dispersion h-term for hard-excluded pairs (the
+        # sweep masked them, but the k-space sum still contains them).
         from jax.scipy.special import erf
         al = sys.ewald_alpha
         erf_ar = erf(al * r)
@@ -506,14 +520,24 @@ def _exception_terms(sys: MDSystem, x, want_force: bool, box=None):
         two_a = 2.0 * al / _SQRT_PI
         e = (qq * (sys.excl_qq - erf_ar - soft * within * erfc_ar) * inv_r
              + soft * (sys.excl_lj - within) * e_lj)
+        g = None
+        if want_force:
+            dEdr_c = qq * (-sys.excl_qq * inv_r2
+                           - two_a * gauss * inv_r + erf_ar * inv_r2
+                           + soft * within * (two_a * gauss * inv_r
+                                              + erfc_ar * inv_r2))
+            g = (0.5 * dEdr_c * inv_r
+                 + soft * (sys.excl_lj - within) * g_lj)
+        if sys.method == "LJPME":
+            from .ewald import ljpme_hker_grad
+            c6 = sys.q6[i] * sys.q6[j]
+            h, dh = ljpme_hker_grad(r2, sys.ljpme_beta)
+            hard_in = (1.0 - soft) * within
+            e = e + hard_in * c6 * h
+            if want_force:
+                g = g + hard_in * c6 * dh
         if not want_force:
             return jnp.sum(e)
-        dEdr_c = qq * (-sys.excl_qq * inv_r2
-                       - two_a * gauss * inv_r + erf_ar * inv_r2
-                       + soft * within * (two_a * gauss * inv_r
-                                          + erfc_ar * inv_r2))
-        g = (0.5 * dEdr_c * inv_r
-             + soft * (sys.excl_lj - within) * g_lj)
         gd = (-2.0 * g)[:, None] * d
         return jnp.zeros_like(x).at[i].add(gd).at[j].add(-gd)
 
@@ -546,6 +570,13 @@ def _ewald_tables(sys, box):
     return ewald_tables_for_box(sys, box)
 
 
+def _ljpme_tables(sys, box):
+    if box is None:
+        return sys.ewald_kvecs, sys.ljpme_coefs
+    from .ewald import ljpme_tables_for_box
+    return ljpme_tables_for_box(sys, box)
+
+
 def neighbor_nonbonded_energy(sys: MDSystem, x, plan: NeighborPlan = None,
                               box=None):
     """O(n) nonbonded energy; matches ``forces.nonbonded_energy`` on
@@ -555,11 +586,16 @@ def neighbor_nonbonded_energy(sys: MDSystem, x, plan: NeighborPlan = None,
     plan = plan or _default_plan(sys, x)
     e = (_sweep(sys, plan, x, False, box=box)
          + _exception_terms(sys, x, False, box=box))
-    if sys.method in ("Ewald", "PME"):
+    if sys.method in ("Ewald", "PME", "LJPME"):
         from .ewald import ewald_recip_energy, ewald_self_energy
         kv, cf = _ewald_tables(sys, box)
         e = (e + ewald_recip_energy(kv, cf, sys.charges, x)
              + ewald_self_energy(sys.ewald_alpha, sys.charges))
+    if sys.method == "LJPME":
+        from .ewald import ewald_recip_energy, ljpme_const_energy
+        kv6, cf6 = _ljpme_tables(sys, box)
+        e = (e + ewald_recip_energy(kv6, cf6, sys.q6, x)
+             + ljpme_const_energy(sys, box=box))
     return e
 
 
@@ -569,10 +605,14 @@ def neighbor_nonbonded_force(sys: MDSystem, x, plan: NeighborPlan = None,
     plan = plan or _default_plan(sys, x)
     f = (_sweep(sys, plan, x, True, box=box)
          + _exception_terms(sys, x, True, box=box))
-    if sys.method in ("Ewald", "PME"):
+    if sys.method in ("Ewald", "PME", "LJPME"):
         from .ewald import ewald_recip_force
         kv, cf = _ewald_tables(sys, box)
         f = f + ewald_recip_force(kv, cf, sys.charges, x)
+    if sys.method == "LJPME":
+        from .ewald import ewald_recip_force
+        kv6, cf6 = _ljpme_tables(sys, box)
+        f = f + ewald_recip_force(kv6, cf6, sys.q6, x)
     return f
 
 
@@ -739,6 +779,10 @@ def force_flat_neighbor(sys: MDSystem, xflat, plan: NeighborPlan = None,
                 use_pallas = jax.devices()[0].platform == "tpu"
             except Exception:
                 use_pallas = False
+    if sys.method == "LJPME":
+        # the Pallas sweep's 8-lane column layout has no q6 lane; the
+        # dispersion h-term runs on the XLA sweep
+        use_pallas = False
     xb = x.reshape((-1, 3 * sys.natoms))
     if use_pallas:
         f = neighbor_sweep_pallas(sys, plan, xb)

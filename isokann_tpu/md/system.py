@@ -336,11 +336,6 @@ def build_system(source, method: str = "auto", cutoff: float = 1.0,
         lj6cf = ljpme_coefs(box, ljpme_beta_v, ekv)
     if dense_pairs == "auto":
         dense_pairs = top.natoms <= DENSE_PAIRS_MAX
-    if method == "LJPME" and not dense_pairs:
-        raise NotImplementedError(
-            "LJPME currently runs on the dense path only; use method='PME' "
-            "(cutoff LJ + isotropic tail correction) for O(n) neighbor-"
-            "engine systems")
     if dense_pairs:
         qq, lj = _exclusion_scales(top, amber.SCEE, amber.SCNB)
     else:

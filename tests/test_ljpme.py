@@ -200,6 +200,40 @@ def test_ljpme_traced_box_matches_static(solvated):
     assert e1 == pytest.approx(e0, abs=0.05 + 1e-5 * abs(e0))
 
 
-def test_ljpme_requires_dense_path(solvated):
-    with pytest.raises(NotImplementedError):
-        build_system(solvated.structure, method="LJPME", dense_pairs=False)
+def test_ljpme_sparse_matches_dense(solvated):
+    """O(n) neighbor-engine LJPME == dense all-pairs LJPME (energy and
+    analytic-vs-autodiff forces)."""
+    from isokann_tpu.md.neighbor import (NeighborPlan, force_neighbor,
+                                         neighbor_nonbonded_energy)
+
+    s_d = build_system(solvated.structure, method="LJPME")
+    s_s = build_system(solvated.structure, method="LJPME",
+                       dense_pairs=False)
+    x = jnp.asarray(np.asarray(solvated.coords).reshape(-1, 3))
+    plan = NeighborPlan(s_s, x0=np.asarray(x))
+    e_d = float(Fd.nonbonded_energy(s_d, x))
+    e_s = float(neighbor_nonbonded_energy(s_s, x, plan))
+    assert e_s == pytest.approx(e_d, abs=0.2 + 2e-4 * abs(e_d)), (e_s, e_d)
+
+    f_a = np.asarray(force_neighbor(s_s, x, plan))
+    from isokann_tpu.md.neighbor import (bonded_energy_sparse,
+                                         potential_energy_neighbor)
+    f_g = np.asarray(-jax.grad(
+        lambda z: potential_energy_neighbor(s_s, z, plan))(x))
+    scale = np.abs(f_g).max()
+    assert np.abs(f_a - f_g).max() < 5e-4 * scale + 0.5
+
+
+def test_ljpme_hker_grad_consistent():
+    """(h, dh/dr2) from ljpme_hker_grad == autodiff of ljpme_hker across
+    the series/direct switch."""
+    from isokann_tpu.md.ewald import ljpme_hker_grad
+    beta = 3.1
+    r2 = jnp.asarray([0.004, 0.009, 0.0121, 0.013, 0.04, 0.25, 1.0])
+    h, dh = ljpme_hker_grad(r2, beta)
+    h2 = ljpme_hker(r2, beta)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h2), rtol=1e-5)
+    dh_ad = np.asarray(jax.vmap(jax.grad(
+        lambda v: ljpme_hker(v, beta)))(r2))
+    np.testing.assert_allclose(np.asarray(dh), dh_ad, rtol=2e-3,
+                               atol=1e-3 * float(np.abs(dh_ad).max()))
