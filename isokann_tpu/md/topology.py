@@ -47,11 +47,15 @@ class Topology:
         return adj
 
 
-# residue-name aliases (Maestro / tautomer / GROMACS conventions)
+# residue-name aliases (Maestro / tautomer / GROMACS conventions; RNA
+# single-letter PDB v3 names map onto the R-prefixed Amber templates)
 _RES_ALIASES = {"NMA": "NME", "NMET": "NME", "HSD": "HID", "HSE": "HIS",
                 "WAT": "HOH", "TIP3": "HOH", "SOL": "HOH", "SPC": "HOH",
                 "NA+": "NA", "SOD": "NA", "Na+": "NA", "Na": "NA",
-                "CL-": "CL", "CLA": "CL", "Cl-": "CL", "Cl": "CL"}
+                "CL-": "CL", "CLA": "CL", "Cl-": "CL", "Cl": "CL",
+                "A": "RA", "C": "RC", "G": "RG", "U": "RU",
+                "ADE": "DA", "CYT": "DC", "GUA": "DG", "THY": "DT",
+                "URA": "RU"}
 
 # Alternate atom names seen in PDB files -> template names
 _ALIASES = {
@@ -73,7 +77,13 @@ _EQUIV = {"HB1": "HB3", "HA1": "HA3", "HG1": "HG3", "HD1": "HD3",
           # checked first, so true N-terminal H1..H3 are unaffected)
           "HN": "H", "H1": "H", "H2": "H", "H3": "H",
           # GROMACS/CHARMM-style C-terminal carboxylate naming
-          "OC1": "O", "OC2": "OXT", "OT1": "O", "OT2": "OXT"}
+          "OC1": "O", "OC2": "OXT", "OT1": "O", "OT2": "OXT",
+          # PDB v2 nucleic naming -> v3 template names (template membership
+          # is checked first, so v3 inputs are unaffected)
+          "O1P": "OP1", "O2P": "OP2",
+          "H5'1": "H5'", "H5'2": "H5''", "H2'1": "H2'", "H2'2": "H2''",
+          "HO'2": "HO2'", "H5T": "HO5'", "H3T": "HO3'",
+          "C5M": "C7", "H51": "H71", "H52": "H72", "H53": "H73"}
 
 
 def _template_atom_name(resname: str, atom: str, template_atoms):
@@ -93,6 +103,8 @@ def _template_atom_name(resname: str, atom: str, template_atoms):
             cand.append(_ALIASES[(resname, a)])
         if a and a[0].isdigit():                  # 1HB -> HB1, 1H -> H1
             cand.append(a[1:] + a[0])
+        if "*" in a:                              # old nucleic C5* -> C5'
+            cand.append(a.replace("*", "'"))
         if a in _EQUIV:
             cand.append(_EQUIV[a])
         if a == "H" and "H1" in template_atoms:   # N-terminal H -> H1
@@ -129,10 +141,22 @@ def _resolve_residue(res, struct, is_first: bool, is_last: bool):
         candidates = ["HIS", "HID", "HIP" if "HIP" in amber.RESIDUES else "HID"]
     if name == "CYS":
         candidates = ["CYS", "CYX"]   # no HG -> disulfide-bonded cysteine
-    if is_first and name not in ("ACE", "NME"):
-        candidates = ["N" + c for c in candidates] + candidates
-    if is_last and name not in ("ACE", "NME", "NHE"):
-        candidates = ["C" + c for c in candidates] + candidates
+    if name in amber.NUCLEIC_RESIDUES:
+        # 5'/3'-terminal and nucleoside variants (Amber <res>5/<res>3/<res>N
+        # naming); most specific first, interior template as fallback
+        candidates = []
+        if is_first and is_last:
+            candidates.append(name + "N")
+        if is_first:
+            candidates.append(name + "5")
+        if is_last:
+            candidates.append(name + "3")
+        candidates.append(name)
+    else:
+        if is_first and name not in ("ACE", "NME"):
+            candidates = ["N" + c for c in candidates] + candidates
+        if is_last and name not in ("ACE", "NME", "NHE"):
+            candidates = ["C" + c for c in candidates] + candidates
 
     for cand in candidates:
         m = _try_match(cand, atom_names, res.atom_indices)
@@ -195,14 +219,18 @@ def build_topology(struct: PDBStructure) -> Topology:
             masses[idx] = amber.mass(t)
         for a, b in tmpl["bonds"]:
             bonds.append((name_to_idx[a], name_to_idx[b]))
-        # peptide bond to previous residue: prev C -- this N (geometry-
-        # guarded: a heterogen with an atom named N after a TER, or a
-        # genuine chain break sharing a chain id, must not be linked)
-        if prev_map is not None and "C" in prev_map and "N" in name_to_idx:
-            d = float(np.linalg.norm(struct.coords[prev_map["C"]]
-                                     - struct.coords[name_to_idx["N"]]))
-            if d < 0.25:
-                bonds.append((prev_map["C"], name_to_idx["N"]))
+        # inter-residue linkage: peptide bond prev C -- this N, or nucleic
+        # phosphodiester prev O3' -- this P (geometry-guarded: a heterogen
+        # with an atom named N after a TER, or a genuine chain break
+        # sharing a chain id, must not be linked)
+        if prev_map is not None:
+            for pa, ca in (("C", "N"), ("O3'", "P")):
+                if pa in prev_map and ca in name_to_idx:
+                    d = float(np.linalg.norm(struct.coords[prev_map[pa]]
+                                             - struct.coords[name_to_idx[ca]]))
+                    if d < 0.25:
+                        bonds.append((prev_map[pa], name_to_idx[ca]))
+                    break
         prev_map = name_to_idx
 
     # disulfide bridges: pair CYX sulfurs by proximity (< 2.5 A), the same
@@ -269,8 +297,8 @@ def _derive_bonded_terms(top: Topology):
     # ring-substituent attachment (PHE/TYR/TRP/HIS CG), guanidinium CZ
     impropers = []
     types = top.atom_types
-    sp2_CH = ("CA", "CW", "CR", "CV")
-    ring_subst = ("CA", "CC", "C*")
+    sp2_CH = ("CA", "CW", "CR", "CV", "CK", "CQ", "CM")
+    ring_subst = ("CA", "CC", "C*", "CM")
     for c in range(top.natoms):
         nb = sorted(adj[c])
         if len(nb) != 3:
@@ -295,6 +323,14 @@ def _derive_bonded_terms(top: Topology):
                 other = [a for a in rest if types[a] != "CT"]
                 if len(cts) == 2 and len(other) == 1:
                     impropers.append((other[0], cts[0], c, cts[1]))
+        elif tc == "N*":
+            # glycosidic nitrogen (nucleobase N9/N1): ring planarity with
+            # the sugar C1' in the peripheral 4th slot (parm94
+            # CB-CK-N*-CT / C-CM-N*-CT)
+            sub = [a for a in nb if types[a] == "CT"]
+            ring = [a for a in nb if types[a] != "CT"]
+            if len(sub) == 1:
+                impropers.append((ring[0], ring[1], c, sub[0]))
         elif tc in sp2_CH or tc in ring_subst:
             hs = [a for a in nb if types[a].startswith("H")]
             rest = [a for a in nb if not types[a].startswith("H")]
@@ -302,9 +338,16 @@ def _derive_bonded_terms(top: Topology):
                 impropers.append((rest[0], rest[1], c, hs[0]))
             elif tc == "CA" and all(types[a] == "N2" for a in nb):
                 impropers.append((nb[0], nb[1], c, nb[2]))  # guanidinium
+            elif tc == "CA" and len(hs) == 0 and sum(
+                    types[a] == "N2" for a in nb) == 1:
+                # nucleobase exocyclic amine attachment (adenine C6,
+                # guanine C2, cytosine C4): N2 in the peripheral 4th slot
+                n2 = [a for a in nb if types[a] == "N2"]
+                ring = [a for a in nb if types[a] != "N2"]
+                impropers.append((ring[0], ring[1], c, n2[0]))
             elif tc in ring_subst and len(hs) == 0:
                 # ring carbon with a heavy substituent (CG of PHE/TYR/HIS/
-                # TRP): 4th slot = the exocyclic CT substituent
+                # TRP, thymine C5): 4th slot = the exocyclic CT substituent
                 sub = [a for a in nb if types[a] == "CT"]
                 ring = [a for a in nb if types[a] != "CT"]
                 if len(sub) == 1:

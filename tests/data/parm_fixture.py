@@ -69,6 +69,15 @@ ATOM_TYPES_HIGH = {
     "HW": (1.008, 0.0000, 0.0000),
     "IP": (22.990, 1.8680, 0.00277),    # Na+
     "IM": (35.450, 2.4700, 0.1000),     # Cl-
+    # nucleic-acid types (parm94/parm99 nucleic)
+    "P":  (30.970, 2.1000, 0.2000),
+    "OS": (16.000, 1.6837, 0.1700),
+    "H2": (1.008, 1.2870, 0.0157),
+    "CK": (12.010, 1.9080, 0.0860),
+    "CQ": (12.010, 1.9080, 0.0860),
+    "CM": (12.010, 1.9080, 0.0860),
+    "N*": (14.010, 1.8240, 0.1700),
+    "NC": (14.010, 1.8240, 0.1700),
 }
 
 # ===========================================================================
@@ -122,6 +131,35 @@ BONDS_HIGH = {
     ("CV", "NB"): (410.0, 1.394),
     ("CV", "H4"): (367.0, 1.080),
     ("OW", "HW"): (553.0, 0.9572),      # flexible-TIP3P fallback
+    # nucleic acids (parm94 nucleic BOND)
+    ("OS", "P"): (230.0, 1.610),
+    ("OH", "P"): (230.0, 1.610),
+    ("O2", "P"): (525.0, 1.480),
+    ("CT", "OS"): (320.0, 1.410),
+    ("CT", "H2"): (340.0, 1.090),
+    ("CB", "CB"): (520.0, 1.370),
+    ("CB", "N*"): (436.0, 1.374),
+    ("CB", "NB"): (414.0, 1.391),
+    ("CB", "NC"): (461.0, 1.354),
+    ("C", "CB"): (447.0, 1.419),
+    ("CK", "N*"): (440.0, 1.371),
+    ("CK", "NB"): (529.0, 1.304),
+    ("CK", "H5"): (367.0, 1.080),
+    ("CA", "NC"): (483.0, 1.339),
+    ("CA", "NA"): (427.0, 1.381),
+    ("CQ", "NC"): (502.0, 1.324),
+    ("CQ", "H5"): (367.0, 1.080),
+    ("CM", "CM"): (549.0, 1.350),
+    ("CA", "CM"): (427.0, 1.433),
+    ("C", "CM"): (410.0, 1.444),
+    ("CM", "CT"): (317.0, 1.510),
+    ("CM", "HA"): (367.0, 1.080),
+    ("CM", "H4"): (367.0, 1.080),
+    ("CM", "N*"): (448.0, 1.365),
+    ("C", "N*"): (424.0, 1.383),
+    ("CT", "N*"): (337.0, 1.475),
+    ("C", "NC"): (457.0, 1.358),
+    ("C", "NA"): (418.0, 1.388),
 }
 
 # ===========================================================================
@@ -210,6 +248,55 @@ ANGLES_HIGH = {
     ("NA", "CR", "NA"): (70.0, 120.00),
     ("NA", "CR", "NB"): (70.0, 120.00),
     ("HW", "OW", "HW"): (100.0, 104.52),
+    # --- nucleic acids (parm94 nucleic ANGL) -------------------------------
+    ("O2", "P", "O2"): (140.0, 119.90),
+    ("O2", "P", "OS"): (100.0, 108.23),
+    ("OS", "P", "OS"): (45.0, 102.60),
+    ("CT", "OS", "CT"): (60.0, 109.50),
+    ("CT", "OS", "P"): (100.0, 120.50),
+    ("CT", "CT", "OS"): (50.0, 109.50),
+    ("H1", "CT", "OS"): (50.0, 109.50),
+    ("H2", "CT", "OS"): (50.0, 109.50),
+    ("OS", "CT", "N*"): (50.0, 109.50),
+    ("CT", "CT", "N*"): (50.0, 109.50),
+    ("H1", "CT", "N*"): (50.0, 109.50),
+    ("H2", "CT", "N*"): (50.0, 109.50),
+    ("CT", "CT", "H2"): (50.0, 109.50),
+    ("CB", "N*", "CK"): (70.0, 105.40),
+    ("CB", "N*", "CT"): (70.0, 125.80),
+    ("CK", "N*", "CT"): (70.0, 128.80),
+    ("N*", "CK", "NB"): (70.0, 113.90),
+    ("CB", "NB", "CK"): (70.0, 103.80),
+    ("CB", "CB", "N*"): (70.0, 106.20),
+    ("CB", "CB", "NC"): (70.0, 127.70),
+    ("N*", "CB", "NC"): (70.0, 126.20),
+    ("CA", "CB", "CB"): (70.0, 117.30),
+    ("CB", "CB", "NB"): (70.0, 110.40),
+    ("CA", "CB", "NB"): (70.0, 132.40),
+    ("C", "CB", "CB"): (70.0, 119.20),
+    ("C", "CB", "NB"): (70.0, 130.00),
+    ("CB", "CA", "N2"): (70.0, 123.50),
+    ("N2", "CA", "NA"): (70.0, 116.00),
+    ("NA", "CA", "NC"): (70.0, 123.30),
+    ("CA", "NC", "CB"): (70.0, 112.20),
+    ("CA", "NC", "CQ"): (70.0, 118.60),
+    ("NC", "CQ", "NC"): (70.0, 129.10),
+    ("C", "NC", "CA"): (70.0, 120.50),
+    ("CM", "CA", "NC"): (70.0, 121.50),
+    ("C", "NA", "CA"): (70.0, 125.20),
+    ("C", "NA", "C"): (70.0, 126.40),
+    ("CB", "C", "NA"): (70.0, 111.30),
+    ("CB", "C", "O"): (80.0, 128.80),
+    ("NA", "C", "O"): (80.0, 120.60),
+    ("N*", "C", "NA"): (70.0, 115.40),
+    ("N*", "C", "NC"): (70.0, 118.60),
+    ("N*", "C", "O"): (80.0, 120.90),
+    ("NC", "C", "O"): (80.0, 122.50),
+    ("NA", "C", "CM"): (70.0, 114.10),
+    ("CM", "C", "O"): (80.0, 125.30),
+    ("CA", "CM", "CM"): (70.0, 117.00),
+    ("CM", "CM", "N*"): (70.0, 121.20),
+    ("CM", "CT", "HC"): (50.0, 109.50),
 }
 
 # Angle entries whose exact authoritative force constant could not be
@@ -243,6 +330,34 @@ ANGLES_APPROX = {
     ("CC", "CW", "H4"): (50.0, (35.0,), "ring H bend"),
     ("H5", "CR", "NA"): (50.0, (35.0,), "ring H bend"),
     ("H5", "CR", "NB"): (50.0, (35.0,), "ring H bend"),
+    # --- nucleic acids: theta0 values re-derived with lower certainty ------
+    ("O2", "P", "OH"): (45.0, (100.0,), "terminal-phosphate O-P-OH bend "
+                        "(unused by the built-in templates; frcmod path)"),
+    ("OS", "P", "OH"): (45.0, (45.0,), "terminal-phosphate bend (unused by "
+                        "the built-in templates)"),
+    ("HO", "OH", "P"): (45.0, (45.0, 108.5), "phosphate hydroxyl bend "
+                        "(unused by the built-in templates)"),
+    ("C", "N*", "CM"): (70.0, (121.6, 120.6), "pyrimidine C2-N1-C6"),
+    ("C", "N*", "CT"): (70.0, (117.6, 118.6), "pyrimidine C2-N1-C1'"),
+    ("CM", "N*", "CT"): (70.0, (121.2,), "pyrimidine C6-N1-C1'"),
+    ("N*", "CK", "H5"): (50.0, (123.05,), "purine C8-H bend"),
+    ("NB", "CK", "H5"): (50.0, (123.05,), "purine C8-H bend"),
+    ("NC", "CQ", "H5"): (50.0, (115.45,), "adenine C2-H bend"),
+    ("CB", "NC", "CQ"): (70.0, (111.0, 110.1), "adenine C4-N3-C2"),
+    ("CB", "CA", "NC"): (70.0, (117.3,), "adenine C5-C6-N1"),
+    ("N2", "CA", "NC"): (70.0, (119.3, 118.6), "exocyclic amine N-CA-N "
+                         "(adenine C6 / cytosine C4)"),
+    ("CM", "CA", "N2"): (70.0, (120.1,), "cytosine C5-C4-N4"),
+    ("C", "NA", "H"): (30.0, (116.8, 119.2), "ring amide N-H bend"),
+    ("CA", "NA", "H"): (30.0, (118.04, 119.3), "guanine N1-H bend"),
+    ("C", "CM", "CM"): (70.0, (120.7, 119.7), "thymine C4-C5-C6"),
+    ("C", "CM", "CT"): (70.0, (119.7,), "thymine C4-C5-C7 methyl"),
+    ("CM", "CM", "CT"): (70.0, (119.7,), "thymine C6-C5-C7 methyl"),
+    ("CA", "CM", "HA"): (50.0, (123.3, 119.7), "cytosine C4-C5-H5"),
+    ("C", "CM", "HA"): (50.0, (119.7,), "uracil C4-C5-H5"),
+    ("CM", "CM", "HA"): (50.0, (119.7, 119.1), "pyrimidine C5-H in-ring"),
+    ("CM", "CM", "H4"): (50.0, (119.7, 119.1), "pyrimidine C6-H in-ring"),
+    ("H4", "CM", "N*"): (50.0, (119.1, 119.7), "pyrimidine N1-C6-H6"),
 }
 
 # ===========================================================================
@@ -295,6 +410,33 @@ DIHEDRALS_HIGH = {
     ("X", "CT", "CA", "X"): [(6, 0.00, 0.0, 2)],
     ("X", "CT", "CC", "X"): [(6, 0.00, 0.0, 2)],
     ("X", "CT", "C*", "X"): [(6, 0.00, 0.0, 2)],
+    # nucleic acids (parm94 nucleic DIHE; IDIVF = path count as above)
+    ("X", "CT", "OS", "X"): [(3, 1.15, 0.0, 3)],
+    ("X", "OS", "P", "X"): [(3, 0.75, 0.0, 3)],
+    ("X", "OH", "P", "X"): [(3, 0.75, 0.0, 3)],
+    ("X", "CT", "N*", "X"): [(6, 0.00, 0.0, 2)],
+    ("X", "C", "N*", "X"): [(4, 5.80, 180.0, 2)],
+    ("X", "CM", "N*", "X"): [(4, 7.40, 180.0, 2)],
+    ("X", "CK", "N*", "X"): [(4, 6.80, 180.0, 2)],
+    ("X", "CB", "N*", "X"): [(4, 6.60, 180.0, 2)],
+    ("X", "CB", "CB", "X"): [(4, 21.80, 180.0, 2)],
+    ("X", "CB", "NB", "X"): [(2, 5.10, 180.0, 2)],
+    ("X", "CB", "NC", "X"): [(2, 8.30, 180.0, 2)],
+    ("X", "CK", "NB", "X"): [(2, 20.00, 180.0, 2)],
+    ("X", "CA", "NC", "X"): [(2, 9.60, 180.0, 2)],
+    ("X", "CQ", "NC", "X"): [(2, 13.60, 180.0, 2)],
+    ("X", "C", "NC", "X"): [(2, 8.00, 180.0, 2)],
+    ("X", "CM", "CM", "X"): [(4, 26.60, 180.0, 2)],
+    ("X", "C", "CM", "X"): [(4, 8.70, 180.0, 2)],
+    ("X", "CA", "CM", "X"): [(4, 10.20, 180.0, 2)],
+    ("X", "CM", "CT", "X"): [(6, 0.00, 0.0, 3)],
+    ("X", "C", "CB", "X"): [(4, 12.00, 180.0, 2)],
+    ("X", "C", "NA", "X"): [(4, 5.40, 180.0, 2)],
+    ("X", "CA", "NA", "X"): [(4, 6.00, 180.0, 2)],
+    # parm99 sugar-pucker specifics (gauche terms on vicinal O-C-C-O)
+    ("OS", "CT", "CT", "OS"): [(1, 0.144, 0.0, 3), (1, 1.175, 0.0, 2)],
+    ("OS", "CT", "CT", "OH"): [(1, 0.144, 0.0, 3), (1, 1.175, 0.0, 2)],
+    ("OH", "CT", "CT", "OH"): [(1, 0.144, 0.0, 3), (1, 1.175, 0.0, 2)],
 }
 
 # parm99 adds specific alcohol torsions (CT-CT-OH-HO V3=0.16, V1=0.25) on
@@ -302,6 +444,13 @@ DIHEDRALS_HIGH = {
 # barrier within ~0.1 kcal/mol of the specific profile).  Deliberate.
 DIHEDRALS_APPROX_NOTES = [
     "CT-CT-OH-HO: parm99 specific terms omitted; wildcard X-CT-OH-X used",
+    # nucleic entries re-derived with lower certainty (all stiff ring /
+    # barrier terms; conformational effect bounded by the barrier height):
+    "X-CA-NA-X (6.0/4) and X-C-NA-X (5.4/4): guanine/thymine ring-amide "
+    "barriers; candidate IDIVF 2 vs 4",
+    "X-CB-NC-X (8.3/2): purine N3 ring barrier; candidate 8.3/4",
+    "OS-P-OS-CT parm99 alpha/zeta specifics omitted; wildcard X-OS-P-X "
+    "used (bsc0-class backbone refits are out of scope)",
 ]
 
 # ===========================================================================
@@ -328,6 +477,17 @@ IMPROPERS_HIGH = {
     ("NB", "CW", "CC", "CT"): (1.1, 180.0, 2),    # HIE CG
     ("NA", "CW", "CC", "CT"): (1.1, 180.0, 2),    # HIP CG
     ("CW", "CB", "C*", "CT"): (1.1, 180.0, 2),    # TRP CG
+    # nucleic bases (parm94 nucleic IMPR)
+    ("X", "X", "CK", "H5"): (1.1, 180.0, 2),
+    ("X", "X", "CQ", "H5"): (1.1, 180.0, 2),
+    ("X", "X", "CM", "H4"): (1.1, 180.0, 2),
+    ("X", "X", "CM", "HA"): (1.1, 180.0, 2),
+    ("CB", "CK", "N*", "CT"): (1.0, 180.0, 2),
+    ("C", "CM", "N*", "CT"): (1.0, 180.0, 2),
+    ("C", "CM", "CM", "CT"): (1.1, 180.0, 2),
+    ("CB", "NC", "CA", "N2"): (1.1, 180.0, 2),
+    ("NA", "NC", "CA", "N2"): (1.1, 180.0, 2),
+    ("NC", "CM", "CA", "N2"): (1.1, 180.0, 2),
 }
 
 # 1-4 scale factors (Amber)
@@ -471,7 +631,30 @@ CHARGES_HIGH = {
 #               NALA/CALA values) with the remaining atoms renormalized
 #               uniformly over heavy atoms, instead of the per-residue
 #               published terminal charge sets
-CHARGES_APPROX = ("CYX",)
+CHARGES_APPROX = ("CYX",
+                  # ff94 nucleic sets: full per-atom transcription lives in
+                  # isokann_tpu/md/amber.py; each interior residue's raw sum
+                  # closes to its formal charge (-1) to machine precision
+                  # (RESP constraint), which the spot checks below plus
+                  # tests/test_nucleic.py verify.  Terminal 5'/3' variants
+                  # are derived with the Amber O5'/O3'-hydroxyl charges and
+                  # the residual closed over sugar heavy atoms (documented
+                  # approximation; Amber's terminal libraries adjust the
+                  # sugar likewise).
+                  "DA", "DC", "DG", "DT", "RA", "RC", "RG", "RU")
+
+# spot checks: high-confidence ff94 nucleic charges that must survive
+# import-time normalization bit-exactly (proves the normalizer did not
+# touch the interior nucleotide templates)
+NUCLEIC_CHARGE_SPOTS = {
+    ("DA", "P"): 1.1659, ("DA", "OP1"): -0.7761, ("DA", "O3'"): -0.5232,
+    ("DA", "N9"): -0.0268, ("DA", "N6"): -0.9123, ("DA", "H61"): 0.4167,
+    ("DG", "O6"): -0.5699, ("DG", "N2"): -0.9230, ("DG", "H1"): 0.3520,
+    ("DC", "N4"): -0.9773, ("DC", "O2"): -0.6548,
+    ("DT", "C7"): -0.2269, ("DT", "O4"): -0.5563, ("DT", "H3"): 0.3420,
+    ("RA", "P"): 1.1662, ("RA", "O2'"): -0.6139, ("RA", "HO2'"): 0.4186,
+    ("RG", "N2"): -0.9672, ("RC", "N4"): -0.9530, ("RU", "O4"): -0.5761,
+}
 
 # Formal charges (for the raw-sum test)
 FORMAL = {"ASP": -1, "GLU": -1, "LYS": 1, "ARG": 1, "HIP": 1,
