@@ -201,6 +201,24 @@ def test_minimize_dinucleotide(seq, rna):
     assert max(devs) < 0.01, f"max bond deviation {max(devs)*10:.3f} A"
 
 
+def test_solvated_dna_pme_neutralized():
+    """solvate() neutralizes the phosphate charge with Na+ and the PME
+    system builds with finite energy -- the explicit-solvent production
+    path works for nucleic solutes unchanged."""
+    import jax.numpy as jnp
+    from isokann_tpu.md.solvate import solvate
+    from isokann_tpu.md.forces import potential_energy_flat
+
+    solv = solvate(build_nucleic("AT"), padding=0.7)
+    assert sum(1 for r in solv.res_names if r == "NA") == 1
+    sysm = build_system(solv, method="PME")
+    q = float(np.sum(np.asarray(sysm.charges)))
+    assert abs(q) < 1e-4
+    e = float(potential_energy_flat(
+        sysm, jnp.asarray(solv.coords.reshape(-1), jnp.float32)))
+    assert np.isfinite(e)
+
+
 def test_pdb_roundtrip(tmp_path):
     from isokann_tpu.md.pdbio import write_pdb, read_pdb
 
