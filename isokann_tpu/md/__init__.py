@@ -7,3 +7,7 @@ from .barostat import MonteCarloBarostat, npt_langevin, molecule_map
 from .ligand import parameterize_ligand
 from .importers import (load_frcmod, load_mol2, load_ffxml,
                         register_ligand_frcmod, register_ligand_ffxml)
+from .system import system_from_tables
+from .amberio import (load_prmtop, read_rst7, write_rst7,
+                      system_from_prmtop, save_prmtop)
+from .openmm_xml import load_system_xml, save_system_xml

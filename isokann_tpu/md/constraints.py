@@ -31,7 +31,8 @@ class ConstraintSet:
     """
 
     def __init__(self, system, which: str | None = "HBonds",
-                 water: np.ndarray | None = None, iters: int = 25):
+                 water: np.ndarray | None = None, iters: int = 25,
+                 pairs=None):
         masses = np.asarray(system.masses)
         bidx = np.asarray(system.bond_idx)
         r0 = np.asarray(system.bond_r0)
@@ -45,8 +46,12 @@ class ConstraintSet:
         else:
             raise ValueError(f"unsupported constraints {which!r}; use "
                              f"'HBonds', 'HAngles', 'AllBonds' or None")
-        pairs = [tuple(sorted(p)) for p in bidx[sel]]
-        lens = {p: float(l) for p, l in zip(pairs, r0[sel])}
+        bpairs = [tuple(sorted(p)) for p in bidx[sel]]
+        lens = {p: float(l) for p, l in zip(bpairs, r0[sel])}
+        # explicit (i, j, d) constraints, e.g. from a serialized OpenMM
+        # System's <Constraints> block (md/openmm_xml.py)
+        for (a, b, d) in (pairs or []):
+            lens[tuple(sorted((int(a), int(b))))] = float(d)
         if which == "HAngles":
             # triangulate qualifying angles: |ac|^2 = r_ab^2 + r_bc^2
             # - 2 r_ab r_bc cos(theta0), with the bond lengths taken from

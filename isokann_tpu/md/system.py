@@ -223,6 +223,144 @@ def _dispersion_sums(rmin_half, eps):
     return s6, s12
 
 
+def system_from_tables(*, masses, charges, rmin_half, eps,
+                       bond_idx=None, bond_k=None, bond_r0=None,
+                       angle_idx=None, angle_k=None, angle_t0=None,
+                       dih_idx=None, dih_pk=None, dih_phase=None, dih_n=None,
+                       excl_idx=None, excl_qq=None, excl_lj=None,
+                       method: str = "NoCutoff", cutoff: float = 1.0,
+                       eps_rf: float = 78.5, box=None,
+                       gb_radii=None, gb_scales=None,
+                       dense_pairs="auto", ewald_tol: float = 5e-4,
+                       dispersion_correction: bool = True,
+                       dtype=jnp.float32) -> MDSystem:
+    """Construct an MDSystem directly from fully-resolved numeric tables.
+
+    The entry point for *exact-parameter* imports (Amber prmtop,
+    serialized OpenMM System XML — ``md/amberio.py`` / ``md/openmm_xml.py``)
+    where every per-term constant is already known and no force-field
+    lookup should run.  All quantities are in internal units: kJ/mol, nm,
+    rad, e, amu; harmonic terms follow the Amber convention
+    ``E = k (x - x0)^2`` (half of OpenMM's ``k``).
+
+    ``excl_idx/excl_qq/excl_lj``: sparse exception list (i < j) with the
+    *target* pair scales on the combined parameters (0 for 1-2/1-3,
+    1/1.2 and 1/2 for Amber 1-4); pairs not listed interact at scale 1.
+    ``gb_radii``/``gb_scales`` (intrinsic Born radii [nm] + OBC factors)
+    switch on OBC2 implicit solvent.
+    """
+    def np1(a, dt=np.float64):
+        return (np.zeros((0,), dt) if a is None
+                else np.asarray(a, dt).reshape(-1))
+
+    masses = np1(masses)
+    charges = np1(charges)
+    rmin_half = np1(rmin_half)
+    eps = np1(eps)
+    natoms = masses.shape[0]
+    if not (charges.shape[0] == rmin_half.shape[0] == eps.shape[0]
+            == natoms):
+        raise ValueError("per-atom table lengths disagree")
+
+    bi = (np.zeros((0, 2), np.int32) if bond_idx is None
+          else np.asarray(bond_idx, np.int32).reshape(-1, 2))
+    ai = (np.zeros((0, 3), np.int32) if angle_idx is None
+          else np.asarray(angle_idx, np.int32).reshape(-1, 3))
+    di = (np.zeros((0, 4), np.int32) if dih_idx is None
+          else np.asarray(dih_idx, np.int32).reshape(-1, 4))
+    eidx = (np.zeros((0, 2), np.int32) if excl_idx is None
+            else np.asarray(excl_idx, np.int32).reshape(-1, 2))
+    eidx = np.stack([eidx.min(axis=1), eidx.max(axis=1)], axis=1) \
+        if len(eidx) else eidx
+    eqq = np1(excl_qq)
+    elj_w = np1(excl_lj)
+
+    implicit = "obc2" if gb_radii is not None else None
+    if implicit is not None:
+        method = "NoCutoff"
+    if method in ("Ewald", "PME", "LJPME") and box is None:
+        raise ValueError(f"method={method} requires a periodic box")
+    if box is not None and method in ("CutoffPeriodic", "Ewald", "PME",
+                                      "LJPME"):
+        cutoff = min(cutoff, 0.999 * float(min(box)) / 2)
+
+    ewald_alpha_v = 0.0
+    ekv = np.zeros((0, 3), np.float32)
+    ecf = np.zeros((0,), np.float32)
+    if method in ("Ewald", "PME", "LJPME"):
+        from .ewald import ewald_alpha, ewald_kvectors
+        ewald_alpha_v = ewald_alpha(float(cutoff), ewald_tol)
+        ekv, ecf = ewald_kvectors(box, ewald_alpha_v, ewald_tol)
+
+    use_disp = bool(dispersion_correction and box is not None
+                    and method in ("CutoffPeriodic", "Ewald", "PME"))
+    s6, s12 = _dispersion_sums(rmin_half, eps) if use_disp else (0.0, 0.0)
+
+    q6_v = np.zeros((0,))
+    lj6cf = np.zeros((0,))
+    ljpme_beta_v = 0.0
+    if method == "LJPME":
+        from .ewald import ljpme_coefs
+        q6_v = np.sqrt(2.0 * eps) * (2.0 * rmin_half) ** 3
+        ljpme_beta_v = ewald_alpha_v
+        lj6cf = ljpme_coefs(box, ljpme_beta_v, ekv)
+
+    if dense_pairs == "auto":
+        dense_pairs = natoms <= DENSE_PAIRS_MAX
+    if dense_pairs:
+        qq = np.ones((natoms, natoms))
+        lj = np.ones((natoms, natoms))
+        np.fill_diagonal(qq, 0.0)
+        np.fill_diagonal(lj, 0.0)
+        for (a, b), wq, wl in zip(eidx, eqq, elj_w):
+            qq[a, b] = qq[b, a] = wq
+            lj[a, b] = lj[b, a] = wl
+    else:
+        qq = lj = np.zeros((0, 0))
+
+    def incidence(pairs):
+        if not dense_pairs:
+            return np.zeros((0, natoms), dtype=np.float32)
+        D = np.zeros((len(pairs), natoms), dtype=np.float32)
+        for r, (a, b) in enumerate(pairs):
+            D[r, a] += 1.0
+            D[r, b] -= 1.0
+        return D
+
+    def arr(x, dt=dtype):
+        return jnp.asarray(np.asarray(x), dt)
+
+    return MDSystem(
+        bond_idx=arr(bi, jnp.int32),
+        bond_k=arr(np1(bond_k)), bond_r0=arr(np1(bond_r0)),
+        angle_idx=arr(ai, jnp.int32),
+        angle_k=arr(np1(angle_k)), angle_t0=arr(np1(angle_t0)),
+        dih_idx=arr(di, jnp.int32),
+        dih_pk=arr(np1(dih_pk)), dih_phase=arr(np1(dih_phase)),
+        dih_n=arr(np1(dih_n)),
+        bond_D=arr(incidence(bi)),
+        angle_U=arr(incidence(ai[:, [0, 1]])),
+        angle_V=arr(incidence(ai[:, [2, 1]])),
+        dih_B1=arr(incidence(di[:, [1, 0]])),
+        dih_B2=arr(incidence(di[:, [2, 1]])),
+        dih_B3=arr(incidence(di[:, [3, 2]])),
+        charges=arr(charges), rmin_half=arr(rmin_half), eps=arr(eps),
+        qq_scale=arr(qq), lj_scale=arr(lj), masses=arr(masses),
+        gb_radii=arr(np1(gb_radii) if gb_radii is not None else np.zeros(0)),
+        gb_scales=arr(np1(gb_scales) if gb_scales is not None
+                      else np.zeros(0)),
+        excl_idx=arr(eidx, jnp.int32), excl_qq=arr(eqq), excl_lj=arr(elj_w),
+        ewald_kvecs=arr(ekv), ewald_coefs=arr(ecf),
+        ewald_alpha=float(ewald_alpha_v),
+        q6=arr(q6_v), ljpme_coefs=arr(lj6cf),
+        ljpme_beta=float(ljpme_beta_v),
+        use_dispersion=use_disp, disp_c6sum=s6, disp_c12sum=s12,
+        method=method, cutoff=float(cutoff), eps_rf=float(eps_rf),
+        box=tuple(float(b) for b in box) if box is not None else None,
+        implicit=implicit, dense_pairs=bool(dense_pairs),
+    )
+
+
 def build_system(source, method: str = "auto", cutoff: float = 1.0,
                  eps_rf: float = 78.5, implicit: str = None,
                  dense_pairs="auto", ewald_tol: float = 5e-4,

@@ -146,6 +146,67 @@ class MDSimulation(IsoSimulation):
         self.featurizer = default_featurizer(pdb, self.natoms, features)
         self._jit_cache = {}
 
+    @classmethod
+    def from_system(cls, system, x0, steps: int = 100, temp: float = 310.0,
+                    friction: float = 1.0, step: float = 0.002,
+                    integrator: str = "langevin", features=None,
+                    minimize: bool = False, bias=None,
+                    constraints: Optional[str] = None,
+                    constraint_pairs=None, source: Optional[str] = None):
+        """Build an MDSimulation around a prebuilt :class:`MDSystem`.
+
+        The entry point for *imported* systems (Amber prmtop via
+        ``md.amberio.system_from_prmtop``, serialized OpenMM System XML via
+        ``md.openmm_xml.load_system_xml``) whose parameters must be used
+        verbatim — no PDB/force-field pipeline runs.
+
+        - ``x0``: initial coordinates, (natoms, 3) or flat (3 natoms,) [nm]
+        - ``constraint_pairs``: explicit (i, j, d_nm) distance constraints
+          (e.g. the XML ``<Constraints>`` block, which is how OpenMM
+          represents rigid water); combined with the ``constraints``
+          class string if both are given
+        - ``features``: pair list / atom list / callable (the radius
+          shorthand needs a PDB and is not available here); default =
+          all-pairs under 100 atoms, else 100 random pairs
+        - ``source``: provenance string kept in ``constructor``
+        """
+        self = cls.__new__(cls)
+        self.constructor = dict(from_system=True, source=source,
+                                steps=steps, temp=temp, friction=friction,
+                                step=step, integrator=integrator,
+                                features=features, minimize=minimize,
+                                constraints=constraints,
+                                constraint_pairs=constraint_pairs)
+        self.pdbfile = source
+        self.steps = int(steps)
+        self.temp = float(temp)
+        self.friction = float(friction)
+        self.step = float(step)
+        self.integrator = integrator
+        self.bias = bias
+        self.structure = None
+        self.system = system
+        self.masses3 = jnp.repeat(system.masses, 3)
+
+        if (constraints is not None or constraint_pairs) \
+                and integrator != "langevin":
+            raise ValueError("constraints require the langevin integrator")
+        self.constraint_set = (
+            ConstraintSet(system, constraints, pairs=constraint_pairs)
+            if (constraints is not None or constraint_pairs) else None)
+
+        self._x0 = jnp.asarray(np.asarray(x0).reshape(-1),
+                               system.charges.dtype)
+        if minimize:
+            self._x0 = self.minimize(self._x0)
+        if features is not None and isinstance(features, (int, float)) \
+                and not isinstance(features, bool):
+            raise ValueError("radius feature selection needs a PDB; pass "
+                             "an explicit pair list")
+        self.featurizer = default_featurizer(None, self.natoms, features)
+        self._jit_cache = {}
+        return self
+
     # ---- basic accessors (reference src/simulators/openmm.jl:148-239) ----
 
     def __getstate__(self):
