@@ -11,3 +11,4 @@ from .system import system_from_tables
 from .amberio import (load_prmtop, read_rst7, write_rst7,
                       system_from_prmtop, save_prmtop)
 from .openmm_xml import load_system_xml, save_system_xml
+from .vsites import attach_vsites, place_vsites, place_vsites_flat

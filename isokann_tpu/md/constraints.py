@@ -46,6 +46,12 @@ class ConstraintSet:
         else:
             raise ValueError(f"unsupported constraints {which!r}; use "
                              f"'HBonds', 'HAngles', 'AllBonds' or None")
+        if len(bidx):
+            # massless virtual sites (mass 0, e.g. TIP4P M points) are
+            # *placed*, never constrained — their zero-k frame bonds must
+            # not enter the solver
+            massive = (masses[bidx[:, 0]] > 0) & (masses[bidx[:, 1]] > 0)
+            sel = sel & massive
         bpairs = [tuple(sorted(p)) for p in bidx[sel]]
         lens = {p: float(l) for p, l in zip(bpairs, r0[sel])}
         # explicit (i, j, d) constraints, e.g. from a serialized OpenMM
@@ -153,7 +159,10 @@ class ConstraintSet:
             atom_colors.setdefault(a, set()).add(c)
             atom_colors.setdefault(b, set()).add(c)
             ncolors = max(ncolors, c + 1)
-        invm = 1.0 / masses
+        # massless virtual sites never appear in constraint pairs (filtered
+        # above); give them inverse mass 0 rather than a divide-by-zero
+        invm = np.where(masses > 0, 1.0 / np.where(masses > 0, masses, 1.0),
+                        0.0)
         self._classes = []
         for c in range(ncolors):
             ks = [k for k in range(len(items)) if color_of[k] == c]

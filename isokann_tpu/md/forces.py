@@ -239,13 +239,9 @@ def gbsa_obc2_energy(sys: MDSystem, x):
     return e_gb + e_sa
 
 
-def potential_energy(sys: MDSystem, x, box=None):
-    """Total potential; ``x``: (natoms, 3) nm -> kJ/mol.
-
-    Large systems built with ``dense_pairs=False`` route through the O(n)
-    cell-list neighbor engine (``md/neighbor.py``).  ``box`` optionally
-    overrides the static box with a traced value (dense path only; the
-    NPT hook, docs/npt_design.md)."""
+def _potential_raw(sys: MDSystem, x, box=None):
+    """Total potential at *already-placed* coordinates (virtual-site rows
+    assumed consistent with their parents)."""
     if not sys.dense_pairs:
         from .neighbor import potential_energy_neighbor
         return potential_energy_neighbor(sys, x, box=box)
@@ -255,6 +251,18 @@ def potential_energy(sys: MDSystem, x, box=None):
     if sys.implicit == "obc2":
         e = e + gbsa_obc2_energy(sys, x)
     return e
+
+
+def potential_energy(sys: MDSystem, x, box=None):
+    """Total potential; ``x``: (natoms, 3) nm -> kJ/mol.
+
+    Large systems built with ``dense_pairs=False`` route through the O(n)
+    cell-list neighbor engine (``md/neighbor.py``).  ``box`` optionally
+    overrides the static box with a traced value (dense path only; the
+    NPT hook, docs/npt_design.md).  Virtual-site rows (``md/vsites.py``)
+    are re-placed from their parents before evaluation."""
+    from .vsites import place_vsites
+    return _potential_raw(sys, place_vsites(sys, x), box=box)
 
 
 def potential_energy_flat(sys: MDSystem, xflat):
@@ -267,8 +275,18 @@ def potential_energy_flat(sys: MDSystem, xflat):
 
 
 def force(sys: MDSystem, x):
-    """-grad E; ``x``: (natoms, 3)."""
-    return -jax.grad(lambda xi: potential_energy(sys, xi))(x)
+    """-grad E; ``x``: (natoms, 3).
+
+    With virtual sites the gradient is taken at placed coordinates and
+    pushed back to the parents through the exact (linear) transpose
+    (``redistribute_forces``) — no autodiff through the placement gather,
+    whose scatter-add VJP would serialize on TPU."""
+    from .vsites import has_vsites, place_vsites, redistribute_forces
+    if has_vsites(sys):
+        xp = place_vsites(sys, x)
+        f = -jax.grad(lambda xi: _potential_raw(sys, xi))(xp)
+        return redistribute_forces(sys, f)
+    return -jax.grad(lambda xi: _potential_raw(sys, xi))(x)
 
 
 def force_flat(sys: MDSystem, xflat):
@@ -277,19 +295,27 @@ def force_flat(sys: MDSystem, xflat):
     Large (``dense_pairs=False``) systems use the neighbor engine's
     *analytic* forces — forward-only gathers instead of the scatter-heavy
     autodiff VJPs."""
+    from .vsites import (has_vsites, place_vsites_flat,
+                         redistribute_forces_flat)
+    if has_vsites(sys):
+        xflat = place_vsites_flat(sys, jnp.asarray(xflat))
     if not sys.dense_pairs:
         from .neighbor import force_flat_neighbor
-        return force_flat_neighbor(sys, xflat)
+        f = force_flat_neighbor(sys, xflat)
+        return redistribute_forces_flat(sys, f)
     x = jnp.asarray(xflat)
     shape = x.shape
     xs = x.reshape((-1, sys.natoms, 3))
     f = jax.vmap(lambda xi: -jax.grad(
-        lambda z: potential_energy(sys, z))(xi))(xs)
-    return f.reshape(shape)
+        lambda z: _potential_raw(sys, z))(xi))(xs)
+    f = f.reshape(shape)
+    return redistribute_forces_flat(sys, f) if has_vsites(sys) else f
 
 
 def energy_terms(sys: MDSystem, x):
     """Per-term breakdown for debugging/validation."""
+    from .vsites import place_vsites
+    x = place_vsites(sys, x)
     terms = dict(
         bond=bond_energy(sys, x),
         angle=angle_energy(sys, x),

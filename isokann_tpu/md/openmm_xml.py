@@ -73,7 +73,25 @@ def load_system_xml(path_or_text: str):
     if root.tag != "System":
         raise ValueError(f"not a serialized System (root <{root.tag}>)")
 
-    masses = [_get(p, "mass") for p in root.find("Particles")]
+    masses = []
+    vsites = []                                  # (site, parents, weights)
+    for i, p in enumerate(root.find("Particles")):
+        masses.append(_get(p, "mass"))
+        vs = p.find("VirtualSite")
+        if vs is None:
+            continue
+        vt = vs.get("type")
+        if vt not in ("average2", "average3"):
+            raise ValueError(
+                f"virtual site type {vt!r} is not supported (average2/"
+                f"average3 only; outOfPlane/localCoords sites need an "
+                f"engine extension)")
+        np_ = 2 if vt == "average2" else 3
+        parents = [int(_get(vs, f"particle{k}", f"p{k}", cast=int))
+                   for k in range(1, np_ + 1)]
+        weights = [float(_get(vs, f"weight{k}", f"w{k}"))
+                   for k in range(1, np_ + 1)]
+        vsites.append((i, parents, weights))
     n = len(masses)
 
     box = None
@@ -230,6 +248,16 @@ def load_system_xml(path_or_text: str):
         method=method, cutoff=cutoff, eps_rf=eps_rf, box=box,
         gb_radii=gb_radii, gb_scales=gb_scales,
         ewald_tol=ewald_tol, dispersion_correction=dispersion)
+    if vsites:
+        from .vsites import attach_vsites
+        kmax = max(len(p) for _, p, _ in vsites)
+        par = np.zeros((len(vsites), kmax), np.int32)
+        wts = np.zeros((len(vsites), kmax))
+        for r, (_, p, w) in enumerate(vsites):
+            par[r, :len(p)] = p
+            par[r, len(p):] = p[0]
+            wts[r, :len(w)] = w
+        system = attach_vsites(system, [s for s, _, _ in vsites], par, wts)
     meta = dict(barostat=barostat, skipped_forces=skipped)
     return system, constraints, meta
 
@@ -253,9 +281,28 @@ def save_system_xml(system, path: str | None = None, constraints=None):
     for name, v in zip("ABC", np.diag(box)):
         ET.SubElement(pbv, name, x=repr(float(v[0])), y=repr(float(v[1])),
                       z=repr(float(v[2])))
+    from .vsites import has_vsites
+    site_rows = {}
+    if has_vsites(system):
+        g = np.asarray(system.vs_gather, int)
+        w = np.asarray(system.vs_w, float)
+        for s in np.asarray(system.vs_idx, int):
+            site_rows[int(s)] = (g[s], w[s])
     parts = ET.SubElement(root, "Particles")
-    for m in masses:
-        ET.SubElement(parts, "Particle", mass=repr(float(m)))
+    for i, m in enumerate(masses):
+        pe = ET.SubElement(parts, "Particle", mass=repr(float(m)))
+        if i in site_rows:
+            g, w = site_rows[i]
+            # collapse padded duplicate parents
+            seen = {}
+            for p, wt in zip(g, w):
+                seen[int(p)] = seen.get(int(p), 0.0) + float(wt)
+            items = [(p, wt) for p, wt in seen.items() if wt != 0.0]
+            attrs = {"type": "average2" if len(items) == 2 else "average3"}
+            for k, (p, wt) in enumerate(items, 1):
+                attrs[f"particle{k}"] = str(p)
+                attrs[f"weight{k}"] = repr(wt)
+            ET.SubElement(pe, "VirtualSite", **attrs)
     cons = ET.SubElement(root, "Constraints")
     for (i, j, d) in (constraints or []):
         ET.SubElement(cons, "Constraint", d=repr(float(d)),

@@ -28,30 +28,47 @@ R_OH = 0.09572
 ANG_HOH = math.radians(104.52)
 WATER_SPACING = 0.3104          # (1 / 33.43 waters/nm^3)^(1/3)
 
+# TIP4P-Ew M-site average3 weights over (O, H1, H2) (Horn et al. 2004;
+# the values OpenMM's amber14/tip4pew.xml carries): M sits 0.0125 nm from
+# O along the HOH bisector
+M_WEIGHTS = (0.786646558, 0.106676721, 0.106676721)
 
-def _water_coords(center, rng):
-    """One TIP3P water at ``center`` with random orientation -> (3, 3)."""
+
+def _water_coords(center, rng, nsite=3):
+    """One water at ``center`` with random orientation -> (nsite, 3);
+    4-site waters append the TIP4P-Ew M point."""
     h1 = np.array([R_OH, 0.0, 0.0])
     h2 = np.array([R_OH * math.cos(ANG_HOH), R_OH * math.sin(ANG_HOH), 0.0])
     # random rotation via QR of a Gaussian matrix
     q, r = np.linalg.qr(rng.normal(size=(3, 3)))
     q = q * np.sign(np.diag(r))
-    return np.stack([center, center + h1 @ q.T, center + h2 @ q.T])
+    rows = [center, center + h1 @ q.T, center + h2 @ q.T]
+    if nsite == 4:
+        w = M_WEIGHTS
+        rows.append(w[0] * rows[0] + w[1] * rows[1] + w[2] * rows[2])
+    return np.stack(rows)
 
 
 def solvate(struct: PDBStructure, padding: float = 1.0,
             box=None, neutralize: bool = True, ionic_strength: float = 0.0,
-            exclusion: float = 0.24, seed: int = 0) -> PDBStructure:
-    """Surround ``struct`` with TIP3P waters and counterions.
+            exclusion: float = 0.24, seed: int = 0,
+            model: str = "tip3p") -> PDBStructure:
+    """Surround ``struct`` with water and counterions.
 
     - ``padding``: box = solute extent + 2 x padding [nm] (ignored if
       ``box`` given)
     - ``neutralize``: add Na+/Cl- to cancel the solute formal charge
     - ``ionic_strength``: additional NaCl pairs [mol/l]
     - ``exclusion``: water O to solute-atom clearance [nm]
+    - ``model``: "tip3p" (reference default, ``mopenmm.py:62``) or
+      "tip4pew" (4-site; the M extra points become virtual sites, see
+      ``water_msites``/``md/vsites.py``)
 
     Returns a new PDBStructure with ``box`` set (CRYST1 on write).
     """
+    if model not in ("tip3p", "tip4pew"):
+        raise ValueError(f"unknown water model {model!r}")
+    nsite = 4 if model == "tip4pew" else 3
     rng = np.random.default_rng(seed)
     xyz = np.asarray(struct.coords, float)
     lo, hi = xyz.min(axis=0), xyz.max(axis=0)
@@ -114,14 +131,40 @@ def solvate(struct: PDBStructure, padding: float = 1.0,
         chains.append("I"); elements.append("Cl"); rid += 1
         coords.append(ion_sites[n_na + k][None, :])
     for site in wat_sites:
-        w = _water_coords(site, rng)
-        names += ["O", "H1", "H2"]; resn += ["HOH"] * 3
-        resi += [rid] * 3; chains += ["W"] * 3
-        elements += ["O", "H", "H"]; rid += 1
+        w = _water_coords(site, rng, nsite)
+        names += ["O", "H1", "H2", "M"][:nsite]
+        resn += ["HOH"] * nsite
+        resi += [rid] * nsite; chains += ["W"] * nsite
+        elements += ["O", "H", "H", "EP"][:nsite]; rid += 1
         coords.append(w)
 
     return PDBStructure(names, resn, resi, chains, elements,
                         np.concatenate(coords, axis=0), box)
+
+
+def water_msites(struct: PDBStructure):
+    """(vs_idx, parents (nv, 3), weights (nv, 3)) for every 4-site water
+    M/EPW extra point — feed to ``md.vsites.attach_vsites``."""
+    idx, par = [], []
+    cur = {}
+    cur_tag = None
+    for i in range(struct.natoms):
+        if struct.res_names[i] not in ("HOH", "HOH4", "WAT", "TIP4",
+                                       "T4E", "SOL"):
+            continue
+        tag = (struct.chain_ids[i], struct.res_ids[i])
+        if tag != cur_tag:
+            cur, cur_tag = {}, tag
+        n = struct.atom_names[i]
+        cur[{"OW": "O", "HW1": "H1", "HW2": "H2",
+             "EPW": "M", "MW": "M", "EP": "M"}.get(n, n)] = i
+        if len(cur) == 4 and "M" in cur:
+            idx.append(cur["M"])
+            par.append((cur["O"], cur["H1"], cur["H2"]))
+    nv = len(idx)
+    return (np.asarray(idx, np.int64),
+            np.asarray(par, np.int64).reshape(nv, 3),
+            np.tile(np.asarray(M_WEIGHTS), (nv, 1)))
 
 
 def water_triplets(struct: PDBStructure):

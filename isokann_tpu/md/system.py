@@ -70,6 +70,15 @@ class MDSystem:
     # LJPME (method="LJPME"): dispersion handled by the same k-vector list
     q6: jnp.ndarray = None            # (n,) sqrt(c6_ii) geometric amplitudes
     ljpme_coefs: jnp.ndarray = None   # (nk,) signed: -h^(k)/(2V)
+    # virtual sites (massless interaction sites, e.g. the TIP4P-Ew M
+    # site): all-gather placement / force-redistribution tables built by
+    # ``md/vsites.py:attach_vsites`` — scatter-free by construction.
+    # Zero-size (or None on old pickles) when the system has none.
+    vs_idx: jnp.ndarray = None        # (nv,) int32 site atom indices
+    vs_gather: jnp.ndarray = None     # (n, 3) int32 parent (or self) idx
+    vs_w: jnp.ndarray = None          # (n, 3) placement weights
+    vs_rev: jnp.ndarray = None        # (n, kmax) int32 owning-site idx
+    vs_rev_w: jnp.ndarray = None      # (n, kmax) redistribution weights
     # nonbonded method (static)
     method: str = "CutoffPeriodic"
     cutoff: float = 1.0         # nm
@@ -101,7 +110,9 @@ class MDSystem:
                     self.gb_radii, self.gb_scales,
                     self.excl_idx, self.excl_qq, self.excl_lj,
                     self.ewald_kvecs, self.ewald_coefs,
-                    self.q6, self.ljpme_coefs)
+                    self.q6, self.ljpme_coefs,
+                    self.vs_idx, self.vs_gather, self.vs_w,
+                    self.vs_rev, self.vs_rev_w)
         aux = (self.method, self.cutoff, self.eps_rf, self.box, self.implicit,
                self.dense_pairs, self.ewald_alpha,
                self.use_dispersion, self.disp_c6sum, self.disp_c12sum,

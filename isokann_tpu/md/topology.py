@@ -66,6 +66,8 @@ _ALIASES = {
     ("NME", "H1"): "HH31", ("NME", "H2"): "HH32", ("NME", "H3"): "HH33",
     ("NME", "HA1"): "HH31", ("NME", "HA2"): "HH32", ("NME", "HA3"): "HH33",
     ("HOH", "OW"): "O", ("HOH", "HW1"): "H1", ("HOH", "HW2"): "H2",
+    ("HOH4", "OW"): "O", ("HOH4", "HW1"): "H1", ("HOH4", "HW2"): "H2",
+    ("HOH4", "EPW"): "M", ("HOH4", "MW"): "M", ("HOH4", "EP"): "M",
     ("NA", "Na"): "NA", ("NA", "SOD"): "NA", ("NA", "Na+"): "NA",
     ("CL", "Cl"): "CL", ("CL", "CLA"): "CL", ("CL", "Cl-"): "CL",
 }
@@ -137,6 +139,9 @@ def _resolve_residue(res, struct, is_first: bool, is_last: bool):
     atom_names = [struct.atom_names[i] for i in res.atom_indices]
 
     candidates = [name]
+    if name == "HOH":
+        # 4-site (TIP4P-class) waters carry an extra M/EPW point
+        candidates = ["HOH", "HOH4"]
     if name == "HIS":
         candidates = ["HIS", "HID", "HIP" if "HIP" in amber.RESIDUES else "HID"]
     if name == "CYS":

@@ -32,6 +32,19 @@ from ..md.pdbio import read_pdb
 from ..md.system import build_system, KB
 
 
+def _integrator_masses3(system):
+    """Per-coordinate masses for the integrators.  Virtual sites are
+    massless; a huge-but-finite stand-in (1e30 amu) makes every integrator
+    leave them in place (zero force response, zero Maxwell-Boltzmann
+    velocity) without the inf*0 NaNs an infinite mass would produce in
+    the EM/ABOBA noise terms.  Their true positions are recomputed from
+    the parents at every force evaluation and on output
+    (``md/vsites.py``)."""
+    m = system.masses
+    m = jnp.where(m > 0, m, jnp.asarray(1e30, m.dtype))
+    return jnp.repeat(m, 3)
+
+
 class MDSimulation(IsoSimulation):
     """Batched TPU molecular dynamics simulation.
 
@@ -59,6 +72,7 @@ class MDSimulation(IsoSimulation):
                  constraints: Optional[str] = None,
                  addwater: bool = False, padding: float = 1.0,
                  ionic_strength: float = 0.0, rigidwater: bool = True,
+                 water_model: str = "tip3p",
                  dense_pairs="auto", dispersion_correction: bool = True,
                  dtype=jnp.float32):
         if pdb is None:
@@ -75,6 +89,7 @@ class MDSimulation(IsoSimulation):
                                 padding=padding,
                                 ionic_strength=ionic_strength,
                                 rigidwater=rigidwater,
+                                water_model=water_model,
                                 dense_pairs=dense_pairs,
                                 dispersion_correction=dispersion_correction)
         self.pdbfile = pdb
@@ -92,14 +107,22 @@ class MDSimulation(IsoSimulation):
             # mopenmm.py:59-66); solute atoms keep their indices
             from ..md.solvate import solvate
             self.structure = solvate(self.structure, padding=padding,
-                                     ionic_strength=ionic_strength)
+                                     ionic_strength=ionic_strength,
+                                     model=water_model)
         self.system = build_system(self.structure if addwater else pdb,
                                    method=method, cutoff=cutoff,
                                    implicit=implicit,
                                    dense_pairs=dense_pairs,
                                    dispersion_correction=dispersion_correction,
                                    dtype=dtype)
-        self.masses3 = jnp.repeat(self.system.masses, 3)
+        # 4-site waters (TIP4P-Ew, or any imported PDB with M/EPW extra
+        # points): the M rows become virtual sites
+        from ..md.solvate import water_msites
+        vsi, vsp, vsw = water_msites(self.structure)
+        if len(vsi):
+            from ..md.vsites import attach_vsites
+            self.system = attach_vsites(self.system, vsi, vsp, vsw)
+        self.masses3 = _integrator_masses3(self.system)
 
         # holonomic constraints (reference mopenmm.py:117-125 pass-through)
         # + rigid TIP3P (reference default rigidWater=True, mopenmm.py:12)
@@ -186,7 +209,7 @@ class MDSimulation(IsoSimulation):
         self.bias = bias
         self.structure = None
         self.system = system
-        self.masses3 = jnp.repeat(system.masses, 3)
+        self.masses3 = _integrator_masses3(system)
 
         if (constraints is not None or constraint_pairs) \
                 and integrator != "langevin":
@@ -250,9 +273,10 @@ class MDSimulation(IsoSimulation):
     def minimize(self, x=None, maxiter=500):
         """FIRE energy minimization (OpenMM ``minimizeEnergy`` analog)."""
         x = self._x0 if x is None else jnp.asarray(x)
-        return minimize_energy(
+        from ..md.vsites import place_vsites_flat
+        return place_vsites_flat(self.system, minimize_energy(
             lambda z: potential_energy_flat(self.system, z), x,
-            maxiter=maxiter)
+            maxiter=maxiter))
 
     def defaultmodel(self, n=None, nout=1, key=None, **kwargs):
         from ..models import pairnet
@@ -266,6 +290,15 @@ class MDSimulation(IsoSimulation):
 
     def _force_fn(self):
         sys = self.system
+        from ..md.vsites import (has_vsites, place_vsites_flat,
+                                 redistribute_forces_flat)
+
+        def vswrap(fn):
+            if not has_vsites(sys):
+                return fn
+            return lambda x: redistribute_forces_flat(
+                sys, fn(place_vsites_flat(sys, x)))
+
         if not sys.dense_pairs:
             # large solvated systems: O(n) cell-list neighbor engine with
             # analytic forces; plan capacity sized from the start coords
@@ -274,11 +307,11 @@ class MDSimulation(IsoSimulation):
                 self._nbplan = NeighborPlan(
                     sys, x0=np.asarray(self._x0).reshape(-1, 3))
             plan = self._nbplan
-            return lambda x: force_flat_neighbor(sys, x, plan)
+            return vswrap(lambda x: force_flat_neighbor(sys, x, plan))
         if self._nb_kernel_eligible():
             from ..md.pallas_gb import force_flat_hybrid
-            return lambda x: force_flat_hybrid(sys, x)
-        return lambda x: force_flat(sys, x)
+            return vswrap(lambda x: force_flat_hybrid(sys, x))
+        return lambda x: force_flat(sys, x)      # handles sites internally
 
     def _nb_kernel_eligible(self) -> bool:
         """Medium systems (villin-class) on TPU use the VMEM nonbonded(+GBSA)
@@ -308,6 +341,9 @@ class MDSimulation(IsoSimulation):
             return False
         if self.system.implicit is not None or self.constraint_set is not None:
             return False
+        from ..md.vsites import has_vsites
+        if has_vsites(self.system):
+            return False         # the fused kernel integrates internally
         if self.system.method in ("Ewald", "PME", "LJPME"):
             # the fused kernel has no reciprocal-space term
             return False
@@ -339,6 +375,9 @@ class MDSimulation(IsoSimulation):
                 or model.lastactivation != "identity"):
             return False
         if self.system.implicit is not None or self.constraint_set is not None:
+            return False
+        from ..md.vsites import has_vsites
+        if has_vsites(self.system):
             return False
         if self.natoms > 64:
             return False
@@ -510,10 +549,12 @@ class MDSimulation(IsoSimulation):
             # (parallel.distributed.host_local_batch).
             from ..parallel import make_mesh, shard_batch
             xs = shard_batch(make_mesh(), xs)
+        from ..md.vsites import place_vsites_flat
         if self.bias is not None:
             ys, w = run(xs, key)
             self._check_cell_overflow(ys[:nw])
-            return WeightedSamples(ys[:nw].reshape(n, nk, d),
+            ys = place_vsites_flat(self.system, ys[:nw])
+            return WeightedSamples(ys.reshape(n, nk, d),
                                    w[:nw].reshape(n, nk))
         ys = run(xs, key)[:nw]
         # failure handling: retry diverged walkers with fresh noise, then
@@ -534,7 +575,7 @@ class MDSimulation(IsoSimulation):
                           f"retries; falling back to their start states")
             ys = jnp.where(bad[:, None], xs[:nw], ys)
         self._check_cell_overflow(ys)
-        return ys.reshape(n, nk, d)
+        return place_vsites_flat(self.system, ys).reshape(n, nk, d)
 
     def _check_cell_overflow(self, ys, sample: int = 8):
         """Neighbor-engine safety net: the cell capacity is sized from the
@@ -714,7 +755,9 @@ class MDSimulation(IsoSimulation):
                 self.friction, self.step, steps, ki, save_every=saveevery,
                 constraints=self.constraint_set)
             self._check_cell_overflow(qs[:, 0, :], sample=16)
-            return WeightedSamples(qs[:, 0, :], jnp.exp(logws[:, 0]))
+            from ..md.vsites import place_vsites_flat
+            return WeightedSamples(place_vsites_flat(self.system, qs[:, 0, :]),
+                                   jnp.exp(logws[:, 0]))
         block = self._block_fn(1, saveevery, resample_velocities)
         kv, key = jax.random.split(key)
         x = x0[None, :]
@@ -739,7 +782,8 @@ class MDSimulation(IsoSimulation):
         out = jnp.stack(saves)
         # check every saved frame: mid-run density drift may relax again
         self._check_cell_overflow(out, sample=len(saves))
-        return out
+        from ..md.vsites import place_vsites_flat
+        return place_vsites_flat(self.system, out)
 
     def laggedtrajectory(self, lags, steps=None, x0=None,
                          resample_velocities=True, key=None):

@@ -67,6 +67,10 @@ ATOM_TYPES_HIGH = {
     "HS": (1.008, 0.6000, 0.0157),
     "OW": (16.000, 1.7683, 0.1520),     # TIP3P
     "HW": (1.008, 0.0000, 0.0000),
+    # TIP4P-Ew (Horn et al. 2004, JCP 120:9665): sigma 3.16435 A
+    # (rmin/2 = sigma 2^(1/6)/2), eps 0.680946 kJ/mol = 0.16275 kcal
+    "OT4": (16.000, 1.77593, 0.16275),
+    "EP": (0.000, 0.0000, 0.0000),      # massless M site, no LJ
     "IP": (22.990, 1.8680, 0.00277),    # Na+
     "IM": (35.450, 2.4700, 0.1000),     # Cl-
     # nucleic-acid types (parm94/parm99 nucleic)
@@ -131,6 +135,10 @@ BONDS_HIGH = {
     ("CV", "NB"): (410.0, 1.394),
     ("CV", "H4"): (367.0, 1.080),
     ("OW", "HW"): (553.0, 0.9572),      # flexible-TIP3P fallback
+    ("OT4", "HW"): (553.0, 0.9572),     # flexible-TIP4P-Ew fallback
+    # M-site frame bond: zero-k by construction (exclusion generation
+    # only; the site is *placed*, never integrated) — definitionally exact
+    ("OT4", "EP"): (0.0, 0.125),
     # nucleic acids (parm94 nucleic BOND)
     ("OS", "P"): (230.0, 1.610),
     ("OH", "P"): (230.0, 1.610),
@@ -248,6 +256,8 @@ ANGLES_HIGH = {
     ("NA", "CR", "NA"): (70.0, 120.00),
     ("NA", "CR", "NB"): (70.0, 120.00),
     ("HW", "OW", "HW"): (100.0, 104.52),
+    ("HW", "OT4", "HW"): (100.0, 104.52),  # flexible-TIP4P-Ew fallback
+    ("HW", "OT4", "EP"): (0.0, 52.26),     # M-site frame, zero-k exact
     # --- nucleic acids (parm94 nucleic ANGL) -------------------------------
     ("O2", "P", "O2"): (140.0, 119.90),
     ("O2", "P", "OS"): (100.0, 108.23),
