@@ -41,8 +41,9 @@ AMBER_VEL = 20.455              # velocities: A per (1/20.455) ps
 # --------------------------------------------------------------------------
 
 def _parse_format(fmt: str):
-    """'20a4' / '5E16.8' / '10I8' -> (count, kind, width)."""
+    """'20a4' / '5E16.8' / '10I8' / '8(F9.5)' -> (count, kind, width)."""
     import re
+    fmt = fmt.replace("(", "").replace(")", "")
     m = re.match(r"\s*(\d*)\s*([aAiIeEfF])\s*(\d+)", fmt)
     if not m:
         return (1, "a", 80)
@@ -263,6 +264,30 @@ def system_from_prmtop(prmtop: str, inpcrd: str | None = None,
 
     dih_rows = np.asarray(dih_rows, float).reshape(-1, 7)
 
+    # CMAP torsion-torsion maps (ff19SB tleap CMAP_*; chamber
+    # CHARMM_CMAP_*): 6-int index rows = 5 chained atoms (1-based, NOT
+    # coordinate offsets) + 1-based type; grids tabulated from -180 deg
+    cmap_kw = {}
+    pref = ("CMAP" if "CMAP_COUNT" in sec
+            else "CHARMM_CMAP" if "CHARMM_CMAP_COUNT" in sec else None)
+    if pref is not None:
+        nterms, ntyp = sec[f"{pref}_COUNT"][:2]
+        res = sec[f"{pref}_RESOLUTION"][:ntyp]
+        if len(set(res)) > 1:
+            raise ValueError(f"mixed CMAP resolutions {sorted(set(res))} "
+                             f"are not supported")
+        grids = []
+        for t in range(ntyp):
+            vals = sec[f"{pref}_PARAMETER_{t + 1:02d}"]
+            R = int(res[t])
+            grids.append(np.asarray(vals, float).reshape(R, R) * KCAL)
+        idx6 = np.asarray(sec[f"{pref}_INDEX"], int).reshape(-1, 6)
+        a = idx6[:, :5] - 1
+        cmap_kw = dict(
+            cmap_idx=np.stack([a[:, 0], a[:, 1], a[:, 2], a[:, 3],
+                               a[:, 1], a[:, 2], a[:, 3], a[:, 4]], axis=1),
+            cmap_type=idx6[:, 5] - 1, cmap_grids=grids)
+
     coords = vel = None
     if inpcrd is not None:
         coords, vel, fbox = read_rst7(inpcrd)
@@ -300,7 +325,7 @@ def system_from_prmtop(prmtop: str, inpcrd: str | None = None,
         method=method, cutoff=cutoff, box=box,
         gb_radii=gb_radii, gb_scales=gb_scales,
         dense_pairs=dense_pairs, ewald_tol=ewald_tol,
-        dispersion_correction=dispersion_correction, **kw)
+        dispersion_correction=dispersion_correction, **cmap_kw, **kw)
     meta = dict(atom_names=sec.get("ATOM_NAME", []),
                 amber_types=sec.get("AMBER_ATOM_TYPE", []),
                 residue_labels=sec.get("RESIDUE_LABEL", []),
@@ -563,6 +588,31 @@ def save_prmtop(system, path: str, atom_names=None, amber_types=None,
                        list(np.asarray(system.gb_radii) * 10.0), 5, E)
         lines += _flag("SCREEN", "5E16.8",
                        list(np.asarray(system.gb_scales)), 5, E)
+    from .cmap import has_cmap
+    if has_cmap(system):
+        # patch coefficient c[0,0] of each cell IS the grid value, so the
+        # raw grids round-trip exactly through the bicubic precompute
+        coefs = np.asarray(system.cmap_coefs, float)
+        ci = np.asarray(system.cmap_idx, int)
+        ct = np.asarray(system.cmap_type, int)
+        if not np.array_equal(ci[:, 4:7], ci[:, 1:4]):
+            warnings.warn("CMAP terms whose two torsions are not chained "
+                          "over 5 atoms cannot be written to prmtop; "
+                          "dropping them")
+            keep = np.all(ci[:, 4:7] == ci[:, 1:4], axis=1)
+            ci, ct = ci[keep], ct[keep]
+        ntyp, R = coefs.shape[0], coefs.shape[1]
+        lines += _flag("CMAP_COUNT", "2I8", [len(ci), ntyp], 2, I)
+        lines += _flag("CMAP_RESOLUTION", "20I4", [R] * ntyp, 20, "%4d")
+        for t in range(ntyp):
+            lines += _flag(f"CMAP_PARAMETER_{t + 1:02d}", "8(F9.5)",
+                           list(coefs[t, :, :, 0, 0].reshape(-1) / KCAL),
+                           8, "%9.5f")
+        rows = []
+        for (r8, t) in zip(ci, ct):
+            rows += [r8[0] + 1, r8[1] + 1, r8[2] + 1, r8[3] + 1,
+                     r8[7] + 1, t + 1]
+        lines += _flag("CMAP_INDEX", "6I8", rows, 6, I)
     if system.box is not None:
         lines += _flag("BOX_DIMENSIONS", "5E16.8",
                        [90.0] + [b * 10.0 for b in system.box], 5, E)

@@ -248,6 +248,9 @@ def _potential_raw(sys: MDSystem, x, box=None):
     e = (bond_energy(sys, x) + angle_energy(sys, x)
          + dihedral_energy(sys, x) + nonbonded_energy(sys, x, box=box)
          + dispersion_correction_energy(sys, box=box))
+    from .cmap import cmap_energy, has_cmap
+    if has_cmap(sys):
+        e = e + cmap_energy(sys, x)
     if sys.implicit == "obc2":
         e = e + gbsa_obc2_energy(sys, x)
     return e
@@ -322,6 +325,9 @@ def energy_terms(sys: MDSystem, x):
         dihedral=dihedral_energy(sys, x),
         nonbonded=nonbonded_energy(sys, x),
     )
+    from .cmap import cmap_energy, has_cmap
+    if has_cmap(sys):
+        terms["cmap"] = cmap_energy(sys, x)
     if sys.use_dispersion:
         terms["dispersion"] = dispersion_correction_energy(sys)
     if sys.implicit == "obc2":

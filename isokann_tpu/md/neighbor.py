@@ -648,6 +648,9 @@ def bonded_energy_sparse(sys: MDSystem, x):
                           jnp.sum(n1 * n2, axis=-1))
         e = e + jnp.sum(sys.dih_pk
                         * (1.0 + jnp.cos(sys.dih_n * phi - sys.dih_phase)))
+    from .cmap import cmap_energy, has_cmap
+    if has_cmap(sys):
+        e = e + cmap_energy(sys, x)
     return e
 
 
@@ -706,6 +709,9 @@ def bonded_force_sparse(sys: MDSystem, x):
         f = (f.at[j].add(-g1).at[i].add(g1)
               .at[k].add(-g2).at[j].add(g2)
               .at[l].add(-g3).at[k].add(g3))
+    from .cmap import cmap_force, has_cmap
+    if has_cmap(sys):
+        f = f + cmap_force(sys, x)
     return f
 
 

@@ -129,6 +129,8 @@ def load_system_xml(path_or_text: str):
     barostat = None
     skipped = []
     seen_nb = False
+    cmap_grids: list = []
+    cmap_terms: list = []
 
     for force in root.find("Forces"):
         ftype = force.get("type")
@@ -169,6 +171,24 @@ def load_system_xml(path_or_text: str):
                                    _get(e, "q", "chargeProd", default=0.0),
                                    _get(e, "sig", "sigma", default=0.0),
                                    _get(e, "eps", "epsilon", default=0.0)))
+        elif ftype == "CMAPTorsionForce":
+            # grid convention: OpenMM tabulates from angle 0 (energy
+            # index = phi + R*psi, phi fastest); the engine's grids start
+            # at -pi, so roll by R/2 on both axes.  Our own exporter
+            # writes the same 0-origin convention for round-trip parity.
+            for mel in _children(force, "Maps"):
+                vals = mel.get("energy") or (mel.text or "")
+                g = np.asarray([float(v) for v in vals.split()])
+                R = int(round(math.sqrt(len(g))))
+                if R * R != len(g):
+                    raise ValueError("CMAP map is not square")
+                g = g.reshape(R, R, order="F")       # [phi, psi]
+                cmap_grids.append(np.roll(g, (R // 2, R // 2), (0, 1)))
+            for e in _children(force, "Torsions"):
+                cmap_terms.append(
+                    (int(_get(e, "map", cast=int)),
+                     [int(_get(e, f"p{k}", f"a{k}", cast=int))
+                      for k in range(1, 9)]))
         elif ftype == "GBSAOBCForce":
             gb_radii = np.zeros(n)
             gb_scales = np.zeros(n)
@@ -234,9 +254,15 @@ def load_system_xml(path_or_text: str):
         warnings.warn("LJPME import: dispersion amplitudes are rebuilt "
                       "from the per-atom LJ (geometric C6)")
 
+    cmap_kw = {}
+    if cmap_terms:
+        cmap_kw = dict(
+            cmap_idx=[a for _, a in cmap_terms],
+            cmap_type=[t for t, _ in cmap_terms],
+            cmap_grids=cmap_grids)
     system = system_from_tables(
         masses=masses, charges=charges, rmin_half=rmin_half,
-        eps=eps,
+        eps=eps, **cmap_kw,
         bond_idx=bonds[:, :2].astype(np.int32), bond_k=bonds[:, 2],
         bond_r0=bonds[:, 3],
         angle_idx=angles[:, :3].astype(np.int32), angle_k=angles[:, 3],
@@ -376,6 +402,27 @@ def save_system_xml(system, path: str | None = None, constraints=None):
         ET.SubElement(el, "Exception", eps=repr(float(eij)),
                       p1=str(int(i)), p2=str(int(j)),
                       q=repr(float(qprod)), sig=repr(float(sig_ex)))
+
+    from .cmap import has_cmap
+    if has_cmap(system):
+        f = ET.SubElement(forces, "Force", forceGroup="0",
+                          name="CMAPTorsionForce", type="CMAPTorsionForce",
+                          usesPeriodic="0", version="2")
+        ml = ET.SubElement(f, "Maps")
+        coefs = np.asarray(system.cmap_coefs, float)
+        R = coefs.shape[1]
+        for t in range(coefs.shape[0]):
+            grid = coefs[t, :, :, 0, 0]                   # [phi, psi], -pi
+            g0 = np.roll(grid, (-(R // 2), -(R // 2)), (0, 1))  # 0-origin
+            ET.SubElement(ml, "Map", energy=" ".join(
+                repr(float(v)) for v in g0.reshape(-1, order="F")))
+        tl = ET.SubElement(f, "Torsions")
+        for r8, t in zip(np.asarray(system.cmap_idx, int),
+                         np.asarray(system.cmap_type, int)):
+            attrs = {"map": str(int(t))}
+            for k in range(8):
+                attrs[f"p{k + 1}"] = str(int(r8[k]))
+            ET.SubElement(tl, "Torsion", **attrs)
 
     if system.implicit == "obc2" and system.gb_radii.shape[0] == n:
         f = ET.SubElement(forces, "Force", cutoff=repr(float(system.cutoff)),

@@ -79,6 +79,11 @@ class MDSystem:
     vs_w: jnp.ndarray = None          # (n, 3) placement weights
     vs_rev: jnp.ndarray = None        # (n, kmax) int32 owning-site idx
     vs_rev_w: jnp.ndarray = None      # (n, kmax) redistribution weights
+    # CMAP torsion-torsion correction maps (ff19SB / CHARMM class;
+    # md/cmap.py).  Zero-size (or None on old pickles) when absent.
+    cmap_idx: jnp.ndarray = None      # (nc, 8) int32 two torsion quads
+    cmap_type: jnp.ndarray = None     # (nc,) int32 map index
+    cmap_coefs: jnp.ndarray = None    # (nt, R, R, 4, 4) bicubic patches
     # nonbonded method (static)
     method: str = "CutoffPeriodic"
     cutoff: float = 1.0         # nm
@@ -112,7 +117,8 @@ class MDSystem:
                     self.ewald_kvecs, self.ewald_coefs,
                     self.q6, self.ljpme_coefs,
                     self.vs_idx, self.vs_gather, self.vs_w,
-                    self.vs_rev, self.vs_rev_w)
+                    self.vs_rev, self.vs_rev_w,
+                    self.cmap_idx, self.cmap_type, self.cmap_coefs)
         aux = (self.method, self.cutoff, self.eps_rf, self.box, self.implicit,
                self.dense_pairs, self.ewald_alpha,
                self.use_dispersion, self.disp_c6sum, self.disp_c12sum,
@@ -242,6 +248,7 @@ def system_from_tables(*, masses, charges, rmin_half, eps,
                        method: str = "NoCutoff", cutoff: float = 1.0,
                        eps_rf: float = 78.5, box=None,
                        gb_radii=None, gb_scales=None,
+                       cmap_idx=None, cmap_type=None, cmap_grids=None,
                        dense_pairs="auto", ewald_tol: float = 5e-4,
                        dispersion_correction: bool = True,
                        dtype=jnp.float32) -> MDSystem:
@@ -259,6 +266,11 @@ def system_from_tables(*, masses, charges, rmin_half, eps,
     1/1.2 and 1/2 for Amber 1-4); pairs not listed interact at scale 1.
     ``gb_radii``/``gb_scales`` (intrinsic Born radii [nm] + OBC factors)
     switch on OBC2 implicit solvent.
+
+    ``cmap_idx`` (nc, 8) / ``cmap_type`` (nc,) / ``cmap_grids`` (list of
+    (R, R) energy grids [kJ], angle origin -pi): CMAP torsion-torsion
+    corrections (ff19SB/CHARMM class, ``md/cmap.py``); bicubic patch
+    coefficients are precomputed here in f64.
     """
     def np1(a, dt=np.float64):
         return (np.zeros((0,), dt) if a is None
@@ -285,6 +297,16 @@ def system_from_tables(*, masses, charges, rmin_half, eps,
         if len(eidx) else eidx
     eqq = np1(excl_qq)
     elj_w = np1(excl_lj)
+
+    ci = (np.zeros((0, 8), np.int32) if cmap_idx is None
+          else np.asarray(cmap_idx, np.int32).reshape(-1, 8))
+    ct = (np.zeros((0,), np.int32) if cmap_type is None
+          else np.asarray(cmap_type, np.int32).reshape(-1))
+    if len(ci):
+        from .cmap import bicubic_coefs
+        cc = np.stack([bicubic_coefs(g) for g in cmap_grids])
+    else:
+        cc = np.zeros((0, 0, 0, 4, 4))
 
     implicit = "obc2" if gb_radii is not None else None
     if implicit is not None:
@@ -365,6 +387,8 @@ def system_from_tables(*, masses, charges, rmin_half, eps,
         ewald_alpha=float(ewald_alpha_v),
         q6=arr(q6_v), ljpme_coefs=arr(lj6cf),
         ljpme_beta=float(ljpme_beta_v),
+        cmap_idx=arr(ci, jnp.int32), cmap_type=arr(ct, jnp.int32),
+        cmap_coefs=arr(cc),
         use_dispersion=use_disp, disp_c6sum=s6, disp_c12sum=s12,
         method=method, cutoff=float(cutoff), eps_rf=float(eps_rf),
         box=tuple(float(b) for b in box) if box is not None else None,
