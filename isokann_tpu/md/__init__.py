@@ -6,7 +6,8 @@ from .minimize import minimize_energy
 from .barostat import MonteCarloBarostat, npt_langevin, molecule_map
 from .ligand import parameterize_ligand
 from .importers import (load_frcmod, load_mol2, load_ffxml,
-                        register_ligand_frcmod, register_ligand_ffxml)
+                        register_ligand_frcmod, register_ligand_ffxml,
+                        register_forcefield_ffxml)
 from .system import system_from_tables
 from .amberio import (load_prmtop, read_rst7, write_rst7,
                       system_from_prmtop, save_prmtop)

@@ -281,11 +281,120 @@ def load_ffxml(path: str):
             else:
                 rbonds.append((alist[int(b.get("from"))],
                                alist[int(b.get("to"))]))
-        residues[res.get("name")] = dict(atoms=ratoms, bonds=rbonds)
+        residues[res.get("name")] = dict(
+            atoms=ratoms, bonds=rbonds,
+            has_vsites=res.find("VirtualSite") is not None)
 
     return dict(types=types, type_class=type_class, bonds=bonds,
                 angles=angles, dihedrals=dihedrals, impropers=impropers,
                 residues=residues)
+
+
+def register_forcefield_ffxml(path: str, residues=None,
+                              override: bool = True, strict: bool = True):
+    """Register EVERY residue template and parameter table from an OpenMM
+    force-field XML — the reference's exact input format
+    (``ForceField(*forcefields)``, ``src/simulators/mopenmm.py:54``,
+    default ``amber14-all.xml`` per ``src/simulators/openmm.jl:130``).
+
+    After this call, ``build_system``/``MDSimulation`` resolve matching
+    residues with the XML's exact charges and parameters instead of the
+    embedded ff99SB-class tables — the no-OpenMM path to ff14SB/ff19SB
+    exactness when the user has the (public, Apache-licensed) XML file.
+
+    - ``residues``: optional subset of residue names to register
+      (default: all in the file)
+    - ``override=True``: XML values replace colliding embedded
+      types/parameters (amber14-class files use their own class names,
+      so collisions are rare outside water/ions)
+    - ``strict``: raise on within-class LJ conflicts (two types of one
+      class with different LJ cannot be represented by class-keyed
+      tables); False warns and keeps the first
+
+    Terminal templates (``NALA``/``CALA``...) present in the file are
+    registered as-is and override any auto-generated variants.  Residues
+    containing virtual sites (4/5-site waters) are skipped with a warning
+    — use ``MDSimulation(water_model=...)`` or the serialized-System
+    importer for those.  Returns the list of registered residue names.
+    """
+    import warnings
+
+    ff = load_ffxml(path)
+    cls = ff["type_class"]
+
+    class_types: Dict[str, tuple] = {}
+    for t, v in ff["types"].items():
+        c = cls.get(t, t)
+        if c in class_types:
+            prev = class_types[c]
+            if (abs(prev[1] - v[1]) > 1e-6 or abs(prev[2] - v[2]) > 1e-6):
+                msg = (f"types of class {c!r} carry different LJ "
+                       f"({prev[1:]} vs {v[1:]}); class-keyed tables "
+                       f"cannot represent this")
+                if strict:
+                    raise ValueError(msg)
+                warnings.warn(msg + "; keeping the first")
+        else:
+            class_types[c] = v
+
+    def merged(table, new):
+        if override:
+            return new
+        return {k: v for k, v in new.items() if k not in table}
+
+    amber.ATOM_TYPES.update(merged(amber.ATOM_TYPES, class_types))
+    amber.BONDS.update(merged(amber.BONDS, ff["bonds"]))
+    amber.ANGLES.update(merged(amber.ANGLES, ff["angles"]))
+    amber.DIHEDRALS.update(merged(amber.DIHEDRALS, ff["dihedrals"]))
+    amber.IMPROPERS.update(merged(amber.IMPROPERS, ff["impropers"]))
+
+    wanted = list(ff["residues"]) if residues is None else list(residues)
+
+    def is_terminal_variant(r):
+        return len(r) > 3 and r[0] in "NC" and r[1:] in ff["residues"]
+
+    ordered = ([r for r in wanted if not is_terminal_variant(r)]
+               + [r for r in wanted if is_terminal_variant(r)])
+    done = []
+    for rname in ordered:
+        res = ff["residues"].get(rname)
+        if res is None:
+            raise ValueError(f"residue {rname} not in {path}")
+        if res.get("has_vsites"):
+            warnings.warn(f"residue {rname} contains virtual sites; "
+                          f"skipped (use water_model=... or the "
+                          f"serialized-System importer)")
+            continue
+        if not override and rname in amber.RESIDUES:
+            continue
+        atoms = {n: (cls.get(t, t), q) for n, (t, q) in res["atoms"].items()}
+        q_total = sum(q for _, q in atoms.values())
+        if abs(q_total - round(q_total)) > 5e-3:
+            warnings.warn(f"residue {rname} charge sum {q_total:+.4f} is "
+                          f"not integral")
+        amber.register_residue(
+            rname, atoms, res["bonds"],
+            formal_charge=int(round(q_total)),
+            normalize=False,
+            # XML-provided N*/C* templates are authoritative: never let a
+            # base residue auto-generate variants that would mask them
+            terminal_variants=False)
+        done.append(rname)
+    # fallback terminal variants only where the file supplied none
+    for rname in done:
+        if is_terminal_variant(rname):
+            continue
+        names = set(amber.RESIDUES[rname]["atoms"])
+        if not {"N", "H", "CA", "C", "O"} <= names:
+            continue
+        try:
+            if "N" + rname not in amber.RESIDUES:
+                amber.make_nterminal(rname)
+            if "C" + rname not in amber.RESIDUES:
+                amber.make_cterminal(rname)
+        except (ValueError, KeyError):
+            pass
+    return done
 
 
 def register_ligand_ffxml(name: str, ffxml_path: str, residue=None):
