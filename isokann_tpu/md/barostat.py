@@ -103,6 +103,12 @@ class MonteCarloBarostat:
     def move(self, key, x, state):
         """One MC volume move.  ``x``: (natoms, 3); returns (x', state')."""
         box, dv_scale, n_att, n_acc, win_acc = state
+        # virtual-site rows in the integrator state are stale (sites are
+        # pinned during dynamics); re-place before energies and centers.
+        # A rigid per-molecule translation commutes with the affine
+        # placement, so the moved frame stays exactly placed.
+        from .vsites import place_vsites
+        x = place_vsites(self.sys, x)
         k1, k2 = jax.random.split(key)
         V = jnp.prod(box)
         dV = dv_scale * jax.random.uniform(k1, (), minval=-1.0, maxval=1.0)
@@ -172,10 +178,15 @@ def npt_langevin(sim, x0=None, key=None, steps=1000, pressure=1.0,
 
     if baro.plan is not None:
         from .neighbor import force_neighbor
+        from .vsites import place_vsites, redistribute_forces
 
         def force(xf, box):
-            return force_neighbor(sys, xf.reshape(-1, 3), baro.plan,
-                                  box=box).reshape(-1)
+            # analytic path: place sites, hand their forces back to the
+            # parents (the dense branch gets both from the autodiff chain
+            # through potential_energy's internal placement)
+            xp = place_vsites(sys, xf.reshape(-1, 3))
+            f = force_neighbor(sys, xp, baro.plan, box=box)
+            return redistribute_forces(sys, f).reshape(-1)
     else:
         def force(xf, box):
             return -jax.grad(lambda z: potential_energy(

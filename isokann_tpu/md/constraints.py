@@ -30,6 +30,8 @@ class ConstraintSet:
     "AllBonds".
     """
 
+    wstride = 3        # class default: pickles from before 4-site waters
+
     def __init__(self, system, which: str | None = "HBonds",
                  water: np.ndarray | None = None, iters: int = 25,
                  pairs=None):
@@ -105,14 +107,21 @@ class ConstraintSet:
         # waters form one contiguous (O, H1, H2)* block, their three
         # constraints are solved on a (..., nw, 3, 3) view with purely
         # elementwise updates — no gathers or scatters at all.
-        self.wstart, self.nwater = None, 0
+        self.wstart, self.nwater, self.wstride = None, 0, 3
         if water is not None and len(water):
             trip = np.asarray(water)        # (nw, 3) as (O, H1, H2) roles
             lo = trip.min(axis=1)
             rel = trip - lo[:, None]        # within-block role positions
-            block = (np.all(np.sort(rel, axis=1) == [0, 1, 2])
+            # molecule stride: 3 for TIP3P, 4 for 4-site (TIP4P) waters
+            # whose massless M rides at the end of each block, untouched
+            # by the solver (its inverse mass is 0 and it is re-placed by
+            # md/vsites.py at every force evaluation)
+            S = int(np.diff(lo)[0]) if len(lo) > 1 else 3
+            block = (S in (3, 4)
+                     and np.all(np.sort(rel, axis=1) == [0, 1, 2])
                      and np.all(rel == rel[0])          # uniform atom order
-                     and np.all(np.diff(lo) == 3))
+                     and np.all(np.diff(lo) == S)
+                     and rel.max() < S)
             if block:
                 from .solvate import R_OH, ANG_HOH
                 import math
@@ -120,10 +129,11 @@ class ConstraintSet:
                 pO, pH1, pH2 = (int(r) for r in rel[0])
                 self.wstart = int(lo[0])
                 self.nwater = len(trip)
+                self.wstride = S
                 # block-position pairs with their target lengths
                 self._wpairs = ((pO, pH1), (pO, pH2), (pH1, pH2))
                 self.w_r0 = jnp.asarray([R_OH, R_OH, r_hh], jnp.float32)
-                invm_blk = np.empty(3)
+                invm_blk = np.zeros(S)
                 invm_blk[list(rel[0])] = 1.0 / masses[trip[0]]
                 self.w_invm = jnp.asarray(invm_blk, jnp.float32)
                 for (a, b, c) in trip:
@@ -188,16 +198,16 @@ class ConstraintSet:
     def _wview(self, arr):
         lead = arr.shape[:-1]
         a = arr.reshape(*lead, self.natoms, 3)
-        s = self.wstart
-        return a[..., s:s + 3 * self.nwater, :].reshape(
-            *lead, self.nwater, 3, 3)
+        s, S = self.wstart, self.wstride
+        return a[..., s:s + S * self.nwater, :].reshape(
+            *lead, self.nwater, S, 3)
 
     def _wset(self, arr, wat):
         lead = arr.shape[:-1]
         a = arr.reshape(*lead, self.natoms, 3)
-        s = self.wstart
-        a = a.at[..., s:s + 3 * self.nwater, :].set(
-            wat.reshape(*lead, 3 * self.nwater, 3))
+        s, S = self.wstart, self.wstride
+        a = a.at[..., s:s + S * self.nwater, :].set(
+            wat.reshape(*lead, S * self.nwater, 3))
         return a.reshape(arr.shape)
 
     def _shake_water(self, x_ref, x):
@@ -208,7 +218,8 @@ class ConstraintSet:
         r02 = self.w_r0 ** 2
 
         def sweep(_, xc):
-            upd = [0.0, 0.0, 0.0]
+            upd = [jnp.zeros_like(xc[..., 0, :])
+                   for _ in range(self.wstride)]
             for k, (i, j) in enumerate(self._wpairs):
                 d = xc[..., i, :] - xc[..., j, :]
                 c = jnp.sum(d * d, axis=-1) - r02[k]
@@ -229,7 +240,8 @@ class ConstraintSet:
         w = self.w_invm
 
         def sweep(_, vc):
-            upd = [0.0, 0.0, 0.0]
+            upd = [jnp.zeros_like(vc[..., 0, :])
+                   for _ in range(self.wstride)]
             for k, (i, j) in enumerate(self._wpairs):
                 rv = jnp.sum((vc[..., i, :] - vc[..., j, :]) * d[k], axis=-1)
                 lam = rv / ((w[i] + w[j]) * dd[k])

@@ -103,6 +103,12 @@ def test_tip4pew_box_builds_and_runs():
     np.testing.assert_allclose(m[vs], 0.0)
     assert float(np.asarray(sim.masses3).max()) > 1e20
 
+    # the contiguous-water constraint fast path handles stride-4 blocks
+    # (the M rows ride along untouched; generic Jacobi would be ~10x
+    # slower at box scale)
+    cs = sim.constraint_set
+    assert cs is not None and cs.nwater == nv and cs.wstride == 4
+    assert cs.ngeneric == 0
     ys = sim.propagate(jnp.asarray(sim.coords)[None, :], nk=2,
                        key=jax.random.PRNGKey(0))
     ys = np.asarray(ys).reshape(2, -1, 3)
@@ -138,6 +144,30 @@ def test_tip4pew_energy_uses_m_charge():
     x3[int(np.asarray(sys.vs_gather)[vs[0], 0])] += 0.05
     e3 = float(potential_energy_flat(sys, jnp.asarray(x3.reshape(-1))))
     assert abs(e3 - e1) > 1.0
+
+
+def test_npt_with_tip4pew():
+    """NPT composes with 4-site water: the volume move re-places stale M
+    rows, molecules (incl. their M) translate rigidly, energies stay
+    finite, and the returned frame is exactly placed."""
+    from isokann_tpu.md.barostat import npt_langevin
+    sim = itk.MDSimulation(addwater=True, padding=0.45,
+                           water_model="tip4pew", steps=2,
+                           rigidwater=False, features=[(0, 4)],
+                           method="CutoffPeriodic")
+    xf, box, info = npt_langevin(sim, key=jax.random.PRNGKey(4),
+                                 steps=10, interval=5, pressure=1.0)
+    assert np.isfinite(np.asarray(xf)).all()
+    assert (np.asarray(box) > 0.5).all()
+    x = np.asarray(xf).reshape(-1, 3)
+    sys = sim.system
+    vs = np.asarray(sys.vs_idx)
+    par = np.asarray(sys.vs_gather)[vs]
+    w = M_WEIGHTS
+    want = w[0] * x[par[:, 0]] + w[1] * x[par[:, 1]] + w[2] * x[par[:, 2]]
+    np.testing.assert_allclose(x[vs], want, atol=2e-6)
+    e = float(potential_energy_flat(sys, jnp.asarray(xf)))
+    assert np.isfinite(e)
 
 
 def test_system_xml_vsite_roundtrip():
