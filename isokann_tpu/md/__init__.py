@@ -11,5 +11,5 @@ from .importers import (load_frcmod, load_mol2, load_ffxml,
 from .system import system_from_tables
 from .amberio import (load_prmtop, read_rst7, write_rst7,
                       system_from_prmtop, save_prmtop)
-from .openmm_xml import load_system_xml, save_system_xml
+from .openmm_xml import load_system_xml, save_system_xml, load_state_xml
 from .vsites import attach_vsites, place_vsites, place_vsites_flat

@@ -186,7 +186,7 @@ def npt_langevin(sim, x0=None, key=None, steps=1000, pressure=1.0,
             # through potential_energy's internal placement)
             xp = place_vsites(sys, xf.reshape(-1, 3))
             f = force_neighbor(sys, xp, baro.plan, box=box)
-            return redistribute_forces(sys, f).reshape(-1)
+            return redistribute_forces(sys, f, xp).reshape(-1)
     else:
         def force(xf, box):
             return -jax.grad(lambda z: potential_energy(

@@ -288,7 +288,7 @@ def force(sys: MDSystem, x):
     if has_vsites(sys):
         xp = place_vsites(sys, x)
         f = -jax.grad(lambda xi: _potential_raw(sys, xi))(xp)
-        return redistribute_forces(sys, f)
+        return redistribute_forces(sys, f, xp)
     return -jax.grad(lambda xi: _potential_raw(sys, xi))(x)
 
 
@@ -305,14 +305,15 @@ def force_flat(sys: MDSystem, xflat):
     if not sys.dense_pairs:
         from .neighbor import force_flat_neighbor
         f = force_flat_neighbor(sys, xflat)
-        return redistribute_forces_flat(sys, f)
+        return redistribute_forces_flat(sys, f, xflat)
     x = jnp.asarray(xflat)
     shape = x.shape
     xs = x.reshape((-1, sys.natoms, 3))
     f = jax.vmap(lambda xi: -jax.grad(
         lambda z: _potential_raw(sys, z))(xi))(xs)
     f = f.reshape(shape)
-    return redistribute_forces_flat(sys, f) if has_vsites(sys) else f
+    return (redistribute_forces_flat(sys, f, x)
+            if has_vsites(sys) else f)
 
 
 def energy_terms(sys: MDSystem, x):

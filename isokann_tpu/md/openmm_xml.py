@@ -81,17 +81,25 @@ def load_system_xml(path_or_text: str):
         if vs is None:
             continue
         vt = vs.get("type")
-        if vt not in ("average2", "average3"):
+        if vt in ("average2", "average3"):
+            np_ = 2 if vt == "average2" else 3
+            parents = [int(_get(vs, f"particle{k}", f"p{k}", cast=int))
+                       for k in range(1, np_ + 1)]
+            weights = [float(_get(vs, f"weight{k}", f"w{k}"))
+                       for k in range(1, np_ + 1)]
+            vsites.append((i, parents, weights, 0.0))
+        elif vt == "outOfPlane":
+            parents = [int(_get(vs, f"particle{k}", f"p{k}", cast=int))
+                       for k in (1, 2, 3)]
+            w12 = float(_get(vs, "weight12"))
+            w13 = float(_get(vs, "weight13"))
+            wcr = float(_get(vs, "weightCross", "weightcross"))
+            vsites.append((i, parents, [1.0 - w12 - w13, w12, w13], wcr))
+        else:
             raise ValueError(
                 f"virtual site type {vt!r} is not supported (average2/"
-                f"average3 only; outOfPlane/localCoords sites need an "
-                f"engine extension)")
-        np_ = 2 if vt == "average2" else 3
-        parents = [int(_get(vs, f"particle{k}", f"p{k}", cast=int))
-                   for k in range(1, np_ + 1)]
-        weights = [float(_get(vs, f"weight{k}", f"w{k}"))
-                   for k in range(1, np_ + 1)]
-        vsites.append((i, parents, weights))
+                f"average3/outOfPlane; localCoords sites need an engine "
+                f"extension)")
     n = len(masses)
 
     box = None
@@ -276,16 +284,51 @@ def load_system_xml(path_or_text: str):
         ewald_tol=ewald_tol, dispersion_correction=dispersion)
     if vsites:
         from .vsites import attach_vsites
-        kmax = max(len(p) for _, p, _ in vsites)
+        kmax = max(len(p) for _, p, _, _ in vsites)
         par = np.zeros((len(vsites), kmax), np.int32)
         wts = np.zeros((len(vsites), kmax))
-        for r, (_, p, w) in enumerate(vsites):
+        for r, (_, p, w, _) in enumerate(vsites):
             par[r, :len(p)] = p
             par[r, len(p):] = p[0]
             wts[r, :len(w)] = w
-        system = attach_vsites(system, [s for s, _, _ in vsites], par, wts)
+        system = attach_vsites(system, [s for s, _, _, _ in vsites],
+                               par, wts,
+                               vs_cross=[c for _, _, _, c in vsites])
     meta = dict(barostat=barostat, skipped_forces=skipped)
     return system, constraints, meta
+
+
+def load_state_xml(path_or_text: str):
+    """Parse a serialized OpenMM State (``simulation.saveState(file)`` /
+    ``XmlSerializer.serialize(state)``).
+
+    Returns ``(coords (n, 3) [nm], velocities (n, 3) [nm/ps] or None,
+    box (3,) [nm] or None)`` — the natural companion of
+    ``load_system_xml`` for moving a running reference simulation here.
+    """
+    text = path_or_text
+    if "\n" not in path_or_text and not path_or_text.lstrip().startswith("<"):
+        with open(path_or_text) as f:
+            text = f.read()
+    root = ET.fromstring(text)
+    if root.tag != "State":
+        raise ValueError(f"not a serialized State (root <{root.tag}>)")
+
+    def vectors(tag):
+        el = root.find(tag)
+        if el is None:
+            return None
+        return np.asarray([[_get(p, "x"), _get(p, "y"), _get(p, "z")]
+                           for p in el], float)
+
+    coords = vectors("Positions")
+    vel = vectors("Velocities")
+    box = None
+    pbv = root.find("PeriodicBoxVectors")
+    if pbv is not None:
+        a, b, c = pbv.find("A"), pbv.find("B"), pbv.find("C")
+        box = np.asarray([_get(a, "x"), _get(b, "y"), _get(c, "z")])
+    return coords, vel, box
 
 
 def save_system_xml(system, path: str | None = None, constraints=None):
@@ -307,18 +350,29 @@ def save_system_xml(system, path: str | None = None, constraints=None):
     for name, v in zip("ABC", np.diag(box)):
         ET.SubElement(pbv, name, x=repr(float(v[0])), y=repr(float(v[1])),
                       z=repr(float(v[2])))
-    from .vsites import has_vsites
+    from .vsites import has_vsites, _has_oop
     site_rows = {}
     if has_vsites(system):
         g = np.asarray(system.vs_gather, int)
         w = np.asarray(system.vs_w, float)
+        wc = (np.asarray(system.vs_wc, float) if _has_oop(system)
+              else np.zeros(len(masses)))
         for s in np.asarray(system.vs_idx, int):
-            site_rows[int(s)] = (g[s], w[s])
+            site_rows[int(s)] = (g[s], w[s], wc[s])
     parts = ET.SubElement(root, "Particles")
     for i, m in enumerate(masses):
         pe = ET.SubElement(parts, "Particle", mass=repr(float(m)))
         if i in site_rows:
-            g, w = site_rows[i]
+            g, w, wci = site_rows[i]
+            if wci != 0.0:
+                attrs = {"type": "outOfPlane",
+                         "weight12": repr(float(w[1])),
+                         "weight13": repr(float(w[2])),
+                         "weightCross": repr(float(wci))}
+                for k in (1, 2, 3):
+                    attrs[f"particle{k}"] = str(int(g[k - 1]))
+                ET.SubElement(pe, "VirtualSite", **attrs)
+                continue
             # collapse padded duplicate parents
             seen = {}
             for p, wt in zip(g, w):

@@ -79,6 +79,10 @@ class MDSystem:
     vs_w: jnp.ndarray = None          # (n, 3) placement weights
     vs_rev: jnp.ndarray = None        # (n, kmax) int32 owning-site idx
     vs_rev_w: jnp.ndarray = None      # (n, kmax) redistribution weights
+    # out-of-plane sites only (zero-size otherwise): cross-term weight
+    # per atom [1/nm] and the parent-slot of each reverse entry (1/2/3)
+    vs_wc: jnp.ndarray = None         # (n,) or (0,)
+    vs_rev_slot: jnp.ndarray = None   # (n, kmax) int32 or (0, 0)
     # CMAP torsion-torsion correction maps (ff19SB / CHARMM class;
     # md/cmap.py).  Zero-size (or None on old pickles) when absent.
     cmap_idx: jnp.ndarray = None      # (nc, 8) int32 two torsion quads
@@ -118,6 +122,7 @@ class MDSystem:
                     self.q6, self.ljpme_coefs,
                     self.vs_idx, self.vs_gather, self.vs_w,
                     self.vs_rev, self.vs_rev_w,
+                    self.vs_wc, self.vs_rev_slot,
                     self.cmap_idx, self.cmap_type, self.cmap_coefs)
         aux = (self.method, self.cutoff, self.eps_rf, self.box, self.implicit,
                self.dense_pairs, self.ewald_alpha,

@@ -296,8 +296,11 @@ class MDSimulation(IsoSimulation):
         def vswrap(fn):
             if not has_vsites(sys):
                 return fn
-            return lambda x: redistribute_forces_flat(
-                sys, fn(place_vsites_flat(sys, x)))
+
+            def wrapped(x):
+                xp = place_vsites_flat(sys, x)
+                return redistribute_forces_flat(sys, fn(xp), xp)
+            return wrapped
 
         if not sys.dense_pairs:
             # large solvated systems: O(n) cell-list neighbor engine with

@@ -276,6 +276,30 @@ def test_from_system_simulation(ala, tmp_path):
     assert np.isfinite(np.asarray(feats)).all()
 
 
+def test_state_xml_load():
+    from isokann_tpu.md import load_state_xml
+    xml = """<?xml version="1.0" ?>
+<State openmmVersion="8.1" time="12.5" type="State" version="1">
+ <PeriodicBoxVectors>
+  <A x="2.5" y="0" z="0"/><B x="0" y="2.6" z="0"/><C x="0" y="0" z="2.7"/>
+ </PeriodicBoxVectors>
+ <Positions>
+  <Position x="0.1" y="0.2" z="0.3"/>
+  <Position x="0.4" y="0.5" z="0.6"/>
+ </Positions>
+ <Velocities>
+  <Velocity x="1.0" y="-1.0" z="0.5"/>
+  <Velocity x="0.0" y="0.25" z="0.0"/>
+ </Velocities>
+</State>"""
+    coords, vel, box = load_state_xml(xml)
+    np.testing.assert_allclose(coords, [[0.1, 0.2, 0.3], [0.4, 0.5, 0.6]])
+    np.testing.assert_allclose(vel, [[1.0, -1.0, 0.5], [0.0, 0.25, 0.0]])
+    np.testing.assert_allclose(box, [2.5, 2.6, 2.7])
+    with pytest.raises(ValueError, match="not a serialized State"):
+        load_state_xml("<System/>")
+
+
 def test_system_xml_roundtrip_pme(tmp_path):
     """Solvated periodic system: PME settings, box, rigid-water
     constraints and the dispersion correction survive the XML round trip."""

@@ -196,12 +196,75 @@ def test_unsupported_vsite_type_raises():
  <Particles>
   <Particle mass="16"/><Particle mass="1"/><Particle mass="1"/>
   <Particle mass="0">
-   <VirtualSite type="outOfPlane" particle1="0" particle2="1"
-    particle3="2" weight12="0.5" weight13="0.5" weightCross="1.0"/>
+   <VirtualSite type="localCoords" particle1="0" particle2="1"
+    particle3="2"/>
   </Particle>
  </Particles>
  <Constraints/>
  <Forces/>
 </System>"""
-    with pytest.raises(ValueError, match="outOfPlane"):
+    with pytest.raises(ValueError, match="localCoords"):
         load_system_xml(xml)
+
+
+def _oop_system():
+    """TIP5P-style out-of-plane site: 4 atoms, the last placed off the
+    0-1-2 plane via the cross term."""
+    from isokann_tpu.md.system import system_from_tables
+    w12, w13, wc = 0.4, 0.3, 5.0
+    sys = system_from_tables(
+        masses=[16.0, 1.0, 1.0, 0.0],
+        charges=[0.2, 0.2, 0.2, -0.6],
+        rmin_half=[0.17, 0.0, 0.0, 0.0],
+        eps=[0.6, 0.0, 0.0, 0.0],
+        bond_idx=[(0, 1), (0, 2)],
+        bond_k=[20000.0, 20000.0], bond_r0=[0.1, 0.1],
+        excl_idx=[(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)],
+        excl_qq=[0.0] * 6, excl_lj=[0.0] * 6,
+        method="NoCutoff")
+    return attach_vsites(sys, [3], [(0, 1, 2)],
+                         [(1.0 - w12 - w13, w12, w13)],
+                         vs_cross=[wc]), (w12, w13, wc)
+
+
+def test_outofplane_placement():
+    sys, (w12, w13, wc) = _oop_system()
+    x = jnp.asarray([[0.0, 0.0, 0.0], [0.1, 0.0, 0.0], [0.0, 0.1, 0.0],
+                     [7.0, 7.0, 7.0]])
+    xp = np.asarray(place_vsites(sys, x))
+    d12 = np.asarray(x[1] - x[0])
+    d13 = np.asarray(x[2] - x[0])
+    want = (np.asarray(x[0]) + w12 * d12 + w13 * d13
+            + wc * np.cross(d12, d13))
+    np.testing.assert_allclose(xp[3], want, atol=1e-6)
+    assert abs(want[2]) > 1e-3            # genuinely off-plane
+    np.testing.assert_array_equal(xp[:3], np.asarray(x[:3]))
+
+
+def test_outofplane_force_transpose_matches_autodiff():
+    """The hand-derived cross-term transpose must equal autodiff of
+    E(place(x)) exactly (the F1/F2/F3 formulas in redistribute_forces)."""
+    from isokann_tpu.md.forces import _potential_raw
+    sys, _ = _oop_system()
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(4, 3)) * 0.06)
+    f_auto = -jax.grad(
+        lambda z: _potential_raw(sys, place_vsites(sys, z)))(x)
+    f_engine = force_flat(sys, x.reshape(-1)).reshape(4, 3)
+    np.testing.assert_allclose(np.asarray(f_engine[:3]),
+                               np.asarray(f_auto[:3]), rtol=2e-4,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(f_engine[3]), 0.0, atol=1e-7)
+
+
+def test_outofplane_xml_roundtrip():
+    from isokann_tpu.md import load_system_xml, save_system_xml
+    from isokann_tpu.md.forces import potential_energy_flat
+    sys, _ = _oop_system()
+    text = save_system_xml(sys)
+    assert 'type="outOfPlane"' in text
+    sys2, _, _ = load_system_xml(text)
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(12,)) * 0.05)
+    np.testing.assert_allclose(float(potential_energy_flat(sys2, x)),
+                               float(potential_energy_flat(sys, x)),
+                               rtol=1e-5, atol=1e-5)
