@@ -437,7 +437,9 @@ class Iso:
         run = self._fused_run_fn(cap, nk, xs.shape[-1], n, epochs, weighted, cache_key)
         self.key, sub = jax.random.split(self.key)
         params, opt_state = self.model.params, self.opt_state
-        if self.shard and jax.device_count() > 1 and cap % jax.device_count() == 0:
+        from .parallel import device_count as _mesh_device_count
+        if self.shard and _mesh_device_count() > 1 \
+                and cap % _mesh_device_count() == 0:
             # automatic data parallelism: batch dims sharded over all
             # devices, params replicated; XLA GSPMD inserts the gradient
             # psum and the global min/max shift-scale reductions

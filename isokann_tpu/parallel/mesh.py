@@ -30,11 +30,39 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_default_devices = None
+
+
+def set_default_devices(devices) -> None:
+    """Pin the device list that ``make_mesh()``/``device_count()`` use when
+    no explicit devices are given (``None`` restores ``jax.devices()``).
+
+    Needed when the default backend is not the mesh backend: the axon TPU
+    plugin claims the default backend at first use, so a process that
+    touched the TPU before building a virtual CPU mesh (e.g. the driver's
+    ``entry()`` compile check before ``dryrun_multichip``) would otherwise
+    shard-gate on ``jax.device_count() == 1``."""
+    global _default_devices
+    _default_devices = None if devices is None else list(devices)
+
+
+def default_devices():
+    """The device list sharded paths use: the ``set_default_devices``
+    override if set, else ``jax.devices()``."""
+    return (list(_default_devices) if _default_devices is not None
+            else jax.devices())
+
+
+def device_count() -> int:
+    """``len(default_devices())`` — the shard-condition device count."""
+    return len(default_devices())
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data",
               devices=None) -> Mesh:
     """1-D device mesh over the first ``n_devices`` devices (or an explicit
     device list)."""
-    devices = jax.devices() if devices is None else list(devices)
+    devices = default_devices() if devices is None else list(devices)
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))

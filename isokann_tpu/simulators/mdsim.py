@@ -541,8 +541,9 @@ class MDSimulation(IsoSimulation):
             xs = jnp.concatenate(
                 [xs, jnp.tile(xs[-1:], (bucket - nw, 1))], axis=0)
         run = self._propagate_fn(bucket, nsteps, self.bias is not None)
-        if (jax.device_count() > 1 and jax.process_count() == 1
-                and bucket % jax.device_count() == 0
+        from ..parallel import device_count as _mesh_device_count
+        if (_mesh_device_count() > 1 and jax.process_count() == 1
+                and bucket % _mesh_device_count() == 0
                 and not self._force_path_has_pallas(bucket)):
             # multi-chip: walker-shard the batch; the propagation is
             # embarrassingly parallel, so GSPMD partitions the program
