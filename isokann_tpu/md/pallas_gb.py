@@ -276,13 +276,249 @@ def _force_one_walker(plan: GBPlan, xT, x8, consts, TJ=128):
     return jnp.concatenate([fx, fy, fz, zero, zero, zero, zero, zero], axis=1)
 
 
-def gb_force_pallas(sys: MDSystem, xb, interpret=False):
+def _force_one_walker_tri(plan: GBPlan, xT, x8, consts, T=128):
+    """Upper-triangle tiled variant of :func:`_force_one_walker`.
+
+    The total per-pair force coefficient is symmetric — with the
+    full-grid accumulation written as F_i = -sum_j w_ij dx_ij plus the
+    descreening transpose term +sum_j GdR_ji dx_ji, substituting
+    dx_ji = -dx_ij gives
+
+        F_i = -sum_j (w_sym_ij + 2 dEdr2_ij + GdR_ij + GdR_ji) dx_ij
+
+    with a coefficient c_ij = c_ji.  Each unordered pair therefore needs
+    to be visited once: tiles (i, j) with j >= i (strict-upper masking on
+    the diagonal tiles), accumulating -c dx into row blocks and +c dx
+    into column blocks.  Symmetric pair math (geometry, LJ/Coulomb/RF,
+    the GB pair energy terms) is evaluated once per pair instead of
+    twice; only the direction-asymmetric descreening integral I and its
+    derivative dI are evaluated both ways per tile.  At 640 padded atoms
+    this is ~40%% less pair arithmetic than the full grid for the same
+    result (diagonal-tile masking wastes 1/(NT+1) of the asymmetric
+    work)."""
+    (q_col, rmh_col, eps_col, radii_col, orad_col, sr_col,
+     qq_scale) = consts
+    Ap = plan.Ap
+    NT = Ap // T
+    use_gb = plan.implicit == "obc2"
+    A = plan.A
+
+    rc = plan.cutoff
+    krf = (1.0 / rc ** 3) * (plan.eps_rf - 1.0) / (2 * plan.eps_rf + 1.0)
+    eps_solvent = 78.5
+    pref = -0.5 * COULOMB * (1.0 - 1.0 / eps_solvent)
+
+    xc = xT[:, 0:1]
+    yc = xT[:, 1:2]
+    zc = xT[:, 2:3]
+
+    def rowslice(vcol, i):
+        return vcol[i * T:(i + 1) * T, :]                       # (T, 1)
+
+    def colchunk(vcol, j):
+        # (T, 1) sublane slice -> (1, T) row at lane offset 0 (Mosaic
+        # cannot broadcast lane-offset row slices)
+        return jnp.transpose(vcol[j * T:(j + 1) * T, :])        # (1, T)
+
+    tiles = [(i, j) for i in range(NT) for j in range(NT) if j >= i]
+
+    def tile_geom(i, j):
+        sl = slice(j * T, (j + 1) * T)
+        dx = rowslice(xc, i) - x8[0:1, sl]
+        dy = rowslice(yc, i) - x8[1:2, sl]
+        dz = rowslice(zc, i) - x8[2:3, sl]
+        if plan.box is not None:
+            bx, by, bz = plan.box
+            dx = dx - bx * jnp.round(dx * (1.0 / bx))
+            dy = dy - by * jnp.round(dy * (1.0 / by))
+            dz = dz - bz * jnp.round(dz * (1.0 / bz))
+        row_id = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0) + i * T
+        col_id = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1) + j * T
+        # each unordered pair once: strict upper on diagonal tiles; pad
+        # atoms masked by index validity (they wrap under minimum image)
+        upper = col_id > row_id if i == j else col_id != row_id
+        offd = (upper & (row_id < A) & (col_id < A)).astype(jnp.float32)
+        r2 = dx * dx + dy * dy + dz * dz + (1.0 - offd)
+        inv_r = jax.lax.rsqrt(r2)
+        return dx, dy, dz, r2, inv_r, offd
+
+    geom = {t: tile_geom(*t) for t in tiles} if use_gb else None
+
+    def descreen(r, inv_r, offd, sr_o, orad_s):
+        """Descreening integral of the ``orad_s`` side by the ``sr_o``
+        side; returns (I*active, invL, invU, lnLU, active)."""
+        L = jnp.maximum(jnp.abs(r - sr_o), orad_s)
+        U = r + sr_o
+        rLU = 1.0 / (L * U)
+        invL, invU = U * rLU, L * rLU
+        lnLU = jnp.log(L * invU)
+        I = 0.5 * (invL - invU + 0.25 * (r - sr_o ** 2 * inv_r)
+                   * (invU ** 2 - invL ** 2)
+                   + 0.5 * lnLU * inv_r)
+        I = I + jnp.where(orad_s < sr_o - r,
+                          2.0 * (1.0 / orad_s - invL), 0.0)
+        active = ((r + sr_o > orad_s).astype(jnp.float32) * offd
+                  * (sr_o > 1e-8).astype(jnp.float32))
+        return I * active, invL, invU, lnLU, active
+
+    def col_assemble(parts):
+        # [(1, T)] * NT column pieces -> (Ap, 1)
+        return jnp.transpose(jnp.concatenate(parts, axis=1))
+
+    # ---- pass 1: Born-radius descreening sums (both directions/tile) ----
+    if use_gb:
+        lcache = {}
+        rowI = [jnp.zeros((T, 1), jnp.float32) for _ in range(NT)]
+        colI = [jnp.zeros((1, T), jnp.float32) for _ in range(NT)]
+        for (i, j) in tiles:
+            dx, dy, dz, r2, inv_r, offd = geom[(i, j)]
+            r = r2 * inv_r
+            # i descreened by j
+            Iij, invLij, invUij, lnLUij, act_ij = descreen(
+                r, inv_r, offd, colchunk(sr_col, j), rowslice(orad_col, i))
+            rowI[i] = rowI[i] + jnp.sum(Iij, axis=1, keepdims=True)
+            # j descreened by i
+            Iji, invLji, invUji, lnLUji, act_ji = descreen(
+                r, inv_r, offd, rowslice(sr_col, i), colchunk(orad_col, j))
+            colI[j] = colI[j] + jnp.sum(Iji, axis=0, keepdims=True)
+            lcache[(i, j)] = (invLij, invUij, lnLUij, act_ij,
+                              invLji, invUji, lnLUji, act_ji)
+        Ii = jnp.concatenate(rowI, axis=0) + col_assemble(colI)
+
+        psi = Ii * orad_col
+        garg = psi - 0.8 * psi ** 2 + 4.85 * psi ** 3
+        th = jnp.tanh(garg)
+        B = 1.0 / (1.0 / orad_col - th / radii_col)
+        B = jnp.maximum(B, orad_col)
+        invB = 1.0 / B
+        dBdpsi = B * B * (1.0 - th * th) * (
+            1.0 - 1.6 * psi + 14.55 * psi ** 2) / radii_col
+
+        # ---- pass 2: dE/dB sums (symmetric base, once per pair) ---------
+        gcache = {}
+        rowD = [jnp.zeros((T, 1), jnp.float32) for _ in range(NT)]
+        colD = [jnp.zeros((1, T), jnp.float32) for _ in range(NT)]
+        for (i, j) in tiles:
+            dx, dy, dz, r2, inv_r, offd = geom[(i, j)]
+            Bi = rowslice(B, i)
+            Bj = colchunk(B, j)
+            t = r2 * (0.25 * rowslice(invB, i)) * colchunk(invB, j)
+            expo = jnp.exp(-t)
+            f2 = r2 + Bi * Bj * expo
+            rsf = jax.lax.rsqrt(f2)
+            finv3 = rsf * rsf * rsf
+            gcache[(i, j)] = (expo, finv3)
+            qqp = rowslice(q_col, i) * colchunk(q_col, j)
+            base = pref * qqp * (-0.5) * finv3 * expo * (1.0 + t) * offd
+            rowD[i] = rowD[i] + 2.0 * jnp.sum(base * Bj, axis=1,
+                                              keepdims=True)
+            colD[j] = colD[j] + 2.0 * jnp.sum(base * Bi, axis=0,
+                                              keepdims=True)
+        dEdB = (pref * (-(q_col ** 2) * invB * invB)
+                + (-6.0 * 28.3919551 * (radii_col + 0.14) ** 2
+                   * radii_col ** 6 * invB ** 7))
+        dEdB = dEdB + jnp.concatenate(rowD, axis=0) + col_assemble(colD)
+        gchain = dEdB * dBdpsi * orad_col                       # (Ap, 1)
+
+    # ---- pass 3: symmetric-coefficient force accumulation ---------------
+    def dI_dr(r, inv_r, inv_r2, sr_o, orad_s, invL, invU, lnLU):
+        dL = jnp.where(jnp.abs(r - sr_o) > orad_s,
+                       jnp.sign(r - sr_o), 0.0)
+        invL2, invU2 = invL * invL, invU * invU
+        dI = 0.5 * (
+            -invL2 * dL + invU2
+            + 0.25 * ((1.0 + sr_o ** 2 * inv_r2) * (invU2 - invL2)
+                      + (r - sr_o ** 2 * inv_r)
+                      * (-2.0 * invU * invU2 + 2.0 * invL * invL2 * dL))
+            - 0.5 * lnLU * inv_r2 + 0.5 * (dL * invL - invU) * inv_r
+        )
+        return dI + jnp.where(orad_s < sr_o - r, 2.0 * invL2 * dL, 0.0)
+
+    rowFx = [jnp.zeros((T, 1), jnp.float32) for _ in range(NT)]
+    rowFy = [jnp.zeros((T, 1), jnp.float32) for _ in range(NT)]
+    rowFz = [jnp.zeros((T, 1), jnp.float32) for _ in range(NT)]
+    colFx = [jnp.zeros((1, T), jnp.float32) for _ in range(NT)]
+    colFy = [jnp.zeros((1, T), jnp.float32) for _ in range(NT)]
+    colFz = [jnp.zeros((1, T), jnp.float32) for _ in range(NT)]
+
+    for (i, j) in tiles:
+        dx, dy, dz, r2, inv_r, offd = (geom[(i, j)] if geom is not None
+                                       else tile_geom(i, j))
+        inv_r2 = inv_r * inv_r
+        r = r2 * inv_r
+
+        rmin = rowslice(rmh_col, i) + colchunk(rmh_col, j)
+        epsij = rowslice(eps_col, i) * colchunk(eps_col, j)
+        x6 = (rmin * rmin * inv_r2) ** 3
+        qq = COULOMB * rowslice(q_col, i) * colchunk(q_col, j)
+        qsc = qq_scale[i * T:(i + 1) * T, j * T:(j + 1) * T]
+        lsc = jnp.where(qsc == 0.0, 0.0,
+                        jnp.where(qsc >= 0.999, 1.0, 0.5))
+        g_lj = 6.0 * epsij * (x6 - x6 * x6) * inv_r2
+        g_c_plain = qq * (-0.5) * inv_r2 * inv_r
+        if plan.method == "NoCutoff":
+            w = 2.0 * (lsc * g_lj + qsc * g_c_plain)
+        else:
+            within = (r < rc).astype(jnp.float32)
+            full = (qsc >= 0.999).astype(jnp.float32)
+            one4 = ((qsc > 0) & (qsc < 0.999)).astype(jnp.float32)
+            l_full = (lsc >= 0.999).astype(jnp.float32)
+            l_one4 = ((lsc > 0) & (lsc < 0.999)).astype(jnp.float32)
+            w = 2.0 * (g_lj * (l_full * within + l_one4 * lsc)
+                       + qq * ((-0.5 * inv_r2 * inv_r + krf) * within * full)
+                       + g_c_plain * one4 * qsc)
+        w = w * offd
+
+        if use_gb:
+            expo, finv3 = gcache[(i, j)]
+            qqp = rowslice(q_col, i) * colchunk(q_col, j)
+            dEdr2 = (2.0 * pref * qqp * (-0.5) * finv3
+                     * (1.0 - expo / 4.0) * offd)
+            w = w + 2.0 * dEdr2
+            (invLij, invUij, lnLUij, act_ij,
+             invLji, invUji, lnLUji, act_ji) = lcache[(i, j)]
+            dIij = dI_dr(r, inv_r, inv_r2, colchunk(sr_col, j),
+                         rowslice(orad_col, i), invLij, invUij, lnLUij)
+            dIji = dI_dr(r, inv_r, inv_r2, rowslice(sr_col, i),
+                         colchunk(orad_col, j), invLji, invUji, lnLUji)
+            w = (w + rowslice(gchain, i) * dIij * act_ij * inv_r
+                 + colchunk(gchain, j) * dIji * act_ji * inv_r)
+
+        rowFx[i] = rowFx[i] - jnp.sum(w * dx, axis=1, keepdims=True)
+        rowFy[i] = rowFy[i] - jnp.sum(w * dy, axis=1, keepdims=True)
+        rowFz[i] = rowFz[i] - jnp.sum(w * dz, axis=1, keepdims=True)
+        colFx[j] = colFx[j] + jnp.sum(w * dx, axis=0, keepdims=True)
+        colFy[j] = colFy[j] + jnp.sum(w * dy, axis=0, keepdims=True)
+        colFz[j] = colFz[j] + jnp.sum(w * dz, axis=0, keepdims=True)
+
+    fx = jnp.concatenate(rowFx, axis=0) + col_assemble(colFx)
+    fy = jnp.concatenate(rowFy, axis=0) + col_assemble(colFy)
+    fz = jnp.concatenate(rowFz, axis=0) + col_assemble(colFz)
+    zero = jnp.zeros((Ap, 1), jnp.float32)
+    return jnp.concatenate([fx, fy, fz, zero, zero, zero, zero, zero], axis=1)
+
+
+def gb_force_pallas(sys: MDSystem, xb, interpret=False, tri=None):
     """Nonbonded(+GBSA) forces via the VMEM kernel.
 
     ``xb``: (B, 3N) -> (B, 3N).  Pad atoms live at +1e3 nm per index so
-    their interactions vanish."""
+    their interactions vanish.  ``tri`` selects the upper-triangle tiled
+    variant (``ISOKANN_GB_TRI=1``); the full grid stays the default —
+    measured on 1x v5e (villin 588 atoms, 64 walkers) the tiled variant
+    runs 0.87x the full grid: the ~40%% pair-arithmetic saving is eaten
+    by 15 small (128, 128) ops replacing 5 (640, 128) slabs plus the
+    column-assembly transposes, and larger tiles only increase the
+    double-direction descreening waste (1/(NT+1) of the asymmetric
+    work).  Same few-large-ops lesson as the dispatch-bound neighbor
+    sweep."""
+    import os
+
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if tri is None:
+        tri = os.environ.get("ISOKANN_GB_TRI", "0") == "1"
+    inner = _force_one_walker_tri if tri else _force_one_walker
 
     plan = GBPlan(sys)
     A, Ap = plan.A, plan.Ap
@@ -305,7 +541,7 @@ def gb_force_pallas(sys: MDSystem, xb, interpret=False):
         crefs = refs[:len(consts)]
         out_ref = refs[len(consts)]
         cvals = tuple(r[:] for r in crefs)
-        out_ref[0] = _force_one_walker(plan, xT_ref[0], x8_ref[0], cvals)
+        out_ref[0] = inner(plan, xT_ref[0], x8_ref[0], cvals)
 
     def cspec(c):
         return pl.BlockSpec(c.shape, lambda b, _nd=c.ndim: (0,) * _nd)
@@ -328,14 +564,14 @@ def gb_force_pallas(sys: MDSystem, xb, interpret=False):
     return out[:, :A, :3].reshape(B, 3 * A)
 
 
-def force_flat_hybrid(sys: MDSystem, xflat, interpret=False):
+def force_flat_hybrid(sys: MDSystem, xflat, interpret=False, tri=None):
     """Full force: VMEM nonbonded(+GBSA) kernel + XLA bonded autodiff."""
     from . import forces as F
 
     x = jnp.asarray(xflat)
     shape = x.shape
     xb = x.reshape(-1, shape[-1])
-    f_nb = gb_force_pallas(sys, xb, interpret=interpret)
+    f_nb = gb_force_pallas(sys, xb, interpret=interpret, tri=tri)
 
     def bonded(xi):
         return -jax.grad(lambda z: F.bond_energy(sys, z)

@@ -150,7 +150,7 @@ class TestGBKernel:
     interpret mode — the per-chunk arithmetic must match the XLA autodiff
     force exactly."""
 
-    def _check(self, sim, nb=4, tol=1e-5):
+    def _check(self, sim, nb=4, tol=1e-5, tri=False):
         from isokann_tpu.md.pallas_gb import force_flat_hybrid
         s = sim.system
         rng = np.random.default_rng(0)
@@ -158,17 +158,26 @@ class TestGBKernel:
                          + rng.normal(scale=0.005, size=(nb, 3 * s.natoms)),
                          jnp.float32)
         ref = np.asarray(itk.md.forces.force_flat(s, xs))
-        new = np.asarray(force_flat_hybrid(s, xs, interpret=True))
+        new = np.asarray(force_flat_hybrid(s, xs, interpret=True, tri=tri))
         assert np.abs(ref - new).max() / np.abs(ref).max() < tol
 
-    def test_alanine_obc2(self):
-        self._check(itk.MDSimulation(steps=5, implicit="obc2"))
+    @pytest.mark.parametrize("tri", [False, True])
+    def test_alanine_obc2(self, tri):
+        self._check(itk.MDSimulation(steps=5, implicit="obc2"), tri=tri)
 
-    def test_alanine_rf_cutoff(self):
-        self._check(itk.MDSimulation(steps=5))
+    @pytest.mark.parametrize("tri", [False, True])
+    def test_alanine_rf_cutoff(self, tri):
+        self._check(itk.MDSimulation(steps=5), tri=tri)
 
     def test_alanine_nocutoff(self):
         self._check(itk.MDSimulation(steps=5, method="NoCutoff"))
+
+    def test_triangular_multitile_obc2(self):
+        """The upper-triangle tiled variant on a >2-tile system (villin,
+        Ap=640 -> 5x5 tiles): symmetric-coefficient row+column
+        accumulation must reproduce the full-grid force exactly."""
+        self._check(itk.MDSimulation(pdb="out/villin.pdb", steps=5,
+                                     implicit="obc2"), nb=2, tri=True)
 
     def test_medium_peptide_obc2(self, tmp_path):
         """>128 padded atoms exercises the multi-chunk J loop."""
