@@ -195,3 +195,24 @@ def test_iso_run_sharded_matches_unsharded(key):
         for a, b in zip(jax.tree_util.tree_leaves(i1.model.params),
                         jax.tree_util.tree_leaves(i2.model.params)):
             assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_set_default_devices_override():
+    """set_default_devices pins the device list make_mesh()/device_count()
+    use, so sharded paths stay on the certified mesh even when the default
+    backend is something else (the dryrun_multichip failure mode: an axon
+    TPU claimed as default made Iso shard-gate on device_count() == 1)."""
+    from isokann_tpu.parallel import (make_mesh, set_default_devices,
+                                      default_devices, device_count)
+    all_dev = jax.devices()
+    try:
+        set_default_devices(all_dev[:2])
+        assert device_count() == 2
+        assert default_devices() == all_dev[:2]
+        assert make_mesh().size == 2
+        # explicit devices always win over the override
+        assert make_mesh(devices=all_dev).size == len(all_dev)
+    finally:
+        set_default_devices(None)
+    assert device_count() == len(all_dev)
+    assert make_mesh().size == len(all_dev)
