@@ -12,6 +12,13 @@ main thread generates the dataset.
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": "s", "vs_baseline": ...}
 plus a breakdown on stderr.
+
+Robustness: the TPU tunnel is flaky (backend init can fail transiently or
+block for minutes).  Device discovery retries with exponential backoff for
+up to 8 minutes (wait_for_devices), clearing jax's cached backend error
+between attempts; if the benchmark still cannot run, the JSON metric line
+is emitted anyway with value=null and an "error" field so the driver
+record stays parseable.
 """
 
 import json
@@ -19,12 +26,90 @@ import os
 import sys
 import threading
 import time
+import traceback
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
 
 
 _PROCESS_T0 = time.time()
+
+METRIC = "ala2_100ep_wall_s"
+
+
+def _log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _reset_jax_backends(log=_log):
+    """Drop jax's cached backend-init state so the next jax.devices() call
+    re-attempts initialization.  jax caches backend-init *failures*
+    (xla_bridge._backend_errors), so a plain retry loop would just re-raise
+    the cached error forever."""
+    try:
+        import jax.extend.backend
+        jax.extend.backend.clear_backends()
+    except Exception as e:                               # pragma: no cover
+        log("  clear_backends failed:", type(e).__name__, e)
+    try:
+        from jax._src import xla_bridge as xb
+        with xb._backend_lock:
+            xb._backends.clear()
+            xb._backend_errors.clear()
+    except Exception as e:                               # pragma: no cover
+        log("  xla_bridge cache reset failed:", type(e).__name__, e)
+
+
+def wait_for_devices(get_devices=None, reset=None, sleep=time.sleep,
+                     monotonic=time.monotonic, log=_log,
+                     max_wait=480.0, base_delay=2.0, max_delay=60.0):
+    """Return jax.devices(), retrying backend init with exponential backoff.
+
+    The TPU tunnel on this backend is flaky: device claims can block or fail
+    transiently for minutes (CLAUDE.md).  Retry for up to `max_wait` seconds
+    (default 8 min), resetting jax's cached backend error between attempts.
+    Raises the last error once the deadline passes.
+    """
+    if get_devices is None:
+        import jax
+        get_devices = jax.devices
+    if reset is None:
+        reset = _reset_jax_backends
+    t0 = monotonic()
+    delay = base_delay
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            devices = get_devices()
+            if attempt > 1:
+                log(f"backend up after {attempt} attempts "
+                    f"({monotonic() - t0:.0f}s)")
+            return devices
+        except Exception as e:
+            elapsed = monotonic() - t0
+            if elapsed + delay > max_wait:
+                log(f"backend init failed permanently after {attempt} "
+                    f"attempts / {elapsed:.0f}s: {type(e).__name__}: {e}")
+                raise
+            log(f"backend init attempt {attempt} failed "
+                f"({type(e).__name__}: {e}); retrying in {delay:.0f}s "
+                f"({elapsed:.0f}/{max_wait:.0f}s elapsed)")
+            sleep(delay)
+            delay = min(delay * 2, max_delay)
+            reset(log)
+
+
+def failure_json(exc):
+    """The JSON metric line emitted when the benchmark cannot run: keeps the
+    driver record parseable (metric/unit present, value null, error set)."""
+    return json.dumps({
+        "metric": METRIC,
+        "value": None,
+        "unit": "s",
+        "vs_baseline": None,
+        "error": f"{type(exc).__name__}: {exc}",
+    })
 
 
 def main():
@@ -38,10 +123,9 @@ def main():
     import isokann_tpu as itk
     from isokann_tpu.data import SimulationData
 
-    def log(*a):
-        print(*a, file=sys.stderr, flush=True)
+    log = _log
 
-    log("devices:", jax.devices())
+    log("devices:", wait_for_devices())
 
     # warm up the compile channel (remote-compile backends pay a large
     # first-compile latency) — not part of the measured algorithm
@@ -146,7 +230,7 @@ def main():
 
     baseline = 60.0   # target wall-clock from BASELINE.md north star
     print(json.dumps({
-        "metric": "ala2_100ep_wall_s",
+        "metric": METRIC,
         "value": round(total, 2),
         "unit": "s",
         "vs_baseline": round(baseline / total, 3),
@@ -154,4 +238,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:
+        # always emit the metric line: the driver parses stdout regardless
+        # of rc, and a missing line (round 2) left no perf record at all
+        traceback.print_exc()
+        print(failure_json(e))
+        sys.exit(1)
