@@ -608,6 +608,13 @@ class Iso:
         x, Kx = self.chi_kchi()
         return chi_exit_rate(np.asarray(x), np.asarray(Kx), self.data.sim.lagtime)
 
+    def lag_sweep(self, **kwargs):
+        """Sweep candidate lags and report fitted Koopman spectra /
+        implied timescales; see ``workflows.lag_sweep``.  Use before
+        trusting ``rates()`` on slow systems."""
+        from .workflows import lag_sweep
+        return lag_sweep(self, **kwargs)
+
     def koopman_variance(self):
         """Variance of chi over the Koopman samples (reference ``src/iso.jl:355-359``)."""
         from .data import model_bucketed

@@ -165,15 +165,16 @@ class Diffusion(IsoSimulation):
         self._jit_cache[("step", nsteps)] = run
         return run
 
-    def propagate(self, x0, nk, key=None):
+    def propagate(self, x0, nk, key=None, steps=None):
         """(n, d) -> (n, nk, d): one lagtime of EM for nk replicas per start
         point, all walkers in a single device computation
-        (replaces the reference's threaded loop ``src/simulators/langevin.jl:21-28``)."""
+        (replaces the reference's threaded loop ``src/simulators/langevin.jl:21-28``).
+        ``steps`` overrides the lag length (used by ``lag_sweep``)."""
         key = _key(key)
         x0 = jnp.asarray(x0, jnp.float32)
         n, d = x0.shape
         xs = jnp.repeat(x0, nk, axis=0)            # (n*nk, d)
-        run = self._stepper(self.steps)
+        run = self._stepper(self.steps if steps is None else int(steps))
         ys = run(xs, key)
         return ys.reshape(n, nk, d)
 

@@ -120,3 +120,125 @@ def run_girsanov(iso, generations=1, iter=100, kde=1, forcescale=1.0,
     finally:
         sim.bias = old_bias
     return iso
+
+
+# ==========================================================================
+# Lag selection / validation
+# ==========================================================================
+
+def _fit_koopman(chi_x, chi_y):
+    """Least-squares coarse Koopman matrix K with chi @ K = Kchi and its
+    eigenvalues (1-D chi augmented with 1-chi, as in the rate fit,
+    reference ``src/iso.jl:344-349``)."""
+    x = np.asarray(chi_x, dtype=np.float64)
+    y = np.asarray(chi_y, dtype=np.float64)
+    if x.ndim == 1:
+        x, y = x[:, None], y[:, None]
+    if x.shape[1] == 1:
+        x = np.hstack([x, 1.0 - x])
+        y = np.hstack([y, 1.0 - y])
+    K, *_ = np.linalg.lstsq(x, y, rcond=None)
+    K = K.T
+    return K, np.linalg.eigvals(K)
+
+
+def _spectrum_resolved(eigs, tol=1e-6):
+    """True when the fitted spectrum supports a rate fit: the dominant
+    eigenvalue is the structural ~1 (the constant mode, reproduced
+    exactly by the augmented least squares) and every other eigenvalue
+    lies strictly inside the unit interval/disk."""
+    order = np.argsort(np.real(eigs))[::-1]
+    rest = np.asarray(eigs)[order[1:]]
+    return bool(np.real(eigs[order[0]]) <= 1.0 + tol
+                and np.all(np.abs(rest) < 1.0)
+                and np.all(np.real(rest) > 0.0))
+
+
+def lag_sweep(iso, steps=None, nx=50, nk=8, n_boot=100, threshold=0.9,
+              keepedges=True, key=None, verbose=True):
+    """Implied-timescale lag validation for production campaigns.
+
+    The coarse rate fit (reference ``src/iso.jl:339-351``) is only
+    meaningful when the fitted Koopman matrix K (chi @ K = Kchi, least
+    squares) has its spectrum inside (0, 1); at too-short lags
+    finite-sample noise pushes the slow eigenvalue past 1 and ``rates()``
+    degrades to clamped upper bounds.  The reference ships no tooling to
+    detect or fix this — this sweep closes that gap.
+
+    For each candidate lag (integrator steps), ``nx`` chi-stratified
+    start points from the dataset are propagated ``nk``-fold (one device
+    batch per lag, reusing the trained chi for start selection and for
+    the Koopman estimate) and the fitted spectrum is bootstrap-tested.
+
+    Per-lag row fields:
+
+    - ``steps`` / ``lag``: lag in integrator steps / physical time
+    - ``eigs``: fitted Koopman eigenvalues (sorted descending, real parts)
+    - ``timescale``: implied timescale -lag/log(lambda_slow) (NaN while
+      the slow eigenvalue sits outside (0, 1)); trustworthy once it
+      plateaus across consecutive resolved lags
+    - ``resolved_frac``: fraction of ``n_boot`` bootstrap resamples of
+      the start points whose full fitted spectrum lies inside (0, 1)
+    - ``resolved``: resolved_frac >= threshold
+
+    Returns ``(recommended_steps, rows)``; recommended_steps is the
+    smallest resolved lag (None if no candidate resolves — extend the
+    ladder).  Typical use: pilot-train, sweep, rebuild the simulation
+    with the recommended lag, run the campaign
+    (``tools/run_trpcage_production.py --lag-sweep``).
+    """
+    from .sample import subsample_uniformgrid
+
+    sim = iso.data.sim
+    if steps is None:
+        steps = [sim.steps * m for m in (1, 5, 25, 125)]
+    key = jax.random.PRNGKey(0) if key is None else (
+        jax.random.PRNGKey(key) if isinstance(key, int) else key)
+
+    # chi-stratified start points from the pooled dataset
+    xs_all = np.asarray(iso.data.coords)
+    chi_all = np.asarray(iso.chis())
+    nx = min(int(nx), len(xs_all))
+    key, sub = jax.random.split(key)
+    rng = np.random.default_rng(np.asarray(jax.random.key_data(sub)))
+    inds = subsample_uniformgrid(chi_all[:, 0], nx, keepedges=keepedges,
+                                 rng=rng)
+    xs = xs_all[inds]
+    dt_per_step = sim.lagtime / sim.steps
+
+    rows = []
+    for s in sorted(int(s) for s in steps):
+        key, sub = jax.random.split(key)
+        ys = iso.data.sim.propagate(xs, nk, key=sub, steps=s)
+        from .data import values as _values
+        yv = np.asarray(_values(ys))                     # (nx, nk, d)
+        chi_x = np.asarray(iso.chicoords(xs))            # (nx, d_chi)
+        chi_y = np.asarray(
+            iso.chicoords(yv.reshape(-1, yv.shape[-1])))
+        chi_y = chi_y.reshape(nx, nk, -1).mean(axis=1)   # (nx, d_chi)
+
+        _, eigs_c = _fit_koopman(chi_x, chi_y)
+        eigs = np.sort(np.real(eigs_c))[::-1]
+        lag = s * dt_per_step
+        n_ok = 0
+        rng_b = np.random.default_rng(0)
+        for _ in range(n_boot):
+            b = rng_b.integers(0, nx, nx)
+            _, eb = _fit_koopman(chi_x[b], chi_y[b])
+            n_ok += _spectrum_resolved(eb)
+        frac = n_ok / n_boot
+        # slow (non-stationary) eigenvalue: largest below the dominant one
+        lam = eigs[1] if len(eigs) > 1 else eigs[0]
+        ts = float(-lag / np.log(lam)) if 0.0 < lam < 1.0 else float("nan")
+        row = dict(steps=s, lag=float(lag), eigs=eigs.tolist(),
+                   timescale=ts, resolved_frac=frac,
+                   resolved=bool(_spectrum_resolved(eigs_c)
+                                 and frac >= threshold))
+        rows.append(row)
+        if verbose:
+            print(f"[lag_sweep] steps={s} lag={lag:g} "
+                  f"eigs={np.round(eigs, 5).tolist()} timescale={ts:g} "
+                  f"resolved={frac:.2f}", flush=True)
+
+    recommended = next((r["steps"] for r in rows if r["resolved"]), None)
+    return recommended, rows

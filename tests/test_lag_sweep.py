@@ -1,0 +1,91 @@
+"""Lag selection / implied-timescale validation (workflows.lag_sweep).
+
+The reference has no lag-validation tooling; its rate fit
+(``src/iso.jl:339-351``) silently degrades when the fitted Koopman
+spectrum escapes (0, 1).  lag_sweep detects that and recommends the
+smallest resolved lag.
+"""
+
+import numpy as np
+import pytest
+
+import isokann_tpu as itk
+from isokann_tpu.workflows import _fit_koopman, _spectrum_resolved
+
+
+def test_fit_koopman_augments_1d():
+    chi = np.linspace(0.05, 0.95, 40)
+    # exact contraction towards 1/2 with factor 0.5
+    kchi = 0.5 * chi + 0.25
+    K, eigs = _fit_koopman(chi, kchi)
+    assert K.shape == (2, 2)
+    eigs = np.sort(np.real(eigs))
+    assert eigs[1] == pytest.approx(1.0, abs=1e-9)   # structural constant mode
+    assert eigs[0] == pytest.approx(0.5, abs=1e-9)
+    assert _spectrum_resolved(np.array([1.0, 0.5]))
+
+
+def test_spectrum_resolved_criteria():
+    assert not _spectrum_resolved(np.array([1.0, 1.00871]))  # round-2 trp-cage
+    assert not _spectrum_resolved(np.array([1.2, 0.5]))
+    assert not _spectrum_resolved(np.array([1.0, -0.1]))
+    assert _spectrum_resolved(np.array([0.999, 0.42]))
+    # complex pair inside the unit disk with positive real part is fine
+    assert _spectrum_resolved(np.array([1.0, 0.3 + 0.1j, 0.3 - 0.1j]))
+    assert not _spectrum_resolved(np.array([1.0, 0.9 + 0.5j, 0.9 - 0.5j]))
+
+
+@pytest.fixture(scope="module")
+def trained_doublewell():
+    sim = itk.Doublewell(sigma=1.0)
+    iso = itk.Iso(sim=sim, nx=80, nk=5, key=1, opt=itk.AdamRegularized())
+    iso.run(150)
+    return iso
+
+
+def test_lag_sweep_doublewell(trained_doublewell):
+    iso = trained_doublewell
+    rec, rows = iso.lag_sweep(steps=[50, 100, 200], nx=40, nk=16,
+                              n_boot=40, key=3, verbose=False)
+    assert [r["steps"] for r in rows] == [50, 100, 200]
+    for r in rows:
+        assert len(r["eigs"]) == 2
+        assert r["lag"] == pytest.approx(r["steps"] * iso.data.sim.dt)
+    # the doublewell at sigma=1 hops fast: every lag here resolves
+    assert rec == 50
+    resolved = [r for r in rows if r["resolved"]]
+    assert len(resolved) == 3
+    # implied timescale is lag-independent once resolved (within noise)
+    ts = np.array([r["timescale"] for r in resolved])
+    assert np.all(np.isfinite(ts))
+    assert ts.max() / ts.min() < 3.0
+
+
+def test_lag_sweep_unresolved_reports_none(trained_doublewell):
+    # a process far slower than the lag: Kchi ~ chi + noise, so the
+    # fitted slow eigenvalue sits within noise of 1 (the round-2
+    # trp-cage failure).  The sweep must flag it unresolved rather than
+    # hand back garbage rates.
+    import copy
+    import dataclasses
+    import jax
+
+    class FrozenSim:
+        steps = 100
+        lagtime = 1.0
+
+        def propagate(self, xs, nk, key=None, steps=None):
+            import jax.numpy as jnp
+            xs = jnp.asarray(xs)
+            noise = 1e-3 * jax.random.normal(
+                key, (xs.shape[0], nk, xs.shape[1]), xs.dtype)
+            return xs[:, None, :] + noise
+
+    iso = copy.copy(trained_doublewell)
+    iso.data = dataclasses.replace(iso.data, sim=FrozenSim())
+    rec, rows = iso.lag_sweep(steps=[100], nx=30, nk=2, n_boot=60, key=4,
+                              verbose=False)
+    assert rows[0]["resolved_frac"] < 0.9
+    assert not rows[0]["resolved"]
+    assert np.isnan(rows[0]["timescale"]) or rows[0]["timescale"] > 50.0
+    assert rec is None
