@@ -1,17 +1,29 @@
-"""Quantitative Girsanov variance-reduction study (ROADMAP item 9).
+"""Quantitative Girsanov variance-reduction study, v2 (VERDICT r2 weak #3).
 
 Measures what the chi-derived optimal-control bias actually buys: the
 variance of the Koopman estimator Kchi(x) = E[chi(X_tau) | X_0 = x],
 estimated unbiased vs. importance-sampled (``optcontrol`` bias +
 Girsanov weights, integrated inside the fused Pallas kernel on TPU).
 
-For each start point (spread across the chi range), R independent
-replicates of nk-walker bursts estimate Kchi; the report compares the
-empirical across-replicate variance of the two estimators, overall and
-in the transition region (0.2 < chi < 0.8) where the optimal-control
-theory predicts the gain.
+v2 upgrades over the round-2 study (which ran reps=8 and was
+statistically inconclusive):
 
-Usage: python -u tools/girsanov_variance.py [--quick]
+- reps >= 64, all replicates of a configuration batched into ONE device
+  call (walkers are independent; the lag is the only serial axis)
+- three estimators per start: raw weighted mean, self-normalized, and
+  truncated importance sampling (Ionides 2008: clip w at
+  sqrt(nk) * mean(w), then self-normalize)
+- bootstrap CIs (over replicates) on every variance ratio
+- matched wall-clock accounting: biased and unbiased per-replicate cost
+  is measured and the work-normalized ratio (variance x time) reported
+- denser forcescale ladder for a monotonicity-sane picture
+
+Reference context: the optimal-control bias math is
+``src/simulators/openmm.jl:640-667`` (optcontrol) and the Girsanov
+integrator ``:569-637``; the reference provides the machinery but never
+quantifies the variance reduction.
+
+Usage: python -u tools/girsanov_variance.py [--quick|--smoke]
 Writes out/girsanov_variance.json.
 """
 
@@ -24,6 +36,8 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
+FORCESCALES = (0.125, 0.25, 0.5, 0.75, 1.0)
+
 
 def main(quick=False, smoke=False):
     import numpy as np
@@ -32,10 +46,11 @@ def main(quick=False, smoke=False):
     from isokann_tpu.md.integrators import optcontrol
     from isokann_tpu.data import WeightedSamples
 
-    n_starts = 8 if smoke else 24 if quick else 48
+    n_starts = 8 if smoke else 32 if quick else 48
     nk = 4 if smoke else 16
-    reps = 2 if smoke else 8 if quick else 16
+    reps = 4 if smoke else 16 if quick else 64
     train_iters = 80 if smoke else 400 if quick else 1500
+    n_boot = 200 if smoke else 1000
 
     sim = itk.MDSimulation(steps=50 if smoke else 500)   # vacuum ala2
     iso = itk.Iso(sim=sim, nx=256, nk=8, key=0, opt=itk.AdamRegularized())
@@ -49,75 +64,94 @@ def main(quick=False, smoke=False):
           f"{time.time() - t0:.0f}s; starts chi in "
           f"[{chi_x.min():.2f}, {chi_x.max():.2f}]", flush=True)
 
-    def estimates(bias):
-        """Per-start estimates: raw weighted mean, self-normalized mean,
-        plus weight diagnostics (E[w], effective sample size)."""
-        sim.bias = bias
-        raw = np.zeros((reps, n_starts))
-        norm = np.zeros((reps, n_starts))
-        wmeans, esss = [], []
-        for r in range(reps):
-            ys = sim.propagate(xs, nk, key=jax.random.PRNGKey(100 + r))
-            if isinstance(ys, WeightedSamples):
-                w = np.asarray(ys.weights).reshape(n_starts, nk)
-                chi_y = np.asarray(iso.chicoords(
-                    np.asarray(ys.values).reshape(-1, sim.dim))
-                ).reshape(n_starts, nk)
-                raw[r] = (w * chi_y).mean(axis=1)
-                norm[r] = (w * chi_y).sum(axis=1) / w.sum(axis=1)
-                wmeans.append(float(w.mean()))
-                esss.append(float((w.sum(axis=1) ** 2
-                                   / (w ** 2).sum(axis=1)).mean()))
-            else:
-                chi_y = np.asarray(iso.chicoords(
-                    np.asarray(ys).reshape(-1, sim.dim))
-                ).reshape(n_starts, nk)
-                raw[r] = norm[r] = chi_y.mean(axis=1)
-                wmeans.append(1.0)
-                esss.append(float(nk))
-        return raw, norm, float(np.mean(wmeans)), float(np.mean(esss))
-
-    t0 = time.time()
-    plain_raw, plain_norm, _, _ = estimates(None)
-    t_plain = time.time() - t0
-    var_plain = plain_raw.var(axis=0, ddof=1)
+    rng = np.random.default_rng(0)
     trans = (chi_x > 0.2) & (chi_x < 0.8)
     eps = 1e-12
 
-    def ratio(vb, sel):
-        return float(var_plain[sel].mean() / (vb[sel].mean() + eps))
+    def estimates(bias, key):
+        """(reps, n_starts) estimator arrays: raw weighted mean,
+        self-normalized, truncated+self-normalized; plus weight
+        diagnostics and wall time.  All replicates ride one propagate."""
+        sim.bias = bias
+        xs_rep = np.tile(xs, (reps, 1))                   # (reps*n_starts, d)
+        t0 = time.time()
+        ys = sim.propagate(xs_rep, nk, key=key)
+        if isinstance(ys, WeightedSamples):
+            w = np.asarray(ys.weights, dtype=np.float64)
+            vals = np.asarray(ys.values)
+        else:
+            vals = np.asarray(ys)
+            w = np.ones(vals.shape[:2])
+        chi_y = np.asarray(iso.chicoords(
+            vals.reshape(-1, sim.dim))).reshape(reps, n_starts, nk)
+        t_wall = time.time() - t0
+        w = w.reshape(reps, n_starts, nk)
+        raw = (w * chi_y).mean(axis=2)
+        norm = (w * chi_y).sum(axis=2) / (w.sum(axis=2) + eps)
+        # truncated IS: clip at sqrt(nk) * per-burst mean weight
+        cap = np.sqrt(nk) * w.mean(axis=2, keepdims=True)
+        wt = np.minimum(w, cap)
+        trunc = (wt * chi_y).sum(axis=2) / (wt.sum(axis=2) + eps)
+        ess = float((w.sum(axis=2) ** 2 / ((w ** 2).sum(axis=2) + eps)).mean())
+        return (dict(raw=raw, selfnorm=norm, trunc=trunc),
+                float(w.mean()), ess, t_wall)
+
+    def var_ratios(est_plain, est_bias, t_plain, t_bias):
+        """Mean variance ratios (plain/biased: >1 = bias wins) with
+        bootstrap CIs over replicates, overall and transition-region,
+        plus the work-normalized (variance x wall-clock) ratio."""
+        out = {}
+        for name in ("raw", "selfnorm", "trunc"):
+            vp = est_plain["raw"]          # unbiased baseline: plain mean
+            vb = est_bias[name]
+            for label, sel in (("overall", slice(None)),
+                               ("transition", trans)):
+                if label == "transition" and not trans.any():
+                    continue
+                num = vp[:, sel].var(axis=0, ddof=1).mean()
+                den = vb[:, sel].var(axis=0, ddof=1).mean() + eps
+                boots = []
+                for _ in range(n_boot):
+                    bp = rng.integers(0, reps, reps)
+                    bb = rng.integers(0, reps, reps)
+                    n_ = vp[bp][:, sel].var(axis=0, ddof=1).mean()
+                    d_ = vb[bb][:, sel].var(axis=0, ddof=1).mean() + eps
+                    boots.append(n_ / d_)
+                lo, hi = np.percentile(boots, [2.5, 97.5])
+                out[f"var_ratio_{name}_{label}"] = dict(
+                    ratio=float(num / den), ci95=[float(lo), float(hi)])
+            out[f"work_ratio_{name}_overall"] = float(
+                (est_plain["raw"].var(axis=0, ddof=1).mean() * t_plain)
+                / (vb.var(axis=0, ddof=1).mean() * t_bias + eps))
+            out[f"bias_shift_{name}"] = float(np.abs(
+                est_plain["raw"].mean(0) - vb.mean(0)).mean())
+        return out
+
+    est_plain, _, _, t_plain = estimates(None, jax.random.PRNGKey(100))
+    print(f"unbiased: {reps} reps x {n_starts} starts x {nk} walkers in "
+          f"{t_plain:.1f}s", flush=True)
 
     res = dict(
         n_starts=int(n_starts), nk=nk, reps=reps,
         lag_ps=float(sim.lagtime),
         n_transition=int(trans.sum()),
-        mean_var_plain=float(var_plain.mean()),
+        mean_var_plain=float(est_plain["raw"].var(axis=0, ddof=1).mean()),
         t_plain_s=t_plain,
         kernel_girsanov=bool(sim._pallas_girsanov_eligible(
-            n_starts * nk)) if hasattr(sim, "_pallas_girsanov_eligible")
-        else None,
+            reps * n_starts * nk)) if hasattr(
+            sim, "_pallas_girsanov_eligible") else None,
         by_forcescale={},
     )
-    for fs in (0.25, 0.5, 1.0):
+    for i, fs in enumerate(FORCESCALES):
         bias = optcontrol(iso, forcescale=fs)
-        t0 = time.time()
-        b_raw, b_norm, ew, ess = estimates(bias)
-        t_b = time.time() - t0
-        vb_raw = b_raw.var(axis=0, ddof=1)
-        vb_norm = b_norm.var(axis=0, ddof=1)
-        res["by_forcescale"][str(fs)] = dict(
-            mean_weight=ew, ess_of_nk=ess,
-            shift_raw=float(np.abs(plain_raw.mean(0)
-                                   - b_raw.mean(0)).mean()),
-            shift_selfnorm=float(np.abs(plain_norm.mean(0)
-                                        - b_norm.mean(0)).mean()),
-            var_ratio_raw_overall=ratio(vb_raw, slice(None)),
-            var_ratio_selfnorm_overall=ratio(vb_norm, slice(None)),
-            var_ratio_raw_transition=(ratio(vb_raw, trans)
-                                      if trans.any() else None),
-            var_ratio_selfnorm_transition=(ratio(vb_norm, trans)
-                                           if trans.any() else None),
-            t_s=t_b)
+        est_b, ew, ess, t_b = estimates(bias, jax.random.PRNGKey(200 + i))
+        row = dict(mean_weight=ew, ess_of_nk=ess, t_s=t_b)
+        row.update(var_ratios(est_plain, est_b, t_plain, t_b))
+        res["by_forcescale"][str(fs)] = row
+        r = row["var_ratio_selfnorm_transition"]
+        print(f"forcescale {fs}: E[w]={ew:.3f} ESS={ess:.1f}/{nk} "
+              f"selfnorm transition ratio {r['ratio']:.2f} "
+              f"CI {np.round(r['ci95'], 2).tolist()}", flush=True)
     sim.bias = None
     os.makedirs(os.path.join(ROOT, "out"), exist_ok=True)
     json.dump(res, open(os.path.join(ROOT, "out",
