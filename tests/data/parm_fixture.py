@@ -669,3 +669,50 @@ NUCLEIC_CHARGE_SPOTS = {
 # Formal charges (for the raw-sum test)
 FORMAL = {"ASP": -1, "GLU": -1, "LYS": 1, "ARG": 1, "HIP": 1,
           "NA": 1, "CL": -1}
+
+
+# ===========================================================================
+# ff14SB delta enumeration (VERDICT r2: builtin-FF exactness)
+#
+# ff14SB (Maier et al., JCTC 11, 3696 (2015)) is ff99SB with
+#   (a) a complete refit of the side-chain torsions of every standard
+#       residue that has side-chain dihedrals (all but ALA/GLY; PRO's ring
+#       is constrained and kept), implemented in Amber via new sp3-carbon
+#       atom types (see FF14SB_NEW_TYPES) plus frcmod.ff14SB torsions, and
+#   (b) an empirical backbone correction on the phi' torsion
+#       (C-N-CA-CB), coupling the backbone to the side chain.
+# Bonds, angles, LJ parameters and charges are inherited unchanged from
+# parm99/ff94 (the new atom types carry CT/C-identical LJ and masses), so
+# for those term classes the embedded tables ARE the ff14SB values
+# (modulo this fixture's own confidence tags).
+#
+# The exact frcmod.ff14SB torsion values are NOT available in this
+# environment (no Amber/OpenMM installation, no network); the precise set
+# of constants an exact ff14SB import would override is pinned per
+# residue/type-quadruple in tests/data/ff14sb_refit_torsions.json
+# (generated by tests/test_ff14sb_delta.py from the implemented tables).
+# ===========================================================================
+
+# all standard residues with refittable side-chain dihedrals
+FF14SB_REFIT_RESIDUES = (
+    "ARG", "ASN", "ASP", "CYS", "GLN", "GLU", "HIS", "ILE", "LEU", "LYS",
+    "MET", "PHE", "SER", "THR", "TRP", "TYR", "VAL",
+)
+
+# term classes inherited verbatim from parm99/ff94 (identical in ff14SB)
+FF14SB_INHERITED_EXACT = ("bonds", "angles", "lj", "masses", "charges",
+                          "impropers")
+
+# ff14SB atom-type aliases -> the parm99 type whose LJ/mass they carry.
+# (CX: protein alpha carbon, introduced ff12SB; 2C/3C: sp3 carbons with
+# two/three heavy neighbors; C8: LYS/ARG chain carbon; CO: carboxylate
+# carbon.)  Their LJ/mass equal the aliased type; only torsions keyed on
+# them differ.
+FF14SB_NEW_TYPES = {"CX": "CT", "2C": "CT", "3C": "CT", "C8": "CT",
+                    "CO": "C"}
+
+# backbone delta: ff14SB adds explicit phi'/psi' torsions (C-N-CA-CB and
+# N-C-CA-CB in Amber type language C-N-CX-2C etc.); in the embedded
+# ff99SB-class tables these resolve through the generic X-CT-CT-X /
+# specific ff99SB backbone entries instead.
+FF14SB_BACKBONE_DELTA = ("phi' (C-N-CA-CB)", "psi' (CB-CA-C-N)")

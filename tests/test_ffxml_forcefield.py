@@ -195,3 +195,47 @@ def test_strict_lj_conflict(restore_amber, tmp_path):
     path.write_text(xml)
     with pytest.raises(ValueError, match="different LJ"):
         register_forcefield_ffxml(str(path))
+
+
+def test_amber14_style_static_fixture(restore_amber):
+    """A COMMITTED amber14-structured file (tests/data/
+    amber14_style_fragment.xml): per-atom type names with name != class
+    indirection, charges carried in NonbondedForce (not on residue
+    atoms), and multi-term Proper elements — the exact layout of the
+    real amber14-all.xml the reference loads
+    (``src/simulators/mopenmm.py:54``).  Registration must build the
+    alanine dipeptide with zero fallbacks and carry the file's values
+    (incl. its deliberate perturbations) verbatim."""
+    import os
+
+    pdb = alanine_dipeptide_pdb()
+    struct = read_pdb(pdb)
+    x = jnp.asarray(struct.coords)
+    base = {k: float(v) for k, v in
+            energy_terms(build_system(pdb, method="NoCutoff"), x).items()}
+    cb_q_builtin = amber.RESIDUES["ALA"]["atoms"]["CB"][1]
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "amber14_style_fragment.xml")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")       # zero fallbacks allowed
+        done = register_forcefield_ffxml(path)
+        sys2 = build_system(pdb, method="NoCutoff")
+    assert set(done) == {"ACE", "ALA", "NME"}
+
+    # charges resolved through NonbondedForce by *type name*, with the
+    # file's CB/HB shifts, total charge still integral
+    ala_cb = [i for i, (rn, an) in
+              enumerate(zip(struct.res_names, struct.atom_names))
+              if rn == "ALA" and an == "CB"][0]
+    got = float(sys2.charges[ala_cb])
+    assert got == pytest.approx(cb_q_builtin - 0.09, abs=1e-5)
+    q = float(np.sum(np.asarray(sys2.charges)))
+    assert abs(q - round(q)) < 1e-4
+
+    t1 = energy_terms(sys2, x)
+    # the 1.5x CT-CT-HC angle k moves the angle energy; bonds and
+    # dihedrals (incl. the multi-term Propers) round-trip exactly
+    assert abs(float(t1["angle"]) - base["angle"]) > 0.05
+    assert abs(float(t1["bond"]) - base["bond"]) < 2e-4
+    assert abs(float(t1["dihedral"]) - base["dihedral"]) < 2e-3
