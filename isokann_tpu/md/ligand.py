@@ -559,6 +559,15 @@ def parameterize_ligand(name, struct_or_pdb, residue_filter=None,
 
     # charges
     if charges is None:
+        import warnings
+        warnings.warn(
+            f"ligand {name}: using built-in Gasteiger (PEOE) charges and "
+            "generic GAFF-class bonded terms. Typical deviation from the "
+            "reference's AM1-BCC/GAFF-2.11 setup is 0.05-0.15 e on polar "
+            "atoms (quantified in docs/ligand_fidelity.md); for "
+            "production, import antechamber output via "
+            "register_ligand_frcmod / register_ligand_ffxml.",
+            stacklevel=2)
         q = gasteiger_charges(perc.elements, perc.bonds, perc.hybrid,
                               perc.formal)
         if net_charge is not None:

@@ -67,7 +67,8 @@ def campaign(iso, generations, iters, resamples, cutoff, telemetry,
 
 
 def main(generations=1000, iters=300, resamples=3, cutoff=2000,
-         lag_sweep=True, steps=None, pilot_generations=50, out=None):
+         lag_sweep=True, steps=None, pilot_generations=50, out=None,
+         sweep_only=False):
     import numpy as np
 
     import isokann_tpu as itk
@@ -89,7 +90,7 @@ def main(generations=1000, iters=300, resamples=3, cutoff=2000,
         results["pilot_wall_s"] = time.time() - t0
         ladder = [100, 500, 2500, 12500, 62500]
         t0 = time.time()
-        rec, rows = pilot.lag_sweep(steps=ladder, nx=64, nk=8, key=7)
+        rec, rows = pilot.lag_sweep(steps=ladder, nx=128, nk=8, key=7)
         results["lag_sweep"] = rows
         results["lag_sweep_wall_s"] = time.time() - t0
         results["recommended_steps"] = rec
@@ -100,6 +101,11 @@ def main(generations=1000, iters=300, resamples=3, cutoff=2000,
         steps = rec
         print(f"lag_sweep: production lag = {steps} steps "
               f"({steps * sim0.step} ps)", flush=True)
+        if sweep_only:
+            json.dump(results, open(os.path.join(out, "lag_sweep.json"),
+                                    "w"), indent=1)
+            print(json.dumps(results, indent=1), flush=True)
+            return
     elif steps is None:
         steps = 100
 
@@ -163,7 +169,10 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=None,
                     help="skip the sweep and use this lag directly")
     ap.add_argument("--pilot-generations", type=int, default=50)
+    ap.add_argument("--sweep-only", action="store_true",
+                    help="stop after the pilot + lag sweep")
     args = ap.parse_args()
     main(generations=args.generations, iters=args.iters,
          lag_sweep=not args.no_lag_sweep, steps=args.steps,
-         pilot_generations=args.pilot_generations)
+         pilot_generations=args.pilot_generations,
+         sweep_only=args.sweep_only)
