@@ -8,8 +8,16 @@ steps), nx=200 x nk=4, adaptive generations — and records per-generation
 wall time so the full-config cost is a measured extrapolation instead of
 a guess.
 
+``--reference-lag`` (VERDICT r2 weak #9) instead measures REAL
+generations at the reference's exact per-generation workload — 1e4-step
+(20 ps) lags, nk=1, 60 resampled walkers per generation
+(``scripts/villin.jl:10-45``) — so the full-config (2500 gen) cost is a
+direct multiple of a measured number, not an extrapolation across lag
+and walker count.
+
 Usage: python -u tools/run_villin_scale.py [--generations N]
-Writes out/villin_scale/results.json (+ model/plots).
+       [--reference-lag]
+Writes out/villin_scale[_truelag]/results.json (+ model/plots).
 """
 
 import argparse
@@ -24,14 +32,15 @@ sys.path.insert(0, ROOT)
 HP35 = "LSDEDFKAVFGMTRSAFANLPLWKQQNLKKEKGLF"
 
 
-def main(generations=50, iters=300, nx=96, nk=4, lag_steps=2500):
+def main(generations=50, iters=300, nx=96, nk=4, lag_steps=2500,
+         resamples=None, tag=""):
     # nx=96 x nk=4 = 384 concurrent walkers: 800-walker villin batches
     # crashed the v5e worker (same HBM/kernel fragility class as the
     # dense-path 768-walker crash; see round-2 notes)
     import isokann_tpu as itk
     from isokann_tpu.md.fixtures import peptide_pdb
 
-    out = os.path.join(ROOT, "out", "villin_scale")
+    out = os.path.join(ROOT, "out", "villin_scale" + tag)
     os.makedirs(out, exist_ok=True)
     pdb = os.path.join(ROOT, "out", "villin.pdb")
     if not os.path.exists(pdb):
@@ -48,7 +57,7 @@ def main(generations=50, iters=300, nx=96, nk=4, lag_steps=2500):
             iso.run(iters)
         except itk.DomainError:
             print(f"gen {g}: degenerate target", flush=True)
-        iso.resample_strat(max(2, nx // 50))
+        iso.resample_strat(resamples or max(2, nx // 50))
         now = time.time()
         telemetry.append(dict(gen=g, n=len(iso.data),
                               loss=float(iso.losses[-1]), t_gen=now - tg))
@@ -59,10 +68,15 @@ def main(generations=50, iters=300, nx=96, nk=4, lag_steps=2500):
 
     wall = time.time() - t0
     s_per_gen = wall / generations
-    full_gen_cost = s_per_gen * (1000 / nx) * (1e4 / lag_steps)
+    r = resamples or max(2, nx // 50)
+    # reference villin per-gen MD: (nx=30 + nchistrat=30) x nk=1 lags
+    # (scripts/villin.jl:25-31); scale the measured per-gen cost by the
+    # per-gen walker-lag ratio and the lag-step ratio
+    full_gen_cost = s_per_gen * (60 / (r * nk)) * (1e4 / lag_steps)
     results = dict(
         system="villin HP35 + OBC2", natoms=sim.natoms,
         generations=generations, nx=nx, nk=nk, lag_steps=lag_steps,
+        resamples_per_gen=r,
         wall_s=wall, s_per_gen=s_per_gen,
         loss_final=float(iso.losses[-1]), n_final=len(iso.data),
         full_config_s_per_gen_estimate=full_gen_cost,
@@ -83,4 +97,14 @@ def main(generations=50, iters=300, nx=96, nk=4, lag_steps=2500):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--generations", type=int, default=50)
-    main(generations=ap.parse_args().generations)
+    ap.add_argument("--reference-lag", action="store_true",
+                    help="measure real generations at the reference's "
+                         "true villin lag (1e4 steps = 20 ps, nk=1, 60 "
+                         "resamples/gen; scripts/villin.jl:10-45) "
+                         "instead of extrapolating from 2500-step lags")
+    args = ap.parse_args()
+    if args.reference_lag:
+        main(generations=min(args.generations, 5), iters=300, nx=120,
+             nk=1, lag_steps=10000, resamples=60, tag="_truelag")
+    else:
+        main(generations=args.generations)
