@@ -13,11 +13,14 @@ same API: ``initialize`` is a no-op and per-host data is the global data.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -42,10 +45,16 @@ def initialize(coordinator_address: Optional[str] = None,
         if "already" in str(e).lower():
             return   # idempotent: distributed is already up
         if coordinator_address is None and num_processes is None:
-            return   # no cluster detected -> single-process environment
+            # no cluster detected -> single-process environment; log the
+            # cause so a REAL pod bring-up failure is never silent
+            logger.info("jax.distributed auto-detection failed (%s); "
+                        "continuing single-process", e)
+            return
         raise
-    except ValueError:
+    except ValueError as e:
         if coordinator_address is None and num_processes is None:
+            logger.info("jax.distributed auto-detection unavailable (%s); "
+                        "continuing single-process", e)
             return   # auto-detection unavailable on this platform
         raise
 
