@@ -14,6 +14,9 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+# wheel installs carry the prebuilt library inside the package
+# (setup.py BuildWithNative); the repo layout builds it in native/
+_SO_PKG = os.path.join(os.path.dirname(__file__), "libisokann_host.so")
 _SO = os.path.join(_DIR, "libisokann_host.so")
 
 
@@ -23,9 +26,12 @@ def _build():
 
 
 def _load():
-    if not os.path.exists(_SO):
-        _build()
-    lib = ctypes.CDLL(_SO)
+    if os.path.exists(_SO_PKG):
+        lib = ctypes.CDLL(_SO_PKG)
+    else:
+        if not os.path.exists(_SO):
+            _build()
+        lib = ctypes.CDLL(_SO)
 
     i64 = ctypes.c_int64
     pd = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
