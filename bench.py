@@ -100,6 +100,59 @@ def wait_for_devices(get_devices=None, reset=None, sleep=time.sleep,
             reset(log)
 
 
+def probe_devices_subprocess(timeout=150.0, log=_log):
+    """One device-discovery probe in a THROWAWAY subprocess.
+
+    The in-process retry loop only survives discovery that *raises*; the
+    tunnel also fails by HANGING the first device op indefinitely (seen
+    2026-08-18), which no in-process retry can escape.  A subprocess
+    probe can be killed on timeout, keeping the benchmark process
+    responsive.  Raises on probe failure/timeout; returns device count."""
+    import subprocess
+    code = "import jax; print('NDEV', len(jax.devices()))"
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       timeout=timeout, text=True)
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()[-3:]
+        raise RuntimeError(f"device probe failed: {' | '.join(tail)}")
+    for line in r.stdout.splitlines():
+        if line.startswith("NDEV"):
+            return int(line.split()[1])
+    raise RuntimeError("device probe produced no output")
+
+
+def wait_for_devices_hang_safe(max_wait=480.0, probe_timeout=150.0,
+                               sleep=time.sleep, monotonic=time.monotonic,
+                               log=_log, probe=None, wait=None):
+    """Hang-safe discovery: subprocess probes (killable) with backoff
+    until the backend answers, THEN the in-process discovery (fast once
+    the tunnel is healthy, and itself retry-wrapped)."""
+    import subprocess
+    probe = probe_devices_subprocess if probe is None else probe
+    wait = wait_for_devices if wait is None else wait
+    t0 = monotonic()
+    delay = 2.0
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            n = probe(timeout=probe_timeout)
+            log(f"subprocess probe ok ({n} device(s), attempt {attempt})")
+            break
+        except (subprocess.TimeoutExpired, Exception) as e:
+            elapsed = monotonic() - t0
+            if elapsed + delay > max_wait:
+                log(f"device probe failed permanently after {attempt} "
+                    f"attempts / {elapsed:.0f}s")
+                raise
+            log(f"device probe attempt {attempt} failed "
+                f"({type(e).__name__}); retrying in {delay:.0f}s")
+            sleep(delay)
+            delay = min(delay * 2, 60.0)
+    remaining = max(60.0, max_wait - (monotonic() - t0))
+    return wait(max_wait=remaining)
+
+
 def failure_json(exc):
     """The JSON metric line emitted when the benchmark cannot run: keeps the
     driver record parseable (metric/unit present, value null, error set)."""
@@ -125,7 +178,7 @@ def main():
 
     log = _log
 
-    log("devices:", wait_for_devices())
+    log("devices:", wait_for_devices_hang_safe())
 
     # warm up the compile channel (remote-compile backends pay a large
     # first-compile latency) — not part of the measured algorithm

@@ -106,3 +106,71 @@ print("reset-ok")
                          capture_output=True, text=True, timeout=300)
     assert out.returncode == 0, out.stderr
     assert "reset-ok" in out.stdout
+
+
+# --------------------------------------------------------------------------
+# hang-safe discovery (subprocess probes)
+# --------------------------------------------------------------------------
+
+def test_hang_safe_probes_then_waits():
+    import subprocess
+
+    calls = []
+
+    def probe(timeout):
+        calls.append("probe")
+        if len(calls) < 3:
+            raise subprocess.TimeoutExpired("python", timeout)
+        return 1
+
+    waited = {}
+
+    def wait(max_wait):
+        waited["budget"] = max_wait
+        return ["dev0"]
+
+    clock = [0.0]
+
+    def monotonic():
+        return clock[0]
+
+    def sleep(s):
+        clock[0] += s
+
+    devs = bench.wait_for_devices_hang_safe(
+        max_wait=480.0, probe=probe, wait=wait,
+        sleep=sleep, monotonic=monotonic, log=lambda *a: None)
+    assert devs == ["dev0"]
+    assert calls == ["probe"] * 3          # two hangs, then success
+    assert 60.0 <= waited["budget"] <= 480.0
+
+
+def test_hang_safe_gives_up():
+    import subprocess
+
+    def probe(timeout):
+        raise subprocess.TimeoutExpired("python", timeout)
+
+    clock = [0.0]
+
+    def sleep(s):
+        clock[0] += s
+
+    with pytest.raises(subprocess.TimeoutExpired):
+        bench.wait_for_devices_hang_safe(
+            max_wait=20.0, probe=probe, wait=lambda max_wait: ["x"],
+            sleep=sleep, monotonic=lambda: clock[0],
+            log=lambda *a: None)
+
+
+def test_real_subprocess_probe_times_out_on_hang():
+    # a probe that genuinely hangs is killed at the timeout
+    import subprocess
+
+    def fake_probe(timeout):
+        return subprocess.run(
+            [sys.executable, "-c", "import time; time.sleep(60)"],
+            capture_output=True, timeout=timeout, text=True)
+
+    with pytest.raises(subprocess.TimeoutExpired):
+        fake_probe(1.0)
