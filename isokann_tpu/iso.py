@@ -684,12 +684,23 @@ def rates(x: np.ndarray, y: np.ndarray):
     K, *_ = np.linalg.lstsq(x, y, rcond=None)
     K = K.T
     w, V = np.linalg.eig(K)
-    if np.any(np.real(w) >= 1.0) or np.any(np.real(w) <= 0.0):
+    # the dominant eigenvalue ~1 is structural (the constant mode is
+    # reproduced exactly by the augmented least squares): map it just
+    # inside the unit interval so logm gives it rate ~0.  Only the
+    # NON-dominant spectrum escaping (0, 1) means the slow process is
+    # unresolved at this lag (use Iso.lag_sweep to pick a lag).
+    order = np.argsort(np.real(w))[::-1]
+    rest = w[order[1:]]
+    dom_ok = np.real(w[order[0]]) <= 1.0 + 1e-6
+    rest_ok = np.all(np.abs(rest) < 1.0) and np.all(np.real(rest) > 0.0)
+    if not (dom_ok and rest_ok):
         import warnings
         warnings.warn(
             "fitted Koopman matrix has eigenvalues outside (0, 1) "
             f"({np.real(w).round(5).tolist()}): the slow process is not "
-            "resolved at this lag; rates are clamped upper bounds")
+            "resolved at this lag; rates are clamped upper bounds "
+            "(sweep lags with Iso.lag_sweep)")
+    if not (dom_ok and rest_ok) or np.any(np.real(w) >= 1.0):
         w = np.clip(np.real(w), 1e-12, 1.0 - 1e-9) + 0j
         K = np.real(V @ np.diag(w) @ np.linalg.inv(V))
     return np.real(scipy.linalg.logm(K))

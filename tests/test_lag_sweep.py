@@ -89,3 +89,29 @@ def test_lag_sweep_unresolved_reports_none(trained_doublewell):
     assert not rows[0]["resolved"]
     assert np.isnan(rows[0]["timescale"]) or rows[0]["timescale"] > 50.0
     assert rec is None
+
+
+def test_rates_no_spurious_warning_when_resolved():
+    # the structural dominant eigenvalue (constant mode) is exactly 1
+    # by construction of the augmented least squares; a resolved slow
+    # eigenvalue must NOT trigger the unresolved-lag warning
+    import warnings as _w
+    from isokann_tpu.iso import rates as rates_fn
+
+    chi = np.linspace(0.05, 0.95, 50)[:, None]
+    kchi = 0.5 * chi + 0.25
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        Q = rates_fn(chi, kchi)
+    assert Q[0, 0] < 0 and Q[1, 1] < 0
+    assert Q[0, 0] == pytest.approx(np.log(0.5) / 2, rel=1e-6)
+
+
+def test_rates_warns_when_unresolved():
+    from isokann_tpu.iso import rates as rates_fn
+
+    rng = np.random.default_rng(0)
+    chi = np.linspace(0.05, 0.95, 50)[:, None]
+    kchi = chi + rng.normal(0, 0.02, chi.shape)   # slow eig ~1 +- noise
+    with pytest.warns(UserWarning, match="not.*resolved|outside"):
+        rates_fn(chi, kchi)
