@@ -93,9 +93,9 @@ def run_girsanov(iso, generations=1, iter=100, kde=1, forcescale=1.0,
     at 1 ps lags the full-strength optcontrol bias collapses the raw
     weighted estimator's effective sample size to ~1.  Keep the
     per-generation lag short (the reference's 0.2 ps regime) or temper
-    with ``forcescale`` <= 0.5; the measured sweet spot at 1 ps was
-    forcescale 0.5 with self-normalized estimators (3-4x variance
-    reduction in the transition region).
+    with ``forcescale`` <= 0.5 and use self-normalized (or truncated-IS)
+    estimators; see the v2 study (64 reps, bootstrap CIs) in
+    out/girsanov_variance.json for the measured ratios per forcescale.
     """
     from .md.integrators import optcontrol
     from .targets import DomainError
