@@ -68,7 +68,8 @@ def campaign(iso, generations, iters, resamples, cutoff, telemetry,
 
 def main(generations=1000, iters=300, resamples=3, cutoff=2000,
          lag_sweep=True, steps=None, pilot_generations=50, out=None,
-         sweep_only=False):
+         sweep_only=False, ladder=None, sweep_nx=128, sweep_nk=8,
+         nx=100, nk=8):
     import numpy as np
 
     import isokann_tpu as itk
@@ -82,15 +83,16 @@ def main(generations=1000, iters=300, resamples=3, cutoff=2000,
     if steps is None and lag_sweep:
         sim0 = build_sim(100)
         print(f"{sim0.natoms} atoms, pilot lag {sim0.lagtime} ps", flush=True)
-        pilot = itk.Iso(sim=sim0, nx=100, nk=8, key=0,
+        pilot = itk.Iso(sim=sim0, nx=nx, nk=nk, key=0,
                         opt=itk.AdamRegularized())
         t0 = time.time()
         campaign(pilot, pilot_generations, iters, resamples, cutoff,
                  [], label="pilot")
         results["pilot_wall_s"] = time.time() - t0
-        ladder = [100, 500, 2500, 12500, 62500]
+        ladder = ladder or [100, 500, 2500, 12500, 62500]
         t0 = time.time()
-        rec, rows = pilot.lag_sweep(steps=ladder, nx=128, nk=8, key=7)
+        rec, rows = pilot.lag_sweep(steps=ladder, nx=sweep_nx, nk=sweep_nk,
+                                    key=7)
         results["lag_sweep"] = rows
         results["lag_sweep_wall_s"] = time.time() - t0
         results["recommended_steps"] = rec
@@ -112,7 +114,7 @@ def main(generations=1000, iters=300, resamples=3, cutoff=2000,
     # ---- production campaign at the selected lag ---------------------------
     sim = build_sim(steps)
     print(f"{sim.natoms} atoms, production lag {sim.lagtime} ps", flush=True)
-    iso = itk.Iso(sim=sim, nx=100, nk=8, key=0, opt=itk.AdamRegularized())
+    iso = itk.Iso(sim=sim, nx=nx, nk=nk, key=0, opt=itk.AdamRegularized())
 
     wall = campaign(iso, generations, iters, resamples, cutoff, telemetry,
                     label="prod")
@@ -171,8 +173,23 @@ if __name__ == "__main__":
     ap.add_argument("--pilot-generations", type=int, default=50)
     ap.add_argument("--sweep-only", action="store_true",
                     help="stop after the pilot + lag sweep")
+    ap.add_argument("--ladder", type=str, default=None,
+                    help="comma-separated lag ladder in steps")
+    ap.add_argument("--sweep-nx", type=int, default=128)
+    ap.add_argument("--sweep-nk", type=int, default=8)
+    ap.add_argument("--nx", type=int, default=100)
+    ap.add_argument("--nk", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke testing)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     main(generations=args.generations, iters=args.iters,
          lag_sweep=not args.no_lag_sweep, steps=args.steps,
          pilot_generations=args.pilot_generations,
-         sweep_only=args.sweep_only)
+         sweep_only=args.sweep_only,
+         ladder=([int(x) for x in args.ladder.split(",")]
+                 if args.ladder else None),
+         sweep_nx=args.sweep_nx, sweep_nk=args.sweep_nk,
+         nx=args.nx, nk=args.nk)
