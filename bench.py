@@ -290,7 +290,23 @@ def main():
     }))
 
 
+def _watchdog(seconds):
+    """Last-resort guarantee of a parseable record: device ops through the
+    tunnel can hang forever (not just fail), and a hung benchmark process
+    emits nothing.  After `seconds`, print the failure JSON and hard-exit."""
+    def fire():
+        time.sleep(seconds)
+        _log(f"watchdog: no result after {seconds:.0f}s; emitting "
+             "failure record")
+        print(failure_json(TimeoutError(f"benchmark hung > {seconds:.0f}s")),
+              flush=True)
+        os._exit(2)
+    th = threading.Thread(target=fire, daemon=True)
+    th.start()
+
+
 if __name__ == "__main__":
+    _watchdog(float(os.environ.get("BENCH_WATCHDOG_S", 2400)))
     try:
         main()
     except Exception as e:

@@ -174,3 +174,22 @@ def test_real_subprocess_probe_times_out_on_hang():
 
     with pytest.raises(subprocess.TimeoutExpired):
         fake_probe(1.0)
+
+
+def test_watchdog_emits_failure_record():
+    # run bench.py with a 1-second watchdog and a guaranteed-hanging
+    # main (device probe against nothing): the process must still print
+    # a parseable metric line and exit
+    import subprocess
+    code = (
+        "import bench, json, sys, time\n"
+        "bench._watchdog(1.0)\n"
+        "time.sleep(30)\n")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=25,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))))
+    assert r.returncode == 2
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["value"] is None and "hung" in rec["error"]
