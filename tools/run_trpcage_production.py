@@ -41,11 +41,15 @@ def build_sim(steps):
 
 
 def campaign(iso, generations, iters, resamples, cutoff, telemetry,
-             label=""):
+             label="", budget_s=None):
+    """Run the adaptive loop; with ``budget_s``, stop early once the
+    measured per-generation cost says the budget would be exceeded
+    (recorded in the telemetry — the run stays a complete artifact)."""
     import isokann_tpu as itk
 
     t_start = time.time()
     t_gen = t_start
+    done = 0
     for g in range(generations):
         try:
             iso.run(iters)
@@ -59,17 +63,25 @@ def campaign(iso, generations, iters, resamples, cutoff, telemetry,
                               loss=float(iso.losses[-1]),
                               t_gen=now - t_gen, t_total=now - t_start))
         t_gen = now
+        done = g + 1
         if g % 50 == 0 or g == generations - 1:
             print(f"[{label}] gen {g}: n={len(iso.data)} "
                   f"loss={iso.losses[-1]:.5f} ({now - t_start:.0f}s)",
                   flush=True)
-    return time.time() - t_start
+        if budget_s is not None and done >= 10:
+            s_per_gen = (now - t_start) / done
+            if now - t_start + s_per_gen > budget_s:
+                print(f"[{label}] budget {budget_s:.0f}s reached after "
+                      f"{done} generations ({s_per_gen:.2f} s/gen)",
+                      flush=True)
+                break
+    return time.time() - t_start, done
 
 
 def main(generations=1000, iters=300, resamples=3, cutoff=2000,
          lag_sweep=True, steps=None, pilot_generations=50, out=None,
          sweep_only=False, ladder=None, sweep_nx=128, sweep_nk=8,
-         nx=100, nk=8):
+         nx=100, nk=8, budget_s=None):
     import numpy as np
 
     import isokann_tpu as itk
@@ -103,6 +115,13 @@ def main(generations=1000, iters=300, resamples=3, cutoff=2000,
         steps = rec
         print(f"lag_sweep: production lag = {steps} steps "
               f"({steps * sim0.step} ps)", flush=True)
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            from isokann_tpu.utils.plots import plot_lag_sweep
+            plot_lag_sweep(rows, out=os.path.join(out, "lag_sweep.png"))
+        except Exception as e:
+            results["lag_sweep_plot_error"] = str(e)
         if sweep_only:
             json.dump(results, open(os.path.join(out, "lag_sweep.json"),
                                     "w"), indent=1)
@@ -116,17 +135,18 @@ def main(generations=1000, iters=300, resamples=3, cutoff=2000,
     print(f"{sim.natoms} atoms, production lag {sim.lagtime} ps", flush=True)
     iso = itk.Iso(sim=sim, nx=nx, nk=nk, key=0, opt=itk.AdamRegularized())
 
-    wall = campaign(iso, generations, iters, resamples, cutoff, telemetry,
-                    label="prod")
-    print(f"total {wall:.1f}s for {generations} generations "
-          f"({wall / generations * 1e3:.0f} ms/gen)", flush=True)
+    wall, gens_run = campaign(iso, generations, iters, resamples, cutoff,
+                              telemetry, label="prod", budget_s=budget_s)
+    print(f"total {wall:.1f}s for {gens_run} generations "
+          f"({wall / gens_run * 1e3:.0f} ms/gen)", flush=True)
 
     # --- analysis artifacts -------------------------------------------------
     iso.save(os.path.join(out, "iso_final.pkl"))
 
-    results.update(generations=generations, iters_per_gen=iters,
+    results.update(generations=gens_run, generations_requested=generations,
+                   iters_per_gen=iters,
                    steps=steps, lag_ps=sim.lagtime,
-                   wall_s=wall, ms_per_gen=wall / generations * 1e3,
+                   wall_s=wall, ms_per_gen=wall / gens_run * 1e3,
                    n_final=len(iso.data),
                    loss_final=float(iso.losses[-1]))
     try:
@@ -179,6 +199,10 @@ if __name__ == "__main__":
     ap.add_argument("--sweep-nk", type=int, default=8)
     ap.add_argument("--nx", type=int, default=100)
     ap.add_argument("--nk", type=int, default=8)
+    ap.add_argument("--budget-s", type=float, default=None,
+                    help="wall budget for the production campaign; stops "
+                         "early (recorded) once s/gen says it would be "
+                         "exceeded")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke testing)")
     args = ap.parse_args()
@@ -192,4 +216,4 @@ if __name__ == "__main__":
          ladder=([int(x) for x in args.ladder.split(",")]
                  if args.ladder else None),
          sweep_nx=args.sweep_nx, sweep_nk=args.sweep_nk,
-         nx=args.nx, nk=args.nk)
+         nx=args.nx, nk=args.nk, budget_s=args.budget_s)
