@@ -210,12 +210,17 @@ def lag_sweep(iso, steps=None, nx=50, nk=8, n_boot=100, threshold=0.9,
     for s in sorted(int(s) for s in steps):
         key, sub = jax.random.split(key)
         ys = iso.data.sim.propagate(xs, nk, key=sub, steps=s)
-        from .data import values as _values
+        from .data import WeightedSamples, values as _values
         yv = np.asarray(_values(ys))                     # (nx, nk, d)
         chi_x = np.asarray(iso.chicoords(xs))            # (nx, d_chi)
         chi_y = np.asarray(
             iso.chicoords(yv.reshape(-1, yv.shape[-1])))
-        chi_y = chi_y.reshape(nx, nk, -1).mean(axis=1)   # (nx, d_chi)
+        chi_y = chi_y.reshape(nx, nk, -1)                # (nx, nk, d_chi)
+        if isinstance(ys, WeightedSamples):              # Girsanov weights
+            w = np.asarray(ys.weights, np.float64).reshape(nx, nk, 1)
+            chi_y = (w * chi_y).sum(axis=1) / w.sum(axis=1)
+        else:
+            chi_y = chi_y.mean(axis=1)                   # (nx, d_chi)
 
         _, eigs_c = _fit_koopman(chi_x, chi_y)
         eigs = np.sort(np.real(eigs_c))[::-1]

@@ -115,3 +115,38 @@ def test_rates_warns_when_unresolved():
     kchi = chi + rng.normal(0, 0.02, chi.shape)   # slow eig ~1 +- noise
     with pytest.warns(UserWarning, match="not.*resolved|outside"):
         rates_fn(chi, kchi)
+
+
+def test_lag_sweep_uses_girsanov_weights(trained_doublewell):
+    # a biased sim returning WeightedSamples: replicas with zero weight
+    # must not contribute to the Koopman estimate
+    import copy
+    import dataclasses
+    from isokann_tpu.data import WeightedSamples
+
+    class BiasedSim:
+        steps = 50
+        lagtime = 0.5
+
+        def propagate(self, xs, nk, key=None, steps=None):
+            import jax.numpy as jnp
+            xs = jnp.asarray(xs)
+            n = xs.shape[0]
+            # first half of replicas: frozen values, weight 1;
+            # second half: garbage values, weight 0
+            good = jnp.tile(xs[:, None, :], (1, nk // 2, 1))
+            junk = jnp.full((n, nk - nk // 2, xs.shape[1]), 37.0)
+            vals = jnp.concatenate([good, junk], axis=1)
+            w = jnp.concatenate([jnp.ones((n, nk // 2)),
+                                 jnp.zeros((n, nk - nk // 2))], axis=1)
+            return WeightedSamples(vals, w)
+
+    iso = copy.copy(trained_doublewell)
+    iso.data = dataclasses.replace(iso.data, sim=BiasedSim())
+    rec, rows = iso.lag_sweep(steps=[50], nx=20, nk=4, n_boot=10, key=5,
+                              verbose=False)
+    # weighted Kchi == chi (frozen dynamics): slow eig ~1, unresolved —
+    # junk values at x=37 would otherwise wreck the fit entirely
+    eigs = rows[0]["eigs"]
+    assert abs(eigs[0] - 1.0) < 1e-6
+    assert eigs[1] > 0.9
