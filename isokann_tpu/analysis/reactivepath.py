@@ -124,8 +124,13 @@ def shortestchain(xs, xi, from_, to, sigma=1.0, minjump=0.0, maxjump=1.0,
             flat=False))
 
     logp = fin_dim_loglikelihood(dxs, dts, sigma, xs.shape[1])
+    # raw negative-log-likelihood edge costs, exactly as the reference
+    # feeds Bellman-Ford (reactivepath.jl:160-187).  Costs may be
+    # NEGATIVE (the per-edge entropy term); the chi-ordered graph is a
+    # DAG, so Bellman-Ford is safe.  Do NOT shift to nonnegative: a
+    # uniform shift penalizes each edge and biases the argmax-likelihood
+    # chain toward degenerate few-frame paths (the round-2 2-frame bug).
     cost = -logp
-    cost = cost - cost.min() + 1e-9      # Bellman-Ford needs nonneg-ish costs
 
     if device:
         A = np.full((n, n), np.inf)
@@ -160,9 +165,10 @@ def shortestpath_sparse(n, i, j, w, sources, targets):
     except ImportError:
         pass
 
-    from scipy.sparse.csgraph import dijkstra
-    dists, pred = dijkstra(A, directed=True, indices=sources,
-                           return_predecessors=True)
+    # bellman_ford, not dijkstra: OM edge costs are legitimately negative
+    from scipy.sparse.csgraph import bellman_ford
+    dists, pred = bellman_ford(A, directed=True, indices=sources,
+                               return_predecessors=True)
     # best (source, target) pair
     sub = dists[:, targets]
     si, ti = np.unravel_index(np.argmin(sub), sub.shape)

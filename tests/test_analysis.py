@@ -174,3 +174,23 @@ def test_reactionpath_ode(trained_iso):
     chis = np.asarray(trained_iso.chicoords(path)).ravel()
     # chi increases along most of the path (saturated plateaus at the ends)
     assert np.sum(np.diff(chis) > 0) >= 12
+
+
+def test_reactive_path_not_edge_count_biased():
+    """Edge costs are the RAW Onsager-Machlup -logp (possibly negative,
+    exactly as the reference feeds Bellman-Ford,
+    ``reactivepath.jl:160-187``); a uniform nonnegativity shift distorts
+    the likelihood ordering by penalizing path length.  Pin: samples
+    along a smooth transition are threaded through, not jumped over
+    (the per-edge entropy term favors many short steps when
+    sigma^2 dt 2pi < 1)."""
+    n = 21
+    chi = np.linspace(0.0, 1.0, n)
+    coords = np.zeros((n, 6))
+    coords[:, 0] = np.linspace(0.5, 1.5, n)   # 2-atom bond stretching
+    rng = np.random.default_rng(1)
+    coords[:, 1] = 0.01 * rng.standard_normal(n)
+    ids = reactive_path(chi, coords, sigma=0.5, maxjump=1.0,
+                        method=QuantilePath(0.1))
+    assert len(ids) >= n // 2, f"degenerate path: {len(ids)} frames"
+    assert np.all(np.diff(chi[ids]) > 0)
