@@ -134,7 +134,10 @@ def shortestchain(xs, xi, from_, to, sigma=1.0, minjump=0.0, maxjump=1.0,
 
     if device:
         A = np.full((n, n), np.inf)
-        A[i, j] = cost
+        # order-preserving rescale (positive factor): keeps the argmin
+        # path exact while conditioning the f32 min-plus iterations
+        # (raw OM costs reach ~1e3-1e6 for protein-sized dim)
+        A[i, j] = cost / max(np.abs(cost).max(), 1e-30)
         ids = shortestpath_dense_device(A, from_, to)
     else:
         ids = shortestpath_sparse(n, i, j, cost, from_, to)
