@@ -150,3 +150,16 @@ def test_lag_sweep_uses_girsanov_weights(trained_doublewell):
     eigs = rows[0]["eigs"]
     assert abs(eigs[0] - 1.0) < 1e-6
     assert eigs[1] > 0.9
+
+
+def test_fit_koopman_multidim_no_augmentation():
+    # d>=2 chi columns (simplex memberships) are fitted directly; the
+    # structural eigenvalue ~1 comes from the columns summing to 1
+    chi = np.linspace(0.05, 0.95, 60)
+    X = np.stack([chi, 1.0 - chi], axis=1)
+    Y = np.stack([0.6 * chi + 0.2, 0.8 - 0.6 * chi], axis=1)
+    K, eigs = _fit_koopman(X, Y)
+    assert K.shape == (2, 2)
+    eigs = np.sort(np.real(eigs))
+    assert eigs[1] == pytest.approx(1.0, abs=1e-9)
+    assert eigs[0] == pytest.approx(0.6, abs=1e-9)
