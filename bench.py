@@ -168,7 +168,8 @@ def failure_json(exc):
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     import jax.numpy as jnp
