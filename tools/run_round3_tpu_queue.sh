@@ -14,6 +14,17 @@ run() {
   echo "=== $name exit $rc $(date -u +%H:%M:%S) ===" | tee -a "$L/queue.log"
 }
 
+gate() {
+  # re-probe before each stage: a faulted stage can wedge the device
+  # claim, and every later stage would burn its whole timeout blocked
+  timeout 700 python -u tools/wait_tpu.py 600 >> "$L/queue.log" 2>&1
+  if [ $? -ne 0 ]; then
+    echo "gate: backend down before $1; skipping" | tee -a "$L/queue.log"
+    return 1
+  fi
+  return 0
+}
+
 # 0) wait for the backend (hang-safe subprocess probes)
 run wait_tpu 4000 python -u tools/wait_tpu.py 3600 || true
 if ! tail -1 "$L/wait_tpu.log" | grep -q "devices:"; then
@@ -26,15 +37,15 @@ run trpcage 10800 python -u tools/run_trpcage_production.py \
     --generations 1000 --budget-s 7200
 
 # 2) Girsanov variance study v2 (full)
-run girsanov 3600 python -u tools/girsanov_variance.py
+gate girsanov && run girsanov 3600 python -u tools/girsanov_variance.py
 
 # 3) villin at the true reference lag
-run villin 3600 python -u tools/run_villin_scale.py --reference-lag
+gate villin && run villin 3600 python -u tools/run_villin_scale.py --reference-lag
 
 # 4) TPU test lane
-run tpulane 3600 env ISOKANN_TPU_LANE=1 python -m pytest tests -m tpu -q
+gate tpulane && run tpulane 3600 env ISOKANN_TPU_LANE=1 python -m pytest tests -m tpu -q
 
 # 5) north-star benchmark
-run bench 3000 python -u bench.py
+gate bench && run bench 3000 python -u bench.py
 
 echo "queue done $(date -u)" | tee -a "$L/queue.log"
