@@ -38,6 +38,15 @@ def initialize(coordinator_address: Optional[str] = None,
     double initialization is ignored in both modes."""
     if num_processes is not None and num_processes <= 1:
         return
+    # idempotency up front: once the cluster client exists, a re-call
+    # raises "must be called before any JAX calls" (not "already
+    # initialized"), so string matching below would mis-handle it
+    try:
+        from jax._src import distributed as _jdist
+        if getattr(_jdist.global_state, "client", None) is not None:
+            return
+    except ImportError:
+        pass
     try:
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id, **kw)
