@@ -580,7 +580,12 @@ class Iso:
             t_train += time.time() - t0
             if showprogress:
                 try:
-                    macrorates = np.round(self.exit_rates(), 4).tolist()
+                    # progress display only: suppress the per-generation
+                    # unresolved-lag warning (run lag_sweep once instead)
+                    import warnings as _w
+                    with _w.catch_warnings():
+                        _w.simplefilter("ignore")
+                        macrorates = np.round(self.exit_rates(), 4).tolist()
                 except Exception:
                     macrorates = None
                 print(f"[run_kde] gen {g + 1}/{generations} "
