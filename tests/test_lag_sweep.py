@@ -163,3 +163,21 @@ def test_fit_koopman_multidim_no_augmentation():
     eigs = np.sort(np.real(eigs))
     assert eigs[1] == pytest.approx(1.0, abs=1e-9)
     assert eigs[0] == pytest.approx(0.6, abs=1e-9)
+
+
+def test_lag_sweep_on_md_simulation():
+    # integration: the MDSimulation steps-override path (vacuum ala2)
+    import isokann_tpu as itk
+
+    sim = itk.MDSimulation(steps=10)
+    iso = itk.Iso(sim=sim, nx=24, nk=3, key=0, minibatch=0,
+                  opt=itk.AdamRegularized())
+    iso.run(30)
+    rec, rows = iso.lag_sweep(steps=[10, 20], nx=12, nk=4, n_boot=20,
+                              key=2, verbose=False)
+    assert [r["steps"] for r in rows] == [10, 20]
+    for r in rows:
+        assert r["lag"] == pytest.approx(
+            r["steps"] * sim.lagtime / sim.steps)
+        assert len(r["eigs"]) == 2
+        assert np.isfinite(r["eigs"]).all()
