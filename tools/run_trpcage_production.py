@@ -199,6 +199,7 @@ if __name__ == "__main__":
     ap.add_argument("--sweep-nk", type=int, default=8)
     ap.add_argument("--nx", type=int, default=100)
     ap.add_argument("--nk", type=int, default=8)
+    ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--budget-s", type=float, default=None,
                     help="wall budget for the production campaign; stops "
                          "early (recorded) once s/gen says it would be "
@@ -216,4 +217,4 @@ if __name__ == "__main__":
          ladder=([int(x) for x in args.ladder.split(",")]
                  if args.ladder else None),
          sweep_nx=args.sweep_nx, sweep_nk=args.sweep_nk,
-         nx=args.nx, nk=args.nk, budget_s=args.budget_s)
+         nx=args.nx, nk=args.nk, budget_s=args.budget_s, out=args.out)
