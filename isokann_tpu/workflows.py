@@ -245,5 +245,34 @@ def lag_sweep(iso, steps=None, nx=50, nk=8, n_boot=100, threshold=0.9,
                   f"eigs={np.round(eigs, 5).tolist()} timescale={ts:g} "
                   f"resolved={frac:.2f}", flush=True)
 
-    recommended = next((r["steps"] for r in rows if r["resolved"]), None)
+    # Recommendation: the smallest resolved lag that also has
+    # (a) eigenvalue HEADROOM — the slow eigenvalue measured with the
+    #     current chi must sit clearly below 1, because a sharper chi
+    #     (after further training) pushes it toward the true, larger
+    #     value (the round-2 trp-cage failure: pilot-resolved at 0.2 ps,
+    #     unresolved after 1000 generations), and
+    # (b) an implied-timescale PLATEAU vs the next rung — lag past the
+    #     fast-mode mixing time, where the estimate is lag-independent.
+    # Falls back to the smallest resolved lag when no rung satisfies
+    # both (e.g. single-rung ladders).
+    eig_headroom = 0.98
+    plateau_ratio = 1.5
+    recommended = None
+    for a, b in zip(rows, rows[1:]):
+        lam_a = a["eigs"][1] if len(a["eigs"]) > 1 else a["eigs"][0]
+        if (a["resolved"] and b["resolved"] and lam_a <= eig_headroom
+                and np.isfinite(a["timescale"])
+                and np.isfinite(b["timescale"])
+                and b["timescale"] / a["timescale"] < plateau_ratio):
+            recommended = a["steps"]
+            break
+    if recommended is None:
+        recommended = next(
+            (r["steps"] for r in rows
+             if r["resolved"]
+             and (r["eigs"][1] if len(r["eigs"]) > 1 else 1.0)
+             <= eig_headroom), None)
+    if recommended is None:
+        recommended = next((r["steps"] for r in rows if r["resolved"]),
+                           None)
     return recommended, rows
