@@ -26,7 +26,7 @@ gate() {
 }
 
 # 0) wait for the backend (hang-safe subprocess probes)
-run wait_tpu 4000 python -u tools/wait_tpu.py 3600 || true
+run wait_tpu 22000 python -u tools/wait_tpu.py 21600 || true
 if ! tail -1 "$L/wait_tpu.log" | grep -q "devices:"; then
   echo "backend never came up; aborting queue" | tee -a "$L/queue.log"
   exit 1
