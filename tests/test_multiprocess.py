@@ -50,6 +50,30 @@ assert float(total) == expect, (float(total), expect)
 
 # double-initialize is idempotent
 D.initialize(f"localhost:{port}", 2, pid)
+
+# a REAL training step across the two processes: sharded propagation,
+# global shift-scale reductions, gradient psum — the pod code path
+import isokann_tpu as itk
+from isokann_tpu.parallel.mesh import distributed_iso_step, replicate
+
+sim = itk.Doublewell()
+model = sim.defaultmodel(key=jax.random.PRNGKey(0))   # same on both procs
+opt = itk.AdamRegularized()
+step = distributed_iso_step(mesh, sim, model.apply, opt, nk=2)
+x0 = np.linspace(-1.2, 1.2, N, dtype=np.float32)[:, None]
+x0g = D.host_local_batch(mesh, x0[sl])
+params = replicate(mesh, model.params)
+opt_state = replicate(mesh, opt.init(model.params))
+loss = None
+key = jax.random.PRNGKey(1)
+for it in range(3):
+    key, sub = jax.random.split(key)
+    params, opt_state, loss, ys = step(params, opt_state, x0g, sub)
+loss = float(loss)
+assert np.isfinite(loss), loss
+assert ys.shape == (N, 2, 1)
+print("TRAIN_LOSS", f"{loss:.10f}", flush=True)
+
 print("WORKER_OK", pid, flush=True)
 """
 
@@ -84,3 +108,9 @@ def test_two_process_distributed_bringup(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-2000:]}"
         assert f"WORKER_OK {i}" in out
+    # SPMD consistency: the training loss must be identical on both
+    # controllers (same program, psum'd gradients)
+    losses = [l for out in outs for l in
+              [ln.split()[1] for ln in out.splitlines()
+               if ln.startswith("TRAIN_LOSS")]]
+    assert len(losses) == 2 and losses[0] == losses[1], losses
