@@ -245,34 +245,43 @@ def lag_sweep(iso, steps=None, nx=50, nk=8, n_boot=100, threshold=0.9,
                   f"eigs={np.round(eigs, 5).tolist()} timescale={ts:g} "
                   f"resolved={frac:.2f}", flush=True)
 
-    # Recommendation: the smallest resolved lag that also has
-    # (a) eigenvalue HEADROOM — the slow eigenvalue measured with the
-    #     current chi must sit clearly below 1, because a sharper chi
-    #     (after further training) pushes it toward the true, larger
-    #     value (the round-2 trp-cage failure: pilot-resolved at 0.2 ps,
-    #     unresolved after 1000 generations), and
-    # (b) an implied-timescale PLATEAU vs the next rung — lag past the
-    #     fast-mode mixing time, where the estimate is lag-independent.
-    # Falls back to the smallest resolved lag when no rung satisfies
-    # both (e.g. single-rung ladders).
-    eig_headroom = 0.98
-    plateau_ratio = 1.5
+    return _recommend_lag(rows), rows
+
+
+def _recommend_lag(rows, eig_headroom=0.98, plateau_ratio=1.5):
+    """The smallest resolved lag that also has
+
+    (a) eigenvalue HEADROOM — the slow eigenvalue measured with the
+        current chi must sit clearly below 1, because a sharper chi
+        (after further training) pushes it toward the true, larger
+        value (the round-2 trp-cage failure: pilot-resolved at 0.2 ps,
+        unresolved after 1000 generations), and
+    (b) an implied-timescale PLATEAU vs the next rung, two-sided: a
+        timescale that *shrinks* with lag means the short-lag estimate
+        was a fast mode, not a plateau.
+
+    Falls back to headroom-only, then to the smallest resolved lag
+    (e.g. single-rung ladders); None when nothing resolves."""
     recommended = None
     for a, b in zip(rows, rows[1:]):
         lam_a = a["eigs"][1] if len(a["eigs"]) > 1 else a["eigs"][0]
         if (a["resolved"] and b["resolved"] and lam_a <= eig_headroom
                 and np.isfinite(a["timescale"])
                 and np.isfinite(b["timescale"])
-                and b["timescale"] / a["timescale"] < plateau_ratio):
+                and 1.0 / plateau_ratio
+                < b["timescale"] / a["timescale"] < plateau_ratio):
             recommended = a["steps"]
             break
     if recommended is None:
-        recommended = next(
-            (r["steps"] for r in rows
-             if r["resolved"]
-             and (r["eigs"][1] if len(r["eigs"]) > 1 else 1.0)
-             <= eig_headroom), None)
+        # no plateau found: take the LARGEST resolved rung with
+        # headroom (larger lags are the safe direction)
+        ok = [r["steps"] for r in rows
+              if r["resolved"]
+              and (r["eigs"][1] if len(r["eigs"]) > 1 else 1.0)
+              <= eig_headroom
+              and np.isfinite(r["timescale"])]
+        recommended = ok[-1] if ok else None
     if recommended is None:
         recommended = next((r["steps"] for r in rows if r["resolved"]),
                            None)
-    return recommended, rows
+    return recommended

@@ -181,3 +181,24 @@ def test_lag_sweep_on_md_simulation():
             r["steps"] * sim.lagtime / sim.steps)
         assert len(r["eigs"]) == 2
         assert np.isfinite(r["eigs"]).all()
+
+
+def test_recommendation_rejects_shrinking_timescale():
+    # synthetic rows mimicking the trp-cage CPU sweep: the 0.2 ps rung
+    # resolves with eig headroom but its implied timescale SHRINKS at
+    # the next rung (a fast mode, not a plateau) — the recommendation
+    # must move past it
+    from isokann_tpu.workflows import lag_sweep as _ls  # noqa: F401
+    # exercise via the module-level rule by reconstructing it on rows:
+    import isokann_tpu.workflows as W
+
+    rows = [
+        dict(steps=100, lag=0.2, eigs=[1.0, 0.9485], timescale=3.78,
+             resolved_frac=0.97, resolved=True),
+        dict(steps=500, lag=1.0, eigs=[1.0, 0.4066], timescale=1.11,
+             resolved_frac=1.0, resolved=True),
+        dict(steps=2500, lag=5.0, eigs=[1.0, 0.0122], timescale=1.13,
+             resolved_frac=1.0, resolved=True),
+    ]
+    rec = W._recommend_lag(rows)
+    assert rec == 500
