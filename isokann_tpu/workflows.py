@@ -285,3 +285,74 @@ def _recommend_lag(rows, eig_headroom=0.98, plateau_ratio=1.5):
         recommended = next((r["steps"] for r in rows if r["resolved"]),
                            None)
     return recommended
+
+
+def rates_resolved(iso, lags=None, nx=100, nk=8, threshold=0.9, key=None,
+                   verbose=True):
+    """Coarse macro-rates from the smallest lag at which the trained
+    chi's Koopman fit resolves.
+
+    ISOKANN's chi converges to the SLOWEST process in the data; at the
+    (short) training lag its fitted eigenvalue is 1 +- sampling noise
+    and ``rates()`` degrades to clamped bounds.  The rate fit, however,
+    does not require retraining: chi is just a function, and the pair
+    (chi(x), E[chi(X_L)|x]) at ANY lag L yields K(L) and
+    Q = logm(K)/L.  This sweeps ``lags`` (in integrator steps) with the
+    trained chi and returns the rate matrix from the smallest resolved
+    lag — the direct analog of reading rates off the implied-timescale
+    plateau.
+
+    Returns ``(Q_per_time, row)`` where row is the winning lag_sweep row
+    (None, rows) when nothing resolved.  Reference context: the rate
+    fit `src/iso.jl:339-351`; the reference has no resolution control.
+    """
+    import scipy.linalg
+
+    sim = iso.data.sim
+    if lags is None:
+        lags = [sim.steps * m for m in (5, 25, 125)]
+    key = jax.random.PRNGKey(11) if key is None else (
+        jax.random.PRNGKey(key) if isinstance(key, int) else key)
+    dt_per_step = sim.lagtime / sim.steps
+
+    rec, rows = lag_sweep(iso, steps=sorted(int(s) for s in lags), nx=nx,
+                          nk=nk, threshold=threshold, key=key,
+                          verbose=verbose)
+    for row in rows:
+        if not row["resolved"]:
+            continue
+        # refit K at this lag from a fresh batch (rows store only eigs)
+        s = row["steps"]
+        key, sub = jax.random.split(key)
+        from .sample import subsample_uniformgrid
+        xs_all = np.asarray(iso.data.coords)
+        chi_all = np.asarray(iso.chis())
+        n = min(int(nx), len(xs_all))
+        rng = np.random.default_rng(np.asarray(jax.random.key_data(sub)))
+        inds = subsample_uniformgrid(chi_all[:, 0], n, rng=rng)
+        xs = xs_all[inds]
+        key, sub = jax.random.split(key)
+        ys = sim.propagate(xs, nk, key=sub, steps=s)
+        from .data import WeightedSamples, values as _values
+        yv = np.asarray(_values(ys))
+        chi_x = np.asarray(iso.chicoords(xs))
+        chi_y = np.asarray(iso.chicoords(
+            yv.reshape(-1, yv.shape[-1]))).reshape(n, nk, -1)
+        if isinstance(ys, WeightedSamples):
+            w = np.asarray(ys.weights, np.float64).reshape(n, nk, 1)
+            chi_y = (w * chi_y).sum(axis=1) / w.sum(axis=1)
+        else:
+            chi_y = chi_y.mean(axis=1)
+        K, eigs = _fit_koopman(chi_x, chi_y)
+        if not _spectrum_resolved(eigs):
+            continue
+        w_, V = np.linalg.eig(K)
+        w_ = np.clip(np.real(w_), 1e-12, 1.0 - 1e-12) + 0j
+        K = np.real(V @ np.diag(w_) @ np.linalg.inv(V))
+        Q = np.real(scipy.linalg.logm(K)) / (s * dt_per_step)
+        if verbose:
+            print(f"[rates_resolved] lag {s} steps "
+                  f"({s * dt_per_step:g}): exit rates "
+                  f"{(-np.diag(Q)).tolist()}", flush=True)
+        return Q, row
+    return None, rows

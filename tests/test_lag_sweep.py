@@ -202,3 +202,20 @@ def test_recommendation_rejects_shrinking_timescale():
     ]
     rec = W._recommend_lag(rows)
     assert rec == 500
+
+
+def test_rates_resolved_doublewell(trained_doublewell):
+    from isokann_tpu.workflows import rates_resolved
+
+    Q, row = rates_resolved(trained_doublewell, lags=[50, 100], nx=40,
+                            nk=16, key=8, verbose=False)
+    assert Q is not None
+    assert row["steps"] == 50
+    Q = np.asarray(Q)
+    assert Q.shape == (2, 2)
+    assert Q[0, 0] < 0 and Q[1, 1] < 0
+    assert Q[0, 1] > 0 or Q[1, 0] > 0
+    # same order of magnitude as the training-lag fit
+    ex = -np.diag(Q)
+    ex0 = -np.diag(np.asarray(trained_doublewell.rates()))
+    assert 0.2 < ex.sum() / ex0.sum() < 5.0

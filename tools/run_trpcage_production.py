@@ -162,6 +162,22 @@ def main(generations=1000, iters=300, resamples=3, cutoff=2000,
     except Exception as e:
         results["rates_error"] = str(e)
     try:
+        # the trained chi tracks the slowest process; resolve its rates
+        # at whatever (longer) lag the spectrum first supports — no
+        # retraining needed (implied-timescale practice)
+        from isokann_tpu.workflows import rates_resolved
+        Qr, row = rates_resolved(iso, lags=[steps * m for m in (5, 25)],
+                                 nx=min(100, len(iso.data)), nk=8, key=13)
+        if Qr is not None:
+            results["rates_resolved_per_ps"] = np.asarray(Qr).tolist()
+            results["rates_resolved_exit"] = (-np.diag(Qr)).tolist()
+            results["rates_resolved_lag_steps"] = row["steps"]
+            results["rates_resolved_eigs"] = row["eigs"]
+        else:
+            results["rates_resolved_rows"] = row
+    except Exception as e:
+        results["rates_resolved_error"] = str(e)
+    try:
         from isokann_tpu.analysis import save_reactive_path
         ids = save_reactive_path(
             iso, sigma=0.5, out=os.path.join(out, "reactive_path.pdb"))
