@@ -235,7 +235,9 @@ def lag_sweep(iso, steps=None, nx=50, nk=8, n_boot=100, threshold=0.9,
         # slow (non-stationary) eigenvalue: largest below the dominant one
         lam = eigs[1] if len(eigs) > 1 else eigs[0]
         ts = float(-lag / np.log(lam)) if 0.0 < lam < 1.0 else float("nan")
+        K, _ = _fit_koopman(chi_x, chi_y)
         row = dict(steps=s, lag=float(lag), eigs=eigs.tolist(),
+                   K=K.tolist(),
                    timescale=ts, resolved_frac=frac,
                    resolved=bool(_spectrum_resolved(eigs_c)
                                  and frac >= threshold))
@@ -321,31 +323,8 @@ def rates_resolved(iso, lags=None, nx=100, nk=8, threshold=0.9, key=None,
     for row in rows:
         if not row["resolved"]:
             continue
-        # refit K at this lag from a fresh batch (rows store only eigs)
         s = row["steps"]
-        key, sub = jax.random.split(key)
-        from .sample import subsample_uniformgrid
-        xs_all = np.asarray(iso.data.coords)
-        chi_all = np.asarray(iso.chis())
-        n = min(int(nx), len(xs_all))
-        rng = np.random.default_rng(np.asarray(jax.random.key_data(sub)))
-        inds = subsample_uniformgrid(chi_all[:, 0], n, rng=rng)
-        xs = xs_all[inds]
-        key, sub = jax.random.split(key)
-        ys = sim.propagate(xs, nk, key=sub, steps=s)
-        from .data import WeightedSamples, values as _values
-        yv = np.asarray(_values(ys))
-        chi_x = np.asarray(iso.chicoords(xs))
-        chi_y = np.asarray(iso.chicoords(
-            yv.reshape(-1, yv.shape[-1]))).reshape(n, nk, -1)
-        if isinstance(ys, WeightedSamples):
-            w = np.asarray(ys.weights, np.float64).reshape(n, nk, 1)
-            chi_y = (w * chi_y).sum(axis=1) / w.sum(axis=1)
-        else:
-            chi_y = chi_y.mean(axis=1)
-        K, eigs = _fit_koopman(chi_x, chi_y)
-        if not _spectrum_resolved(eigs):
-            continue
+        K = np.asarray(row["K"], np.float64)
         w_, V = np.linalg.eig(K)
         w_ = np.clip(np.real(w_), 1e-12, 1.0 - 1e-12) + 0j
         K = np.real(V @ np.diag(w_) @ np.linalg.inv(V))
