@@ -288,6 +288,12 @@ def shift_and_scale(xs, ys):
     return bias, scale, bias / (1.0 - scale)
 
 
+# floor for the value function psi = lam_t*(chi - b) + b inside the
+# optimal-control bias (XLA and fused-kernel paths must agree so the
+# noiseless-parity tests keep passing)
+PSI_FLOOR = 1e-2
+
+
 def optcontrol(iso, forcescale=1.0):
     """chi-derived optimal importance-sampling bias for OVERDAMPED dynamics
     (reference ``optcontrol``, ``src/simulators/openmm.jl:640-667``).
@@ -321,7 +327,16 @@ def optcontrol(iso, forcescale=1.0):
         lam_t = jnp.exp(q * (Tmax - t))
 
         def logpsi(z):
-            return jnp.log(lam_t * (chifun(z) - b) + b)
+            # psi can go nonpositive where the (identity-output) chi
+            # net strays below b*(1 - 1/lam_t); the optimal control
+            # diverges there and log would NaN the trajectory AND its
+            # Girsanov weight.  Floor psi (same constant as the fused
+            # kernel, PSI_FLOOR): the clamped bias is still a valid IS
+            # proposal — the weights account for the force actually
+            # applied.  The reference has no such guard (openmm.jl:
+            # 640-667) and NaNs instead.
+            return jnp.log(jnp.maximum(lam_t * (chifun(z) - b) + b,
+                                       PSI_FLOOR))
 
         grad = jax.vmap(jax.grad(logpsi))(x)
         return forcescale * sigma * grad

@@ -652,7 +652,10 @@ def aboba_girsanov_fused(sys: MDSystem, x0, p0, T, gamma, dt, nsteps, key,
             F = -apply_DT(g)
             chi, gf = chi_grad(bias_cols, r)
             lam_t = jnp.exp(qrate_s * (tmax_s - t))
-            denom = lam_t * (chi - b_s) + b_s
+            # psi floored exactly like integrators.optcontrol (PSI_FLOOR):
+            # keeps the bias force and Girsanov weight finite where chi
+            # strays below the psi > 0 region
+            denom = jnp.maximum(lam_t * (chi - b_s) + b_s, 1e-2)
             w_pair = (lam_t / denom) * gf / r                  # (npairs, TB)
             zrest = jnp.zeros((NR - npairs, q.shape[1]), jnp.float32)
             gb = jnp.concatenate([w_pair * px, zrest,

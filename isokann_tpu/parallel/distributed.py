@@ -45,8 +45,8 @@ def initialize(coordinator_address: Optional[str] = None,
         from jax._src import distributed as _jdist
         if getattr(_jdist.global_state, "client", None) is not None:
             return
-    except ImportError:
-        pass
+    except (ImportError, AttributeError):
+        pass   # private jax API moved/renamed: fall through to init
     try:
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id, **kw)

@@ -278,10 +278,14 @@ def plot_lag_sweep(rows, out=None):
     fig, ax = plt.subplots(figsize=(6, 4))
     ax.plot(lags[ok], ts[ok], "o-", color="tab:blue",
             label="implied timescale (resolved)")
-    bad = ~ok & np.isfinite(ts)
+    bad = ~ok
     if bad.any():
-        ax.plot(lags[bad], ts[bad], "o", mfc="none", color="tab:blue",
-                label="unresolved")
+        # NaN timescale (slow eigenvalue outside (0,1)) is the common
+        # unresolved case — draw those at the t=lag guide so every
+        # swept lag is visible
+        ax.plot(lags[bad], np.where(np.isfinite(ts[bad]), ts[bad],
+                                    lags[bad]),
+                "o", mfc="none", color="tab:blue", label="unresolved")
     ax.plot(lags, lags, ":", color="gray", lw=1, label="t = lag")
     ax.set_xscale("log")
     ax.set_yscale("log")

@@ -206,6 +206,18 @@ def lag_sweep(iso, steps=None, nx=50, nk=8, n_boot=100, threshold=0.9,
     xs = xs_all[inds]
     dt_per_step = sim.lagtime / sim.steps
 
+    import inspect
+    sig = inspect.signature(sim.propagate)
+    if "steps" not in sig.parameters and not any(
+            p.kind is inspect.Parameter.VAR_KEYWORD
+            for p in sig.parameters.values()):
+        raise TypeError(
+            f"{type(sim).__name__}.propagate() does not accept a "
+            "steps= override; lag_sweep needs a simulator that can "
+            "propagate at arbitrary lags (Diffusion family and "
+            "MDSimulation do).  Rebuild the simulation with the "
+            "candidate lag instead, or add steps= support.")
+
     rows = []
     for s in sorted(int(s) for s in steps):
         key, sub = jax.random.split(key)
@@ -222,7 +234,7 @@ def lag_sweep(iso, steps=None, nx=50, nk=8, n_boot=100, threshold=0.9,
         else:
             chi_y = chi_y.mean(axis=1)                   # (nx, d_chi)
 
-        _, eigs_c = _fit_koopman(chi_x, chi_y)
+        K, eigs_c = _fit_koopman(chi_x, chi_y)
         eigs = np.sort(np.real(eigs_c))[::-1]
         lag = s * dt_per_step
         n_ok = 0
@@ -235,7 +247,6 @@ def lag_sweep(iso, steps=None, nx=50, nk=8, n_boot=100, threshold=0.9,
         # slow (non-stationary) eigenvalue: largest below the dominant one
         lam = eigs[1] if len(eigs) > 1 else eigs[0]
         ts = float(-lag / np.log(lam)) if 0.0 < lam < 1.0 else float("nan")
-        K, _ = _fit_koopman(chi_x, chi_y)
         row = dict(steps=s, lag=float(lag), eigs=eigs.tolist(),
                    K=K.tolist(),
                    timescale=ts, resolved_frac=frac,

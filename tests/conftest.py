@@ -48,8 +48,9 @@ def pytest_configure(config):
         "markers",
         "tpu: hardware lane — runs only under ISOKANN_TPU_LANE=1 on a "
         "real TPU (one process at a time)")
-    if TPU_LANE and "tpu" not in (config.option.markexpr or ""):
+    if TPU_LANE and (config.option.markexpr or "") != "tpu":
         # never let the full CPU suite loose on the single-tenant chip
+        # (exact match: substring checks would accept "not tpu")
         config.option.markexpr = "tpu"
 
 

@@ -1,7 +1,9 @@
 """Budget guard of the production campaign loop
-(tools/run_trpcage_production.campaign): stops early once the measured
-per-generation cost says the wall budget would be exceeded, never
-before 10 generations, and reports the generations actually run."""
+(tools/run_trpcage_production.campaign): stops before the NEXT
+generation would exceed the wall budget — predicted from the last
+generation's measured cost, active from generation 1 so a long-lag
+recommendation cannot blow the stage timeout — and reports the
+generations actually run."""
 
 import os
 import sys
@@ -17,13 +19,14 @@ class StubData(list):
 
 
 class StubIso:
-    def __init__(self):
+    def __init__(self, s_per_gen=0.05):
         self.losses = [0.1]
         self.data = StubData(range(100))
+        self.s_per_gen = s_per_gen
 
     def run(self, iters):
         import time
-        time.sleep(0.05)           # 0.05 s per generation
+        time.sleep(self.s_per_gen)
         self.losses.append(self.losses[-1] * 0.9)
 
     def resample_strat(self, n):
@@ -36,9 +39,21 @@ def test_budget_stop_after_measured_cost():
     wall, done = campaign(iso, generations=1000, iters=1, resamples=1,
                           cutoff=10**9, telemetry=telemetry,
                           budget_s=1.0)
-    assert 10 <= done < 1000
+    assert 1 <= done < 1000
     assert len(telemetry) == done
     assert wall < 5.0
+
+
+def test_budget_stops_expensive_gens_immediately():
+    # one generation costs ~40% of the budget: the guard must stop
+    # after at most a few generations, well before a 10-gen floor would
+    iso = StubIso(s_per_gen=0.2)
+    telemetry = []
+    wall, done = campaign(iso, generations=1000, iters=1, resamples=1,
+                          cutoff=10**9, telemetry=telemetry,
+                          budget_s=0.5)
+    assert done <= 3
+    assert wall < 2.0
 
 
 def test_no_budget_runs_all():

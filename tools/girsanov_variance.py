@@ -86,6 +86,14 @@ def main(quick=False, smoke=False):
             vals.reshape(-1, sim.dim))).reshape(reps, n_starts, nk)
         t_wall = time.time() - t0
         w = w.reshape(reps, n_starts, nk)
+        # residual nonfinite walkers (diverged even with the psi floor):
+        # zero them out of every estimator and report the fraction —
+        # one NaN walker must not poison the whole study
+        finite = np.isfinite(w) & np.isfinite(chi_y)
+        frac_bad = float(1.0 - finite.mean())
+        if frac_bad:
+            w = np.where(finite, w, 0.0)
+            chi_y = np.where(finite, chi_y, 0.0)
         raw = (w * chi_y).mean(axis=2)
         norm = (w * chi_y).sum(axis=2) / (w.sum(axis=2) + eps)
         # truncated IS: clip at sqrt(nk) * per-burst mean weight
@@ -94,7 +102,7 @@ def main(quick=False, smoke=False):
         trunc = (wt * chi_y).sum(axis=2) / (wt.sum(axis=2) + eps)
         ess = float((w.sum(axis=2) ** 2 / ((w ** 2).sum(axis=2) + eps)).mean())
         return (dict(raw=raw, selfnorm=norm, trunc=trunc),
-                float(w.mean()), ess, t_wall)
+                float(w.mean()), ess, t_wall, frac_bad)
 
     def var_ratios(est_plain, est_bias, t_plain, t_bias):
         """Mean variance ratios (plain/biased: >1 = bias wins) with
@@ -127,7 +135,7 @@ def main(quick=False, smoke=False):
                 est_plain["raw"].mean(0) - vb.mean(0)).mean())
         return out
 
-    est_plain, _, _, t_plain = estimates(None, jax.random.PRNGKey(100))
+    est_plain, _, _, t_plain, _ = estimates(None, jax.random.PRNGKey(100))
     print(f"unbiased: {reps} reps x {n_starts} starts x {nk} walkers in "
           f"{t_plain:.1f}s", flush=True)
 
@@ -144,13 +152,15 @@ def main(quick=False, smoke=False):
     )
     for i, fs in enumerate(FORCESCALES):
         bias = optcontrol(iso, forcescale=fs)
-        est_b, ew, ess, t_b = estimates(bias, jax.random.PRNGKey(200 + i))
-        row = dict(mean_weight=ew, ess_of_nk=ess, t_s=t_b)
+        est_b, ew, ess, t_b, bad = estimates(bias, jax.random.PRNGKey(200 + i))
+        row = dict(mean_weight=ew, ess_of_nk=ess, t_s=t_b,
+                   frac_nonfinite=bad)
         row.update(var_ratios(est_plain, est_b, t_plain, t_b))
         res["by_forcescale"][str(fs)] = row
-        r = row["var_ratio_selfnorm_transition"]
+        r = row.get("var_ratio_selfnorm_transition",
+                    row["var_ratio_selfnorm_overall"])
         print(f"forcescale {fs}: E[w]={ew:.3f} ESS={ess:.1f}/{nk} "
-              f"selfnorm transition ratio {r['ratio']:.2f} "
+              f"selfnorm ratio {r['ratio']:.2f} "
               f"CI {np.round(r['ci95'], 2).tolist()}", flush=True)
     sim.bias = None
     os.makedirs(os.path.join(ROOT, "out"), exist_ok=True)
@@ -164,8 +174,10 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (outage hedge runs)")
     args = ap.parse_args()
-    if args.smoke:
+    if args.smoke or args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
     main(quick=args.quick, smoke=args.smoke)

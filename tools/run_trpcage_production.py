@@ -68,11 +68,16 @@ def campaign(iso, generations, iters, resamples, cutoff, telemetry,
             print(f"[{label}] gen {g}: n={len(iso.data)} "
                   f"loss={iso.losses[-1]:.5f} ({now - t_start:.0f}s)",
                   flush=True)
-        if budget_s is not None and done >= 10:
-            s_per_gen = (now - t_start) / done
-            if now - t_start + s_per_gen > budget_s:
+        if budget_s is not None:
+            # predict the next generation from the last one (steady
+            # state, excludes the first-gen compile skew); active from
+            # gen 1 so a long-lag recommendation (one gen can cost
+            # ~100x the pilot's) cannot blow the stage timeout and
+            # lose the artifacts
+            s_next = telemetry[-1]["t_gen"]
+            if now - t_start + s_next > budget_s:
                 print(f"[{label}] budget {budget_s:.0f}s reached after "
-                      f"{done} generations ({s_per_gen:.2f} s/gen)",
+                      f"{done} generations (next gen ~{s_next:.2f} s)",
                       flush=True)
                 break
     return time.time() - t_start, done
