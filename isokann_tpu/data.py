@@ -65,6 +65,16 @@ class WeightedSamples:
         return WeightedSamples(jnp.asarray(self.values, dtype),
                                jnp.asarray(self.weights, dtype))
 
+    def ess(self):
+        """Per-start effective sample size (sum w)^2 / sum w^2 over the
+        walker axis, shape (n,): equals k for uniform weights and -> 1
+        when one walker dominates.  Host-side numpy (a diagnostic must
+        not cost a device round-trip per new shape).  Girsanov weight
+        degeneracy is quantified in tools/girsanov_variance.py /
+        tools/optcontrol_analytic.py."""
+        w = np.asarray(self.weights, dtype=np.float64)
+        return (w.sum(-1) ** 2) / ((w * w).sum(-1) + 1e-300)
+
 
 def values(ys):
     return ys.values if isinstance(ys, WeightedSamples) else ys

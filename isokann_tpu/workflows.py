@@ -100,8 +100,11 @@ def run_girsanov(iso, generations=1, iter=100, kde=1, forcescale=1.0,
     from .md.integrators import optcontrol
     from .targets import DomainError
 
+    from .data import WeightedSamples
+
     sim = iso.data.sim
     old_bias = sim.bias
+    warned_ess = False
     try:
         for g in range(generations):
             try:
@@ -111,12 +114,32 @@ def run_girsanov(iso, generations=1, iter=100, kde=1, forcescale=1.0,
             iso.resample_kde(kde)
             if len(iso.data) > cutoff:
                 iso.data = iso.data[len(iso.data) - int(cutoff):]
+            ess = None
+            pf = iso.data.propfeatures
+            if sim.bias is not None and isinstance(pf, WeightedSamples):
+                # degeneracy check on this generation's biased bursts
+                ess = float(pf[-kde:].ess().mean()) if kde else None
+            if (ess is not None and not warned_ess
+                    and ess < 0.3 * iso.data.nk):
+                import warnings
+                warnings.warn(
+                    f"run_girsanov: Girsanov weights are degenerating "
+                    f"(mean ESS {ess:.1f} of nk={iso.data.nk} on the new "
+                    f"generation) — the weighted Koopman estimate is "
+                    f"noise-dominated at this lag/forcescale.  Lower "
+                    f"forcescale (<= 0.5) or shorten the lag; measured "
+                    f"regimes: tools/girsanov_variance.py (MD scale), "
+                    f"tools/optcontrol_analytic.py (controllable regime).")
+                warned_ess = True
             iso.run(iter)
             if showprogress:
                 biased = sim.bias is not None
-                print(f"[run_girsanov] gen {g + 1}/{generations} "
-                      f"loss={iso.losses[-1]:.4g} n={len(iso.data)} "
-                      f"biased={biased}", flush=True)
+                msg = (f"[run_girsanov] gen {g + 1}/{generations} "
+                       f"loss={iso.losses[-1]:.4g} n={len(iso.data)} "
+                       f"biased={biased}")
+                if ess is not None:
+                    msg += f" ess={ess:.1f}/{iso.data.nk}"
+                print(msg, flush=True)
     finally:
         sim.bias = old_bias
     return iso

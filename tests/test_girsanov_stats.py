@@ -109,6 +109,20 @@ def test_aboba_girsanov_martingale(ala_sys, ala, key):
     assert abs(z) < 4.0, f"E[w]={w.mean():.4f}, z={z:.2f}"
 
 
+def test_weighted_samples_ess():
+    """ESS diagnostic: k for uniform weights, 1 for a one-hot walker."""
+    from isokann_tpu.data import WeightedSamples
+    vals = np.zeros((3, 4, 2), np.float32)
+    w = np.ones((3, 4), np.float32)
+    w[1] = [1.0, 0.0, 0.0, 0.0]
+    ess = WeightedSamples(vals, w).ess()
+    assert ess.shape == (3,)
+    assert ess[0] == pytest.approx(4.0)
+    assert ess[1] == pytest.approx(1.0)
+    # slicing keeps the pairing
+    assert WeightedSamples(vals, w)[-2:].ess()[0] == pytest.approx(1.0)
+
+
 def test_optcontrol_variance_reduction(dw_iso):
     """The optcontrol-biased raw Koopman estimator beats the unbiased
     one on the doublewell (the analytic-study regression, fixed seed)."""
