@@ -80,6 +80,7 @@ class Diffusion(IsoSimulation):
     dt: float = 0.01
     lagtime_: float = 1.0
     support: Any = 1.0
+    bias: Any = None
 
     def __post_init__(self):
         self._supportbox = _supportbox(self.support, self.dim_)
@@ -88,6 +89,7 @@ class Diffusion(IsoSimulation):
     def __getstate__(self):
         d = self.__dict__.copy()
         d["_jit_cache"] = {}   # jitted closures are not picklable
+        d["bias"] = None       # bias closures likewise; rebuilt per run
         return d
 
     # -- interface ------------------------------------------------------
@@ -165,16 +167,101 @@ class Diffusion(IsoSimulation):
         self._jit_cache[("step", nsteps)] = run
         return run
 
+    def _stepper_girsanov(self, nsteps: int):
+        """Biased EM with Girsanov weights through the package integrator
+        (``md.integrators.brownian_girsanov`` wired to the analytic
+        convention dX = F dt + sigma dB: gamma = m = 1,
+        T = sigma^2/(2 kB)).
+
+        For an ``optcontrol`` bias (``bias.optcontrol_spec`` present) the
+        compiled program reads the chi parameters and the per-generation
+        (b, qrate, Tmax) scalars as runtime inputs — optcontrol refreshes
+        between ``run_girsanov`` generations reuse one executable, the
+        same design as the fused MD path (``mdsim._girsanov_fused_fn``).
+        Arbitrary bias callables fall back to one program per callable."""
+        from ..md import integrators as I
+
+        masses = jnp.ones((self.dim_,), jnp.float32)
+        Tnoise = jnp.asarray(self.sigma, jnp.float32) ** 2 / (2.0 * I.KB)
+        dt = self.dt
+        force = self.force
+
+        spec = getattr(self.bias, "optcontrol_spec", None)
+        if spec is None:
+            key_ = ("girsanov_generic", nsteps, id(self.bias))
+            if key_ not in self._jit_cache:
+                bias_fn = self.bias
+
+                @jax.jit
+                def run(x, key):
+                    xT, logw = I.brownian_girsanov(
+                        force, bias_fn, x, masses, Tnoise, 1.0, dt,
+                        nsteps, key)
+                    return xT, jnp.exp(logw)
+
+                self._jit_cache[key_] = run
+            return self._jit_cache[key_]
+
+        mspec = spec["model"]
+        apply, featurizer = mspec.apply, spec["featurizer"]
+        fs = float(spec["forcescale"])
+        # key on the model's static architecture (apply is determined by
+        # it; per-generation with_params copies get fresh ids) — same
+        # assumption as mdsim._girsanov_fused_fn's key
+        key_ = ("girsanov", nsteps, getattr(mspec, "sizes", None),
+                getattr(mspec, "layernorm", None), id(featurizer), fs)
+        if key_ not in self._jit_cache:
+
+            @jax.jit
+            def core(x, key, params, b, qrate, tmax):
+                def bias_fn(z, t, sigma, F):
+                    # chi-derived optimal control, psi floored exactly as
+                    # in integrators.optcontrol / pallas_md's fused kernel
+                    lam_t = jnp.exp(qrate * (tmax - t))
+
+                    def logpsi(zz):
+                        feats = featurizer(zz[None, :])[0]
+                        chi = apply(params, feats)[0]
+                        return jnp.log(jnp.maximum(
+                            lam_t * (chi - b) + b, I.PSI_FLOOR))
+
+                    return fs * sigma * jax.vmap(jax.grad(logpsi))(z)
+
+                xT, logw = I.brownian_girsanov(
+                    force, bias_fn, x, masses, Tnoise, 1.0, dt, nsteps, key)
+                return xT, jnp.exp(logw)
+
+            self._jit_cache[key_] = core
+
+        core = self._jit_cache[key_]
+
+        def run(x, key):
+            s = self.bias.optcontrol_spec
+            return core(x, key, s["model"].params, jnp.float32(s["b"]),
+                        jnp.float32(s["qrate"]), jnp.float32(s["Tmax"]))
+
+        return run
+
     def propagate(self, x0, nk, key=None, steps=None):
         """(n, d) -> (n, nk, d): one lagtime of EM for nk replicas per start
         point, all walkers in a single device computation
         (replaces the reference's threaded loop ``src/simulators/langevin.jl:21-28``).
-        ``steps`` overrides the lag length (used by ``lag_sweep``)."""
+        ``steps`` overrides the lag length (used by ``lag_sweep``).  With
+        ``self.bias`` set (e.g. by ``run_girsanov``), integrates under the
+        bias and returns Girsanov-weighted samples
+        (reference dispatch ``src/simulators/openmm.jl:546``)."""
         key = _key(key)
         x0 = jnp.asarray(x0, jnp.float32)
         n, d = x0.shape
         xs = jnp.repeat(x0, nk, axis=0)            # (n*nk, d)
-        run = self._stepper(self.steps if steps is None else int(steps))
+        nsteps = self.steps if steps is None else int(steps)
+        if self.bias is not None:
+            from ..data import WeightedSamples
+            run = self._stepper_girsanov(nsteps)
+            ys, w = run(xs, key)
+            return WeightedSamples(ys.reshape(n, nk, d),
+                                   w.reshape(n, nk))
+        run = self._stepper(nsteps)
         ys = run(xs, key)
         return ys.reshape(n, nk, d)
 

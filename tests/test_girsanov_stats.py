@@ -109,6 +109,48 @@ def test_aboba_girsanov_martingale(ala_sys, ala, key):
     assert abs(z) < 4.0, f"E[w]={w.mean():.4f}, z={z:.2f}"
 
 
+def test_diffusion_biased_propagate(dw_iso):
+    """Diffusion.propagate under an optcontrol bias returns Girsanov-
+    weighted samples (E[w]~1), and per-generation optcontrol refreshes
+    reuse ONE compiled program (params are runtime inputs, mirroring
+    mdsim._girsanov_fused_fn)."""
+    from isokann_tpu.data import WeightedSamples
+
+    sim, iso = dw_iso
+    try:
+        bias1 = I.optcontrol(iso, forcescale=0.5)
+    except itk.DomainError:
+        pytest.skip("chi not converged enough on this seed")
+    sim.bias = bias1
+    try:
+        xs = np.linspace(-1.0, 1.0, 8)[:, None]
+        ws = sim.propagate(xs, 32, key=jax.random.PRNGKey(5))
+        assert isinstance(ws, WeightedSamples)
+        assert ws.values.shape == (8, 32, 1)
+        w = np.asarray(ws.weights, np.float64)
+        assert np.all(np.isfinite(w)) and not np.allclose(w, 1.0)
+        assert abs(w.mean() - 1.0) < 0.1
+        # second generation: new optcontrol closure, same executable
+        sim.bias = I.optcontrol(iso, forcescale=0.5)
+        sim.propagate(xs, 32, key=jax.random.PRNGKey(6))
+        assert len([k for k in sim._jit_cache if k[0] == "girsanov"]) == 1
+    finally:
+        sim.bias = None
+
+
+def test_run_girsanov_on_diffusion():
+    """The adaptive Girsanov workflow runs end-to-end on an analytic
+    simulator (previously MD-only: Diffusion had no bias support).
+    Builds its own Iso — run_girsanov trains and grows the dataset, so
+    the shared fixture must stay untouched."""
+    _, iso = _doublewell_iso(train_iters=200)
+    n0 = len(iso.data)
+    itk.run_girsanov(iso, generations=2, iter=5, kde=4, forcescale=0.5)
+    assert len(iso.data) == n0 + 8
+    assert iso.data.sim.bias is None          # restored
+    assert np.all(np.isfinite(iso.losses))
+
+
 def test_weighted_samples_ess():
     """ESS diagnostic: k for uniform weights, 1 for a one-hot walker."""
     from isokann_tpu.data import WeightedSamples
