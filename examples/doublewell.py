@@ -30,6 +30,16 @@ def main():
     print(f"chi(-1.3)={chi[0]:.3f} chi(0)={chi[50]:.3f} chi(1.3)={chi[-1]:.3f}")
     print("rates:\n", iso.rates())
 
+    # optimal-control importance sampling: in this low-dimensional,
+    # well-trained regime the chi-derived bias genuinely reduces the
+    # Koopman estimator variance (up to ~14x at forcescale 1; measured
+    # in tools/optcontrol_analytic.py) — the progress line shows the
+    # per-generation effective sample size of the Girsanov weights
+    itk.run_girsanov(iso, generations=3, iter=50, kde=8, forcescale=0.75,
+                     showprogress=True)
+    print(f"after optimal-control generations: loss {iso.losses[-1]:.4f} "
+          f"n={len(iso.data)}")
+
     itk.plot_training(iso, out="out/doublewell_training.png")
     return iso
 

@@ -86,16 +86,20 @@ def run_girsanov(iso, generations=1, iter=100, kde=1, forcescale=1.0,
 
     Before chi contracts (lambda >= 1) the generation samples unbiased.
 
-    Practical regime (quantified in tools/girsanov_variance.py, results
-    in out/girsanov_variance.json): the Girsanov weights are exact
-    martingales (E[w] = 1 verified for arbitrary biases), but their
-    variance grows exponentially with sum |Delta eta|^2 along the lag —
-    at 1 ps lags the full-strength optcontrol bias collapses the raw
-    weighted estimator's effective sample size to ~1.  Keep the
-    per-generation lag short (the reference's 0.2 ps regime) or temper
-    with ``forcescale`` <= 0.5 and use self-normalized (or truncated-IS)
-    estimators; see the v2 study (64 reps, bootstrap CIs) in
-    out/girsanov_variance.json for the measured ratios per forcescale.
+    Practical regime (two round-3 studies bracket it; see
+    docs/evidence_round3.md): the Girsanov weights are exact
+    martingales (E[w] = 1, regression-locked in
+    tests/test_girsanov_stats.py), and in the controllable regime —
+    low dimension, near-exact chi — the raw weighted Koopman estimator
+    approaches the zero-variance limit (13.6x reduction on the
+    doublewell at forcescale 1, tools/optcontrol_analytic.py).  At MD
+    scale the per-coordinate bias accumulates sum |Delta eta|^2 >> 1 of
+    log-weight variance over a long lag and importance sampling
+    degenerates (vacuum ala2 at 1 ps: ESS -> ~3/16, net variance loss;
+    tools/girsanov_variance.py).  Keep the per-generation lag short
+    (the reference's 0.2 ps regime) or temper with ``forcescale``
+    <= 0.5; this loop surfaces the per-generation ESS in its progress
+    line and warns once when the new bursts fall below 0.3 * nk.
     """
     from .md.integrators import optcontrol
     from .targets import DomainError

@@ -39,16 +39,16 @@ sys.path.insert(0, ROOT)
 FORCESCALES = (0.125, 0.25, 0.5, 0.75, 1.0)
 
 
-def main(quick=False, smoke=False):
+def main(quick=False, smoke=False, reps=None, n_starts=None, out=None):
     import numpy as np
     import jax
     import isokann_tpu as itk
     from isokann_tpu.md.integrators import optcontrol
     from isokann_tpu.data import WeightedSamples
 
-    n_starts = 8 if smoke else 32 if quick else 48
+    n_starts = n_starts or (8 if smoke else 32 if quick else 48)
     nk = 4 if smoke else 16
-    reps = 4 if smoke else 16 if quick else 64
+    reps = reps or (4 if smoke else 16 if quick else 64)
     train_iters = 80 if smoke else 400 if quick else 1500
     n_boot = 200 if smoke else 1000
 
@@ -164,9 +164,8 @@ def main(quick=False, smoke=False):
               f"CI {np.round(r['ci95'], 2).tolist()}", flush=True)
     sim.bias = None
     os.makedirs(os.path.join(ROOT, "out"), exist_ok=True)
-    json.dump(res, open(os.path.join(ROOT, "out",
-                                     "girsanov_variance.json"), "w"),
-              indent=1)
+    path = out or os.path.join(ROOT, "out", "girsanov_variance.json")
+    json.dump(res, open(path, "w"), indent=1)
     print(json.dumps(res, indent=1), flush=True)
 
 
@@ -176,8 +175,14 @@ if __name__ == "__main__":
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (outage hedge runs)")
+    ap.add_argument("--reps", type=int, default=None)
+    ap.add_argument("--n-starts", type=int, default=None)
+    ap.add_argument("--out", default=None,
+                    help="output path (hedge runs must not race the "
+                         "queued TPU stage's default path)")
     args = ap.parse_args()
     if args.smoke or args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
-    main(quick=args.quick, smoke=args.smoke)
+    main(quick=args.quick, smoke=args.smoke, reps=args.reps,
+         n_starts=args.n_starts, out=args.out)
