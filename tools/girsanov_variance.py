@@ -164,7 +164,14 @@ def main(quick=False, smoke=False, reps=None, n_starts=None, out=None):
               f"CI {np.round(r['ci95'], 2).tolist()}", flush=True)
     sim.bias = None
     os.makedirs(os.path.join(ROOT, "out"), exist_ok=True)
-    path = out or os.path.join(ROOT, "out", "girsanov_variance.json")
+    if out is None:
+        # keep backend-specific artifacts apart: the committed CPU runs
+        # (16-rep quick + 64-rep full) must not be clobbered by the
+        # queued TPU kernel-path rerun, and vice versa
+        backend = jax.default_backend()
+        tag = "" if (backend == "cpu" and reps <= 16) else f"_{backend}{reps}"
+        out = os.path.join(ROOT, "out", f"girsanov_variance{tag}.json")
+    path = out
     json.dump(res, open(path, "w"), indent=1)
     print(json.dumps(res, indent=1), flush=True)
 
