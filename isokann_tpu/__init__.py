@@ -73,7 +73,7 @@ from .simulators.bridge import (
 from .simulators.effective import EffectiveSimulation, KDEExpectation
 from .workflows import (
     run_metadynamics, adaptive_metadynamics, run_kde_dash, run_both,
-    run_girsanov, lag_sweep, rates_resolved,
+    run_girsanov, lag_sweep, rates_resolved, cktest,
 )
 from .analysis import (
     reactive_path, save_reactive_path, reactionpath_minimum, reactionpath_ode,

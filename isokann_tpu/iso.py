@@ -620,6 +620,13 @@ class Iso:
         from .workflows import lag_sweep
         return lag_sweep(self, **kwargs)
 
+    def cktest(self, **kwargs):
+        """Chapman-Kolmogorov validation ``K(tau)^k == K(k*tau)`` of the
+        chi-coarse Koopman model; see ``workflows.cktest``.  Passing at
+        the production lag means the macro-rates are lag-consistent."""
+        from .workflows import cktest
+        return cktest(self, **kwargs)
+
     def koopman_variance(self):
         """Variance of chi over the Koopman samples (reference ``src/iso.jl:355-359``)."""
         from .data import model_bucketed

@@ -298,3 +298,40 @@ def plot_lag_sweep(rows, out=None):
     ax.legend(loc="upper left", fontsize=8)
     fig.tight_layout()
     return _savefig(fig, out)
+
+
+def plot_cktest(rows, out=None):
+    """Chapman-Kolmogorov panel grid for ``workflows.cktest`` rows
+    (beyond reference: the reference ships no CK validation).
+
+    One panel per Koopman-matrix entry: the direct estimate
+    ``K(k tau)[i,j]`` with its joint-bootstrap deviation band vs the CK
+    prediction ``K(tau)^k[i,j]`` across factors ``k``."""
+    import numpy as np
+
+    d = len(rows[0]["K_est"])
+    lags = np.array([r["lag"] for r in rows], float)
+    fig, axes = plt.subplots(d, d, figsize=(3 * d, 2.4 * d),
+                             squeeze=False, sharex=True)
+    for i in range(d):
+        for j in range(d):
+            ax = axes[i][j]
+            est = np.array([r["K_est"][i][j] for r in rows])
+            pred = np.array([r["K_pred"][i][j] for r in rows])
+            lo = np.array([r["dev_lo"][i][j] for r in rows])
+            hi = np.array([r["dev_hi"][i][j] for r in rows])
+            # joint-bootstrap deviation interval drawn at the estimate's
+            # level: the entry passes iff the estimate curve lies inside
+            # its own band (0 in [dev_lo, dev_hi])
+            ax.fill_between(lags, est + lo, est + hi, alpha=0.25,
+                            color="tab:blue", lw=0)
+            ax.plot(lags, est, "o-", color="tab:blue", label="estimate")
+            ax.plot(lags, pred, "s--", color="tab:orange",
+                    label="CK prediction")
+            ax.set_title(f"K[{i},{j}]", fontsize=9)
+            if i == d - 1:
+                ax.set_xlabel("lag")
+    axes[0][0].legend(fontsize=8)
+    fig.suptitle("Chapman-Kolmogorov: K(tau)^k vs K(k tau)", fontsize=10)
+    fig.tight_layout()
+    return _savefig(fig, out)
