@@ -584,7 +584,8 @@ class Iso:
                     # unresolved-lag warning (run lag_sweep once instead)
                     import warnings as _w
                     with _w.catch_warnings():
-                        _w.simplefilter("ignore")
+                        _w.filterwarnings(
+                            "ignore", message="fitted Koopman matrix.*")
                         macrorates = np.round(self.exit_rates(), 4).tolist()
                 except Exception:
                     macrorates = None
@@ -712,7 +713,17 @@ def rates(x: np.ndarray, y: np.ndarray):
             f"({np.real(w).round(5).tolist()}): the slow process is not "
             "resolved at this lag; rates are clamped upper bounds "
             "(sweep lags with Iso.lag_sweep)")
-    if not (dom_ok and rest_ok) or np.any(np.real(w) >= 1.0):
+    if rest_ok and np.real(w[order[0]]) >= 1.0:
+        # common resolved case: only the structural constant mode sits at
+        # or just above 1.  Clamp IT alone — the resolved (possibly
+        # complex) non-dominant spectrum passes through untouched, so the
+        # returned rate matrix is not perturbed beyond the one mode.
+        w = w.copy()
+        w[order[0]] = 1.0 - 1e-9
+        K = np.real(V @ np.diag(w) @ np.linalg.inv(V))
+    elif not rest_ok or np.any(np.real(w) >= 1.0):
+        # genuinely unresolved: clamp the whole spectrum (upper-bound
+        # rates, warned above)
         w = np.clip(np.real(w), 1e-12, 1.0 - 1e-9) + 0j
         K = np.real(V @ np.diag(w) @ np.linalg.inv(V))
     return np.real(scipy.linalg.logm(K))

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .system import MDSystem, COULOMB
-from .integrators import KB
+from .integrators import KB, PSI_FLOOR
 
 
 def _round_up(x, m):
@@ -655,7 +655,7 @@ def aboba_girsanov_fused(sys: MDSystem, x0, p0, T, gamma, dt, nsteps, key,
             # psi floored exactly like integrators.optcontrol (PSI_FLOOR):
             # keeps the bias force and Girsanov weight finite where chi
             # strays below the psi > 0 region
-            denom = jnp.maximum(lam_t * (chi - b_s) + b_s, 1e-2)
+            denom = jnp.maximum(lam_t * (chi - b_s) + b_s, PSI_FLOOR)
             w_pair = (lam_t / denom) * gf / r                  # (npairs, TB)
             zrest = jnp.zeros((NR - npairs, q.shape[1]), jnp.float32)
             gb = jnp.concatenate([w_pair * px, zrest,

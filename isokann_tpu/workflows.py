@@ -115,14 +115,19 @@ def run_girsanov(iso, generations=1, iter=100, kde=1, forcescale=1.0,
                 sim.bias = optcontrol(iso, forcescale=forcescale)
             except DomainError:
                 sim.bias = None       # not yet contracting: sample unbiased
+            n_before = len(iso.data)
             iso.resample_kde(kde)
+            n_new = len(iso.data) - n_before
             if len(iso.data) > cutoff:
                 iso.data = iso.data[len(iso.data) - int(cutoff):]
             ess = None
             pf = iso.data.propfeatures
-            if sim.bias is not None and isinstance(pf, WeightedSamples):
+            if sim.bias is not None and isinstance(pf, WeightedSamples) \
+                    and n_new > 0:
                 # degeneracy check on this generation's biased bursts
-                ess = float(pf[-kde:].ess().mean()) if kde else None
+                # (resample_kde can early-return and append fewer than
+                # kde rows — slice exactly what it added)
+                ess = float(pf[-n_new:].ess().mean())
             if (ess is not None and not warned_ess
                     and ess < 0.3 * iso.data.nk):
                 import warnings
@@ -258,10 +263,17 @@ def lag_sweep(iso, steps=None, nx=50, nk=8, n_boot=100, threshold=0.9,
       the start points whose full fitted spectrum lies inside (0, 1)
     - ``resolved``: resolved_frac >= threshold
 
-    Returns ``(recommended_steps, rows)``; recommended_steps is the
-    smallest resolved lag (None if no candidate resolves — extend the
-    ladder).  Typical use: pilot-train, sweep, rebuild the simulation
-    with the recommended lag, run the campaign
+    Returns ``(recommended_steps, rows)``; recommended_steps is picked
+    by ``_recommend_lag``: the smallest resolved lag with eigenvalue
+    headroom (slow eigenvalue <= 0.98, so further chi training cannot
+    push it past 1) whose implied timescale forms a two-sided plateau
+    with the next rung; with no plateau it falls back to the LARGEST
+    resolved rung with headroom, then to the smallest resolved lag,
+    then None (extend the ladder).  Note ``rates_resolved`` uses a
+    different, deliberately cheaper rule (the smallest resolved rung) —
+    it reads rates off an already-validated ladder rather than choosing
+    a training lag.  Typical use: pilot-train, sweep, rebuild the
+    simulation with the recommended lag, run the campaign
     (``tools/run_trpcage_production.py --lag-sweep``).
     """
     from .sample import subsample_uniformgrid
