@@ -165,11 +165,17 @@ def main(quick=False, smoke=False, reps=None, n_starts=None, out=None):
     sim.bias = None
     os.makedirs(os.path.join(ROOT, "out"), exist_ok=True)
     if out is None:
-        # keep backend-specific artifacts apart: the committed CPU runs
-        # (16-rep quick + 64-rep full) must not be clobbered by the
-        # queued TPU kernel-path rerun, and vice versa
+        # the bare name is reserved for the authoritative full-rep CPU
+        # study (also kept as girsanov_variance_cpu{reps}.json); quick
+        # runs and TPU kernel-path reruns are always tagged so they can
+        # never clobber it
         backend = jax.default_backend()
-        tag = "" if (backend == "cpu" and reps <= 16) else f"_{backend}{reps}"
+        if backend == "cpu" and reps >= 64:
+            tag = ""
+        elif backend == "cpu":
+            tag = f"_quick{reps}"
+        else:
+            tag = f"_{backend}{reps}"
         out = os.path.join(ROOT, "out", f"girsanov_variance{tag}.json")
     path = out
     json.dump(res, open(path, "w"), indent=1)

@@ -45,10 +45,11 @@ def errbars(ax, x, y, lo, hi, color, marker, label):
 
 def main(out=None):
     ana = json.load(open(os.path.join(ROOT, "out", "optcontrol_analytic.json")))
-    # prefer the full 64-rep MD run when present
-    mdp = os.path.join(ROOT, "out", "girsanov_variance_cpu64.json")
+    # the canonical artifact IS the full 64-rep MD run (the cpu64 copy
+    # is kept for older citations)
+    mdp = os.path.join(ROOT, "out", "girsanov_variance.json")
     if not os.path.exists(mdp):
-        mdp = os.path.join(ROOT, "out", "girsanov_variance.json")
+        mdp = os.path.join(ROOT, "out", "girsanov_variance_cpu64.json")
     md = json.load(open(mdp))
 
     fig, axes = plt.subplots(1, 2, figsize=(9.2, 3.8), sharey=False)
