@@ -68,7 +68,8 @@ def run_both(iso, generations=100, samples_kde=1, iter=100, plots=None,
 
 
 def run_girsanov(iso, generations=1, iter=100, kde=1, forcescale=1.0,
-                 cutoff=np.inf, showprogress=False):
+                 cutoff=np.inf, showprogress=False, auto_forcescale=False,
+                 min_forcescale=0.0625, telemetry=None):
     """Koopman-weighted adaptive training: per generation, refresh the
     chi-derived optimal-control bias (``integrators.optcontrol``), resample
     new start points whose Koopman bursts are integrated *under the bias*
@@ -100,6 +101,20 @@ def run_girsanov(iso, generations=1, iter=100, kde=1, forcescale=1.0,
     (the reference's 0.2 ps regime) or temper with ``forcescale``
     <= 0.5; this loop surfaces the per-generation ESS in its progress
     line and warns once when the new bursts fall below 0.3 * nk.
+
+    Telemetry: every generation appends a row
+    ``dict(gen, biased, forcescale, ess, nk, n_new, n_data, loss)`` to
+    ``iso.girsanov_telemetry`` (created on first use, extended across
+    calls) and to the optional ``telemetry`` list, so ESS degradation is
+    visible in the record, not only in a one-shot warning.
+
+    ``auto_forcescale=True`` turns the warning into an intervention:
+    when the new generation's mean ESS falls below ``0.3 * nk`` for two
+    consecutive biased generations, ``forcescale`` is halved (down to
+    ``min_forcescale``) before the next bias refresh — the tempering
+    direction both round-3 studies point to (MD-scale degeneracy at
+    full strength, controllable at <= 0.5; optcontrol math
+    ``src/simulators/openmm.jl:640-667``).
     """
     from .md.integrators import optcontrol
     from .targets import DomainError
@@ -109,6 +124,10 @@ def run_girsanov(iso, generations=1, iter=100, kde=1, forcescale=1.0,
     sim = iso.data.sim
     old_bias = sim.bias
     warned_ess = False
+    rows = getattr(iso, "girsanov_telemetry", None)
+    if rows is None:
+        rows = iso.girsanov_telemetry = []
+    low_streak = 0
     try:
         for g in range(generations):
             try:
@@ -141,8 +160,32 @@ def run_girsanov(iso, generations=1, iter=100, kde=1, forcescale=1.0,
                     f"tools/optcontrol_analytic.py (controllable regime).")
                 warned_ess = True
             iso.run(iter)
+            biased = sim.bias is not None
+            row = dict(gen=len(rows), biased=biased,
+                       forcescale=float(forcescale), ess=ess,
+                       nk=int(iso.data.nk), n_new=int(n_new),
+                       n_data=len(iso.data),
+                       loss=float(iso.losses[-1]))
+            rows.append(row)
+            if telemetry is not None:
+                telemetry.append(row)
+            # auto-tempering: two consecutive degenerate biased
+            # generations halve the bias strength before the next
+            # optcontrol refresh
+            if biased and ess is not None and ess < 0.3 * iso.data.nk:
+                low_streak += 1
+            else:
+                low_streak = 0
+            if (auto_forcescale and low_streak >= 2
+                    and forcescale > min_forcescale):
+                forcescale = max(forcescale / 2.0, min_forcescale)
+                low_streak = 0
+                row["forcescale_next"] = float(forcescale)
+                if showprogress:
+                    print(f"[run_girsanov] ESS below 0.3*nk twice — "
+                          f"tempering forcescale to {forcescale:g}",
+                          flush=True)
             if showprogress:
-                biased = sim.bias is not None
                 msg = (f"[run_girsanov] gen {g + 1}/{generations} "
                        f"loss={iso.losses[-1]:.4g} n={len(iso.data)} "
                        f"biased={biased}")

@@ -129,3 +129,46 @@ def test_run_girsanov_workflow():
         w = np.asarray(pf.weights)
         assert np.all(np.isfinite(w)) and np.all(w >= 0)
     assert sim.bias is None      # restored
+    # telemetry rows are recorded per generation, carry the ESS and
+    # accumulate on the iso across calls
+    rows = iso.girsanov_telemetry
+    assert len(rows) == 2
+    assert {"gen", "biased", "forcescale", "ess", "nk", "n_new",
+            "n_data", "loss"} <= set(rows[0])
+    assert [r["gen"] for r in rows] == [0, 1]
+    for r in rows:
+        if r["biased"] and r["n_new"] > 0:
+            assert r["ess"] is not None and 0 < r["ess"] <= r["nk"]
+    extra = []
+    itk.run_girsanov(iso, generations=1, iter=2, kde=2, telemetry=extra)
+    assert len(iso.girsanov_telemetry) == 3 and len(extra) == 1
+    assert extra[0]["gen"] == 2
+
+
+def test_run_girsanov_auto_forcescale(monkeypatch):
+    """Two consecutive degenerate-ESS biased generations halve the
+    forcescale (floored at min_forcescale)."""
+    import isokann_tpu as itk
+    from isokann_tpu.data import WeightedSamples
+
+    sim = itk.Doublewell(sigma=1.0)
+    iso = itk.Iso(sim=sim, nx=40, nk=5, key=0, opt=itk.AdamRegularized())
+    iso.run(80)      # contract so optcontrol produces a bias
+
+    # force the degenerate regime: every ESS reads as collapsed
+    monkeypatch.setattr(WeightedSamples, "ess",
+                        lambda self: np.zeros(len(self.values)) + 0.1)
+    with pytest.warns(UserWarning, match="degenerating"):
+        itk.run_girsanov(iso, generations=5, iter=2, kde=3,
+                         forcescale=1.0, auto_forcescale=True,
+                         min_forcescale=0.25)
+    rows = iso.girsanov_telemetry
+    biased = [r for r in rows if r["biased"]]
+    assert biased, "optcontrol never produced a bias"
+    fscales = [r["forcescale"] for r in rows]
+    # tempering fired: strictly decreasing steps 1.0 -> 0.5 -> 0.25,
+    # never below the floor
+    assert fscales[0] == 1.0
+    assert 0.5 in fscales and min(fscales) >= 0.25
+    halvings = [r for r in rows if "forcescale_next" in r]
+    assert halvings and halvings[0]["forcescale_next"] == 0.5
