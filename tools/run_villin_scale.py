@@ -68,16 +68,28 @@ def main(generations=50, iters=300, nx=96, nk=4, lag_steps=2500,
 
     wall = time.time() - t0
     s_per_gen = wall / generations
+    s_per_gen_steady = (sum(t["t_gen"] for t in telemetry[1:])
+                        / max(1, len(telemetry) - 1)
+                        if len(telemetry) > 1 else s_per_gen)
     r = resamples or max(2, nx // 50)
     # reference villin per-gen MD: (nx=30 + nchistrat=30) x nk=1 lags
     # (scripts/villin.jl:25-31); scale the measured per-gen cost by the
     # per-gen walker-lag ratio and the lag-step ratio
-    full_gen_cost = s_per_gen * (60 / (r * nk)) * (1e4 / lag_steps)
+    full_gen_cost = s_per_gen_steady * (60 / (r * nk)) * (1e4 / lag_steps)
+    import jax
+    backend = jax.default_backend()
     results = dict(
         system="villin HP35 + OBC2", natoms=sim.natoms,
+        backend=backend,
+        label=("MEASURED at the reference per-generation workload"
+               + (" — CPU fallback during the TPU outage; TPU rerun "
+                  "stays queued" if backend == "cpu" else "")
+               if lag_steps == 10000 else
+               "villin-scale extrapolation run"),
         generations=generations, nx=nx, nk=nk, lag_steps=lag_steps,
         resamples_per_gen=r,
         wall_s=wall, s_per_gen=s_per_gen,
+        s_per_gen_steady=s_per_gen_steady,
         loss_final=float(iso.losses[-1]), n_final=len(iso.data),
         full_config_s_per_gen_estimate=full_gen_cost,
         full_config_2500gen_days_estimate=full_gen_cost * 2500 / 86400)
@@ -102,9 +114,16 @@ if __name__ == "__main__":
                          "true villin lag (1e4 steps = 20 ps, nk=1, 60 "
                          "resamples/gen; scripts/villin.jl:10-45) "
                          "instead of extrapolating from 2500-step lags")
+    ap.add_argument("--iters", type=int, default=300)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (outage fallback; the "
+                         "artifact is labeled as such)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     if args.reference_lag:
-        main(generations=min(args.generations, 5), iters=300, nx=120,
-             nk=1, lag_steps=10000, resamples=60, tag="_truelag")
+        main(generations=min(args.generations, 5), iters=args.iters,
+             nx=120, nk=1, lag_steps=10000, resamples=60, tag="_truelag")
     else:
-        main(generations=args.generations)
+        main(generations=args.generations, iters=args.iters)
