@@ -405,7 +405,7 @@ def _recommend_lag(rows, eig_headroom=0.98, plateau_ratio=1.5):
 
 
 def rates_resolved(iso, lags=None, nx=100, nk=8, threshold=0.9, key=None,
-                   verbose=True):
+                   verbose=True, return_rows=False):
     """Coarse macro-rates from the smallest lag at which the trained
     chi's Koopman fit resolves.
 
@@ -420,8 +420,14 @@ def rates_resolved(iso, lags=None, nx=100, nk=8, threshold=0.9, key=None,
     plateau.
 
     Returns ``(Q_per_time, row)`` where row is the winning lag_sweep row
-    (None, rows) when nothing resolved.  Reference context: the rate
-    fit `src/iso.jl:339-351`; the reference has no resolution control.
+    (None, rows) when nothing resolved; with ``return_rows=True`` the
+    uniform ``(Q_per_time_or_None, row_or_None, rows)``.  EVERY
+    resolved row in the sweep additionally carries ``Q`` (the rate
+    matrix resolved at that rung, per unit time) and ``exit_rates`` —
+    agreement of the exit rates across consecutive resolved rungs is
+    the implied-timescale plateau that makes the returned rates
+    trustworthy.  Reference context: the rate fit `src/iso.jl:339-351`;
+    the reference has no resolution control.
     """
     import scipy.linalg
 
@@ -435,6 +441,7 @@ def rates_resolved(iso, lags=None, nx=100, nk=8, threshold=0.9, key=None,
     rec, rows = lag_sweep(iso, steps=sorted(int(s) for s in lags), nx=nx,
                           nk=nk, threshold=threshold, key=key,
                           verbose=verbose)
+    winner = None
     for row in rows:
         if not row["resolved"]:
             continue
@@ -444,11 +451,19 @@ def rates_resolved(iso, lags=None, nx=100, nk=8, threshold=0.9, key=None,
         w_ = np.clip(np.real(w_), 1e-12, 1.0 - 1e-12) + 0j
         K = np.real(V @ np.diag(w_) @ np.linalg.inv(V))
         Q = np.real(scipy.linalg.logm(K)) / (s * dt_per_step)
+        row["Q"] = Q.tolist()
+        row["exit_rates"] = (-np.diag(Q)).tolist()
         if verbose:
             print(f"[rates_resolved] lag {s} steps "
                   f"({s * dt_per_step:g}): exit rates "
                   f"{(-np.diag(Q)).tolist()}", flush=True)
-        return Q, row
+        if winner is None:
+            winner = (Q, row)
+    if return_rows:
+        return (winner + (rows,)) if winner is not None else (None, None,
+                                                              rows)
+    if winner is not None:
+        return winner
     return None, rows
 
 
