@@ -150,6 +150,52 @@ def chi_msm_correlation(chi, cv_x, golden):
     return float(abs(r)), float(ok.mean())
 
 
+def tica(f_x, f_y, dim=2, n_pca=10, symmetrize=True):
+    """Time-lagged independent component analysis on lagged feature
+    pairs — the standard linear estimator of slow collective variables
+    (Perez-Hernandez et al. 2013), used here to CHOOSE the CV grid for
+    Ulam ground truths on systems without known order parameters
+    (ala2 has phi/psi; trp-cage does not).
+
+    ``f_x``: (n, f) start-point features; ``f_y``: (n, f) or (n, k, f)
+    lag-endpoint features.  The whitening is regularized by projecting
+    onto the top ``n_pca`` variance components first (with n ~ f the
+    raw generalized eigenproblem badly overfits: measured autocorr
+    ~0.99 for EVERY mode on 190 features x ~2k pairs).  ``symmetrize``
+    averages C_tau with its transpose (detailed-balance estimator).
+
+    All host-side f64.  Returns ``(autocorr (dim,), components
+    (f, dim), mean (f,))``; project new features with
+    ``(f - mean) @ components``."""
+    f_x = np.asarray(f_x, np.float64)
+    f_y = np.asarray(f_y, np.float64)
+    if f_y.ndim == 3:
+        k = f_y.shape[1]
+        f_x = np.repeat(f_x, k, axis=0)
+        f_y = f_y.reshape(-1, f_y.shape[-1])
+    mu = np.concatenate([f_x, f_y]).mean(axis=0)
+    a, b = f_x - mu, f_y - mu
+    n = len(a)
+    C0 = (a.T @ a + b.T @ b) / (2.0 * n)
+    Ct = (a.T @ b) / n
+    if symmetrize:
+        Ct = 0.5 * (Ct + Ct.T)
+    s, U = np.linalg.eigh(C0)
+    idx = np.argsort(-s)[:min(int(n_pca), np.sum(s > 1e-12 * s.max()))]
+    W = U[:, idx] / np.sqrt(s[idx])
+    M = W.T @ Ct @ W
+    M = 0.5 * (M + M.T)
+    lam, Z = np.linalg.eigh(M)
+    order = np.argsort(-lam)[:dim]
+    V = W @ Z[:, order]
+    # sign convention: largest-|loading| feature positive
+    for j in range(V.shape[1]):
+        i0 = np.argmax(np.abs(V[:, j]))
+        if V[i0, j] < 0:
+            V[:, j] = -V[:, j]
+    return lam[order], V, mu
+
+
 def ramachandran_msm(sim, xs, ys, nbins=20, k=3, min_count=1):
     """Convenience: Ulam MSM of an MDSimulation's (xs, ys) data on the
     (phi, psi) torus.  Returns dict(P, cells, eigvals, eigvecs, cv_x,
