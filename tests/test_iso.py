@@ -65,6 +65,38 @@ def test_rates_and_exit_rate():
     assert np.isfinite(er)
 
 
+def test_rates_dominant_clamp_keeps_complex_modes():
+    """When only the structural dominant eigenvalue sits at/above 1, the
+    clamp must leave a resolved complex non-dominant pair intact (the
+    advisor-flagged perturbation: flattening all eigenvalues to real
+    parts changed the returned generator)."""
+    import scipy.linalg
+
+    from isokann_tpu.iso import rates as rates_fn
+
+    rng = np.random.default_rng(3)
+    # target K: dominant 1+5e-7 (structural drift), complex pair 0.8+-0.1i
+    lam = np.array([1.0 + 5e-7, 0.80 + 0.10j, 0.80 - 0.10j])
+    # real matrix with the desired spectrum: companion form
+    c = np.real(np.poly(lam)[1:])          # cubic with those roots
+    K = np.zeros((3, 3))
+    K[1:, :2] = np.eye(2)
+    K[:, 2] = -c[::-1]
+    w = np.linalg.eigvals(K)
+    assert np.any(np.abs(np.imag(w)) > 0.05)        # complex pair present
+    x = rng.standard_normal((4000, 3))
+    y = x @ K.T
+    with np.errstate(all="ignore"):
+        Q = rates_fn(x, y)
+    # expected: clamp ONLY the dominant eigenvalue, keep the pair
+    wq = np.linalg.eigvals(scipy.linalg.expm(Q))
+    pair = np.sort_complex(wq[np.argsort(np.real(wq))[:2]])
+    np.testing.assert_allclose(
+        np.sort_complex(np.array([0.80 - 0.10j, 0.80 + 0.10j])), pair,
+        atol=1e-6)
+    assert np.max(np.real(wq)) < 1.0
+
+
 def test_multidim_isa_training():
     sim = Triplewell()
     iso = Iso(sim=sim, nx=64, nk=4, nout=3, key=1, minibatch=32,
