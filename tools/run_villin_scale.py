@@ -62,6 +62,11 @@ def main(generations=50, iters=300, nx=96, nk=4, lag_steps=2500,
         telemetry.append(dict(gen=g, n=len(iso.data),
                               loss=float(iso.losses[-1]), t_gen=now - tg))
         tg = now
+        # a true-lag CPU generation can cost hours: checkpoint the
+        # telemetry each generation so an outer timeout keeps the
+        # measurement
+        json.dump(dict(telemetry=telemetry),
+                  open(os.path.join(out, "results.json"), "w"), indent=1)
         if g % 5 == 0 or g == generations - 1:
             print(f"gen {g}: n={len(iso.data)} loss={iso.losses[-1]:.5f} "
                   f"({now - t0:.0f}s)", flush=True)
