@@ -305,6 +305,11 @@ def lag_sweep(iso, steps=None, nx=50, nk=8, n_boot=100, threshold=0.9,
     - ``resolved_frac``: fraction of ``n_boot`` bootstrap resamples of
       the start points whose full fitted spectrum lies inside (0, 1)
     - ``resolved``: resolved_frac >= threshold
+    - ``exit_rates_lo`` / ``exit_rates_hi``: 2.5/97.5 bootstrap
+      percentiles of the exit rates (per unit time) over the RESOLVED
+      resamples (present when >= 10 resamples resolved) — the band a
+      point estimate from another lag must fall inside for the two
+      rates to "agree"
 
     Returns ``(recommended_steps, rows)``; recommended_steps is picked
     by ``_recommend_lag``: the smallest resolved lag with eigenvalue
@@ -334,6 +339,8 @@ def lag_sweep(iso, steps=None, nx=50, nk=8, n_boot=100, threshold=0.9,
     dt_per_step = sim.lagtime / sim.steps
     _check_steps_override(sim, "lag_sweep")
 
+    import scipy.linalg
+
     rows = []
     for s in sorted(int(s) for s in steps):
         key, sub = jax.random.split(key)
@@ -342,11 +349,21 @@ def lag_sweep(iso, steps=None, nx=50, nk=8, n_boot=100, threshold=0.9,
         eigs = np.sort(np.real(eigs_c))[::-1]
         lag = s * dt_per_step
         n_ok = 0
+        boot_exits = []
         rng_b = np.random.default_rng(0)
         for _ in range(n_boot):
             b = rng_b.integers(0, nx, nx)
-            _, eb = _fit_koopman(chi_x[b], chi_y[b])
-            n_ok += _spectrum_resolved(eb)
+            Kb, eb = _fit_koopman(chi_x[b], chi_y[b])
+            ok_b = _spectrum_resolved(eb)
+            n_ok += ok_b
+            if ok_b:
+                # exit rates of this resample (host 2x2 logm — cheap):
+                # their percentiles are the bootstrap band the point
+                # estimates must agree within
+                with np.errstate(all="ignore"):
+                    Qb = np.real(scipy.linalg.logm(Kb)) / lag
+                if np.all(np.isfinite(Qb)):
+                    boot_exits.append(-np.diag(Qb))
         frac = n_ok / n_boot
         # slow (non-stationary) eigenvalue: largest below the dominant one
         lam = eigs[1] if len(eigs) > 1 else eigs[0]
@@ -356,6 +373,10 @@ def lag_sweep(iso, steps=None, nx=50, nk=8, n_boot=100, threshold=0.9,
                    timescale=ts, resolved_frac=frac,
                    resolved=bool(_spectrum_resolved(eigs_c)
                                  and frac >= threshold))
+        if len(boot_exits) >= 10:
+            be = np.asarray(boot_exits)
+            row["exit_rates_lo"] = np.percentile(be, 2.5, axis=0).tolist()
+            row["exit_rates_hi"] = np.percentile(be, 97.5, axis=0).tolist()
         rows.append(row)
         if verbose:
             print(f"[lag_sweep] steps={s} lag={lag:g} "

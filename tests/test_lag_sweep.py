@@ -59,6 +59,16 @@ def test_lag_sweep_doublewell(trained_doublewell):
     ts = np.array([r["timescale"] for r in resolved])
     assert np.all(np.isfinite(ts))
     assert ts.max() / ts.min() < 3.0
+    # resolved rows carry the bootstrap exit-rate band, and the row's own
+    # point estimate falls inside it
+    import scipy.linalg
+    for r in resolved:
+        assert "exit_rates_lo" in r and "exit_rates_hi" in r
+        lo, hi = np.asarray(r["exit_rates_lo"]), np.asarray(r["exit_rates_hi"])
+        assert lo.shape == (2,) and np.all(lo <= hi)
+        Q = np.real(scipy.linalg.logm(np.asarray(r["K"]))) / r["lag"]
+        point = -np.diag(Q)
+        assert np.all(point >= lo - 1e-12) and np.all(point <= hi + 1e-12)
 
 
 def test_lag_sweep_unresolved_reports_none(trained_doublewell):
