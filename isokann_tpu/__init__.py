@@ -75,6 +75,7 @@ from .workflows import (
     run_metadynamics, adaptive_metadynamics, run_kde_dash, run_both,
     run_girsanov, lag_sweep, rates_resolved, cktest,
 )
+from .ensemble import ChiEnsemble, resample_uncertainty
 from .analysis import (
     reactive_path, save_reactive_path, reactionpath_minimum, reactionpath_ode,
     marginal_free_energy, constrained_free_energy, mutual_information,
