@@ -40,11 +40,59 @@ def build_sim(steps):
     return itk.MDSimulation(pdb=pdb, steps=steps, implicit="obc2")
 
 
+def _training_lag_headroom(iso):
+    """Slow eigenvalue of the coarse Koopman fit on the CURRENT training
+    data (host-side, essentially free): the live indicator of the
+    round-3 failure mode, where a sharpening chi pushes the training-lag
+    eigenvalue through 1 and the rate fit degrades to clamped bounds."""
+    import numpy as np
+
+    from isokann_tpu.workflows import _fit_koopman
+
+    chi = np.asarray(iso.chis(), np.float64)
+    kchi = np.asarray(iso.koopman(), np.float64)
+    _, eigs = _fit_koopman(chi, kchi)
+    eigs = np.sort(np.real(eigs))[::-1]
+    return float(eigs[1]) if len(eigs) > 1 else float(eigs[0])
+
+
+def escalate_lag(iso, new_steps, nk, key=11):
+    """Continue the campaign at a longer lag: keep the trained model
+    (chi is a lag-free function of features) and re-seed the dataset
+    with chi-stratified starts from the pool, re-propagated at the new
+    lag (``SimulationData.from_sim(sim, xs=...)``)."""
+    import jax
+    import numpy as np
+
+    from isokann_tpu.data import SimulationData
+    from isokann_tpu.sample import subsample_uniformgrid
+
+    nx = len(np.asarray(iso.chis()))
+    nx = min(nx, 64)
+    chi_all = np.asarray(iso.chis())[:, 0]
+    rng = np.random.default_rng(key)
+    inds = subsample_uniformgrid(chi_all, nx, keepedges=True, rng=rng)
+    xs = np.asarray(iso.data.coords)[inds]
+    sim = build_sim(new_steps)
+    iso.data = SimulationData.from_sim(sim, xs=xs, nk=nk,
+                                       key=jax.random.PRNGKey(key))
+    return iso
+
+
 def campaign(iso, generations, iters, resamples, cutoff, telemetry,
-             label="", budget_s=None):
+             label="", budget_s=None, adaptive_lag=False, check_every=25,
+             lag_factor=5, max_steps=62500, headroom=0.98, nk=8,
+             results=None):
     """Run the adaptive loop; with ``budget_s``, stop early once the
     measured per-generation cost says the budget would be exceeded
-    (recorded in the telemetry — the run stays a complete artifact)."""
+    (recorded in the telemetry — the run stays a complete artifact).
+
+    ``adaptive_lag``: every ``check_every`` generations, re-fit the
+    training-lag Koopman spectrum on the live data; if the slow
+    eigenvalue has drifted above ``headroom`` (the pilot-recommended
+    lag was provisional — round-3 lesson: pilot-resolved lags can go
+    unresolved once chi sharpens), escalate the lag by ``lag_factor``
+    and continue warm-started.  Escalations land in ``results``."""
     import isokann_tpu as itk
 
     t_start = time.time()
@@ -61,13 +109,31 @@ def campaign(iso, generations, iters, resamples, cutoff, telemetry,
         now = time.time()
         telemetry.append(dict(gen=g, n=len(iso.data),
                               loss=float(iso.losses[-1]),
-                              t_gen=now - t_gen, t_total=now - t_start))
+                              t_gen=now - t_gen, t_total=now - t_start,
+                              steps=int(iso.data.sim.steps)))
         t_gen = now
         done = g + 1
         if g % 50 == 0 or g == generations - 1:
             print(f"[{label}] gen {g}: n={len(iso.data)} "
                   f"loss={iso.losses[-1]:.5f} ({now - t_start:.0f}s)",
                   flush=True)
+        if (adaptive_lag and done % check_every == 0
+                and done < generations):
+            lam = _training_lag_headroom(iso)
+            cur = int(iso.data.sim.steps)
+            if lam > headroom and cur * lag_factor <= max_steps:
+                new = cur * lag_factor
+                print(f"[{label}] gen {g}: training-lag slow eigenvalue "
+                      f"{lam:.5f} > headroom {headroom} — escalating lag "
+                      f"{cur} -> {new} steps (warm-started)", flush=True)
+                escalate_lag(iso, new, nk, key=100 + done)
+                if results is not None:
+                    results.setdefault("lag_escalations", []).append(
+                        dict(gen=done, eig=lam, steps_from=cur,
+                             steps_to=new))
+            elif lam > headroom:
+                print(f"[{label}] gen {g}: eigenvalue {lam:.5f} > "
+                      f"headroom but max_steps reached", flush=True)
         if budget_s is not None:
             # predict the next generation from the last one (steady
             # state, excludes the first-gen compile skew); active from
@@ -87,7 +153,7 @@ def main(generations=1000, iters=300, resamples=3, cutoff=2000,
          lag_sweep=True, steps=None, pilot_generations=50, out=None,
          sweep_only=False, ladder=None, sweep_nx=128, sweep_nk=8,
          nx=100, nk=8, budget_s=None, cktest_nx=24, cktest_nk=8,
-         rr_nx=None, rr_nk=8):
+         rr_nx=None, rr_nk=8, adaptive_lag=True):
     import numpy as np
 
     import isokann_tpu as itk
@@ -142,9 +208,16 @@ def main(generations=1000, iters=300, resamples=3, cutoff=2000,
     iso = itk.Iso(sim=sim, nx=nx, nk=nk, key=0, opt=itk.AdamRegularized())
 
     wall, gens_run = campaign(iso, generations, iters, resamples, cutoff,
-                              telemetry, label="prod", budget_s=budget_s)
+                              telemetry, label="prod", budget_s=budget_s,
+                              adaptive_lag=adaptive_lag, nk=nk,
+                              results=results)
+    # lag escalations replace the simulation: analysis runs at the lag
+    # the campaign ENDED on
+    sim = iso.data.sim
+    steps = int(sim.steps)
     print(f"total {wall:.1f}s for {gens_run} generations "
-          f"({wall / gens_run * 1e3:.0f} ms/gen)", flush=True)
+          f"({wall / gens_run * 1e3:.0f} ms/gen), final lag {steps} steps",
+          flush=True)
 
     # --- analysis artifacts -------------------------------------------------
     iso.save(os.path.join(out, "iso_final.pkl"))
@@ -277,6 +350,10 @@ if __name__ == "__main__":
                          "CPU — the 5x rung costs nx*nk*5*steps "
                          "walker-steps)")
     ap.add_argument("--rr-nk", type=int, default=8)
+    ap.add_argument("--no-adaptive-lag", action="store_true",
+                    help="disable the mid-campaign headroom check that "
+                         "escalates the lag when chi sharpening pushes "
+                         "the training-lag eigenvalue past 0.98")
     ap.add_argument("--budget-s", type=float, default=None,
                     help="wall budget for the production campaign; stops "
                          "early (recorded) once s/gen says it would be "
@@ -296,4 +373,5 @@ if __name__ == "__main__":
          sweep_nx=args.sweep_nx, sweep_nk=args.sweep_nk,
          nx=args.nx, nk=args.nk, budget_s=args.budget_s, out=args.out,
          cktest_nx=args.cktest_nx, cktest_nk=args.cktest_nk,
-         rr_nx=args.rr_nx, rr_nk=args.rr_nk)
+         rr_nx=args.rr_nx, rr_nk=args.rr_nk,
+         adaptive_lag=not args.no_adaptive_lag)
