@@ -74,6 +74,7 @@ from .simulators.effective import EffectiveSimulation, KDEExpectation
 from .workflows import (
     run_metadynamics, adaptive_metadynamics, run_kde_dash, run_both,
     run_girsanov, lag_sweep, rates_resolved, cktest,
+    training_lag_headroom, escalate_lag,
 )
 from .ensemble import ChiEnsemble, resample_uncertainty
 from .analysis import (

@@ -488,6 +488,66 @@ def rates_resolved(iso, lags=None, nx=100, nk=8, threshold=0.9, key=None,
     return None, rows
 
 
+def training_lag_headroom(iso):
+    """Slow eigenvalue of the coarse Koopman fit on the CURRENT training
+    data (host-side, essentially free): the live indicator of the
+    training-lag drift failure, where a sharpening chi pushes the slow
+    eigenvalue through 1 and ``rates()`` degrades to clamped bounds
+    (reference fit ``src/iso.jl:339-351``, which has no such guard)."""
+    chi = np.asarray(iso.chis(), np.float64)
+    kchi = np.asarray(iso.koopman(), np.float64)
+    _, eigs = _fit_koopman(chi, kchi)
+    eigs = np.sort(np.real(eigs))[::-1]
+    return float(eigs[1]) if len(eigs) > 1 else float(eigs[0])
+
+
+def escalate_lag(iso, new_steps, nx_max=64, keepedges=True, key=None,
+                 sim_factory=None):
+    """Continue an adaptive campaign at a longer lag, warm-started.
+
+    The trained model is a lag-free function of features, so it is kept
+    as-is; the DATA is lag-specific, so the dataset is re-seeded with
+    chi-stratified start points from the pool, re-propagated at the new
+    lag.  The new simulation comes from ``sim_factory(new_steps)`` when
+    given; otherwise the current sim is shallow-copied with its lag
+    overridden (``steps`` attribute for MD sims — propagation programs
+    key on the step count, so caches stay valid — or ``lagtime_`` for
+    the analytic Diffusion family).
+
+    Combine with ``training_lag_headroom``: check every N generations,
+    escalate when the slow eigenvalue exceeds ~0.98
+    (``tools/run_trpcage_production.py: campaign(adaptive_lag=True)``).
+    """
+    import copy as _copy
+
+    from .data import SimulationData
+
+    sim = iso.data.sim
+    nk = iso.data.nk
+    new_steps = int(new_steps)
+    if sim_factory is not None:
+        new_sim = sim_factory(new_steps)
+    else:
+        new_sim = _copy.copy(sim)
+        if hasattr(new_sim, "lagtime_") and hasattr(new_sim, "dt"):
+            new_sim.lagtime_ = new_steps * new_sim.dt
+        elif hasattr(new_sim, "steps"):
+            new_sim.steps = new_steps
+        else:
+            raise TypeError(
+                f"{type(sim).__name__} exposes neither steps nor "
+                "lagtime_; pass sim_factory")
+        if hasattr(new_sim, "constructor"):
+            new_sim.constructor = {**sim.constructor, "steps": new_steps}
+
+    key = jax.random.PRNGKey(11) if key is None else (
+        jax.random.PRNGKey(key) if isinstance(key, int) else key)
+    key, sub = jax.random.split(key)
+    xs = _strat_starts(iso, min(nx_max, len(iso.data)), keepedges, sub)
+    iso.data = SimulationData.from_sim(new_sim, xs=xs, nk=nk, key=key)
+    return iso
+
+
 def cktest(iso, steps=None, factors=(2, 4), nx=50, nk=8, n_boot=200,
            atol=0.1, keepedges=True, key=None, verbose=True):
     """Chapman-Kolmogorov test of the chi-coarse Koopman model.

@@ -193,6 +193,49 @@ def test_lag_sweep_on_md_simulation():
         assert np.isfinite(r["eigs"]).all()
 
 
+def test_training_lag_headroom_and_escalation(trained_doublewell):
+    """training_lag_headroom reads the live slow eigenvalue;
+    escalate_lag continues warm-started at a longer lag (Diffusion
+    dataclass path: lagtime_ override)."""
+    import copy
+
+    from isokann_tpu.workflows import escalate_lag, training_lag_headroom
+
+    iso = copy.copy(trained_doublewell)
+    iso.data = trained_doublewell.data
+    lam = training_lag_headroom(iso)
+    assert 0.0 < lam < 1.0          # doublewell at sigma=1 resolves
+
+    old_params = iso.model.params
+    old_steps = iso.data.sim.steps
+    escalate_lag(iso, old_steps * 3, nx_max=24, key=5)
+    assert iso.data.sim.steps == old_steps * 3
+    assert iso.data.sim.lagtime == pytest.approx(
+        trained_doublewell.data.sim.lagtime * 3)
+    assert len(iso.data) <= 24
+    assert iso.model.params is old_params        # model kept (warm start)
+    iso.run(5)                                   # trains at the new lag
+    assert np.isfinite(iso.losses[-1])
+
+
+def test_escalate_lag_md_copy_path():
+    """MDSimulation path: shallow copy with steps overridden; programs
+    key on the step count so caches stay valid; constructor kwargs are
+    updated for save/load rebuild."""
+    from isokann_tpu.workflows import escalate_lag
+
+    sim = itk.MDSimulation(steps=20)
+    iso = itk.Iso(sim=sim, nx=8, nk=2, key=0, opt=itk.AdamRegularized())
+    iso.run(3)
+    escalate_lag(iso, 40, nx_max=6, key=1)
+    assert iso.data.sim.steps == 40
+    assert iso.data.sim.constructor["steps"] == 40
+    assert sim.steps == 20                       # original untouched
+    assert len(iso.data) <= 6
+    iso.run(2)
+    assert np.isfinite(iso.losses[-1])
+
+
 def test_recommendation_rejects_shrinking_timescale():
     # synthetic rows mimicking the trp-cage CPU sweep: the 0.2 ps rung
     # resolves with eig headroom but its implied timescale SHRINKS at

@@ -40,48 +40,9 @@ def build_sim(steps):
     return itk.MDSimulation(pdb=pdb, steps=steps, implicit="obc2")
 
 
-def _training_lag_headroom(iso):
-    """Slow eigenvalue of the coarse Koopman fit on the CURRENT training
-    data (host-side, essentially free): the live indicator of the
-    round-3 failure mode, where a sharpening chi pushes the training-lag
-    eigenvalue through 1 and the rate fit degrades to clamped bounds."""
-    import numpy as np
-
-    from isokann_tpu.workflows import _fit_koopman
-
-    chi = np.asarray(iso.chis(), np.float64)
-    kchi = np.asarray(iso.koopman(), np.float64)
-    _, eigs = _fit_koopman(chi, kchi)
-    eigs = np.sort(np.real(eigs))[::-1]
-    return float(eigs[1]) if len(eigs) > 1 else float(eigs[0])
-
-
-def escalate_lag(iso, new_steps, nk, key=11):
-    """Continue the campaign at a longer lag: keep the trained model
-    (chi is a lag-free function of features) and re-seed the dataset
-    with chi-stratified starts from the pool, re-propagated at the new
-    lag (``SimulationData.from_sim(sim, xs=...)``)."""
-    import jax
-    import numpy as np
-
-    from isokann_tpu.data import SimulationData
-    from isokann_tpu.sample import subsample_uniformgrid
-
-    nx = len(np.asarray(iso.chis()))
-    nx = min(nx, 64)
-    chi_all = np.asarray(iso.chis())[:, 0]
-    rng = np.random.default_rng(key)
-    inds = subsample_uniformgrid(chi_all, nx, keepedges=True, rng=rng)
-    xs = np.asarray(iso.data.coords)[inds]
-    sim = build_sim(new_steps)
-    iso.data = SimulationData.from_sim(sim, xs=xs, nk=nk,
-                                       key=jax.random.PRNGKey(key))
-    return iso
-
-
 def campaign(iso, generations, iters, resamples, cutoff, telemetry,
              label="", budget_s=None, adaptive_lag=False, check_every=25,
-             lag_factor=5, max_steps=62500, headroom=0.98, nk=8,
+             lag_factor=5, max_steps=62500, headroom=0.98,
              results=None):
     """Run the adaptive loop; with ``budget_s``, stop early once the
     measured per-generation cost says the budget would be exceeded
@@ -94,6 +55,7 @@ def campaign(iso, generations, iters, resamples, cutoff, telemetry,
     unresolved once chi sharpens), escalate the lag by ``lag_factor``
     and continue warm-started.  Escalations land in ``results``."""
     import isokann_tpu as itk
+    from isokann_tpu.workflows import escalate_lag, training_lag_headroom
 
     t_start = time.time()
     t_gen = t_start
@@ -119,14 +81,15 @@ def campaign(iso, generations, iters, resamples, cutoff, telemetry,
                   flush=True)
         if (adaptive_lag and done % check_every == 0
                 and done < generations):
-            lam = _training_lag_headroom(iso)
+            lam = training_lag_headroom(iso)
             cur = int(iso.data.sim.steps)
             if lam > headroom and cur * lag_factor <= max_steps:
                 new = cur * lag_factor
                 print(f"[{label}] gen {g}: training-lag slow eigenvalue "
                       f"{lam:.5f} > headroom {headroom} — escalating lag "
                       f"{cur} -> {new} steps (warm-started)", flush=True)
-                escalate_lag(iso, new, nk, key=100 + done)
+                escalate_lag(iso, new, key=100 + done,
+                             sim_factory=build_sim)
                 if results is not None:
                     results.setdefault("lag_escalations", []).append(
                         dict(gen=done, eig=lam, steps_from=cur,
@@ -209,8 +172,7 @@ def main(generations=1000, iters=300, resamples=3, cutoff=2000,
 
     wall, gens_run = campaign(iso, generations, iters, resamples, cutoff,
                               telemetry, label="prod", budget_s=budget_s,
-                              adaptive_lag=adaptive_lag, nk=nk,
-                              results=results)
+                              adaptive_lag=adaptive_lag, results=results)
     # lag escalations replace the simulation: analysis runs at the lag
     # the campaign ENDED on
     sim = iso.data.sim
