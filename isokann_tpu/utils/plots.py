@@ -276,6 +276,21 @@ def plot_lag_sweep(rows, out=None):
     ok = np.array([r["resolved"] for r in rows], bool)
 
     fig, ax = plt.subplots(figsize=(6, 4))
+    # bootstrap exit-rate bands (rows carry them when >=10 resamples
+    # resolved): drawn as implied-timescale intervals 1/rate
+    has_band = [("exit_rates_lo" in r and "exit_rates_hi" in r and ok[i])
+                for i, r in enumerate(rows)]
+    if any(has_band):
+        lo = np.array([max(np.max(r["exit_rates_hi"]), 1e-300)
+                       if b else np.nan
+                       for r, b in zip(rows, has_band)])
+        hi = np.array([max(np.min(r["exit_rates_lo"]), 1e-300)
+                       if b else np.nan
+                       for r, b in zip(rows, has_band)])
+        m = np.asarray(has_band)
+        ax.fill_between(lags[m], 1.0 / lo[m], 1.0 / hi[m],
+                        color="tab:blue", alpha=0.15, lw=0,
+                        label="bootstrap 95% band (1/exit rate)")
     ax.plot(lags[ok], ts[ok], "o-", color="tab:blue",
             label="implied timescale (resolved)")
     bad = ~ok
