@@ -69,10 +69,11 @@ def campaign(iso, generations, iters, resamples, cutoff, telemetry,
         if len(iso.data) > cutoff:
             iso.data = iso.data[len(iso.data) - cutoff:]
         now = time.time()
+        cur_steps = getattr(getattr(iso.data, "sim", None), "steps", None)
         telemetry.append(dict(gen=g, n=len(iso.data),
                               loss=float(iso.losses[-1]),
                               t_gen=now - t_gen, t_total=now - t_start,
-                              steps=int(iso.data.sim.steps)))
+                              steps=int(cur_steps) if cur_steps else None))
         t_gen = now
         done = g + 1
         if g % 50 == 0 or g == generations - 1:
