@@ -672,7 +672,7 @@ class MDSimulation(IsoSimulation):
                 # compile an order of magnitude slower on remote-compiled
                 # TPU backends)
                 def chainstep(carry, inp):
-                    x, v, i = carry
+                    x, v, i, buf = carry
                     k = inp
                     kv, k2 = jax.random.split(k)
                     vnew = I.maxwell_boltzmann(kv, masses3, T, x.shape)
@@ -680,17 +680,26 @@ class MDSimulation(IsoSimulation):
                     x, v = I.langevin_middle_step(force_fn, x, v, masses3,
                                                   T, gamma, dt, k2,
                                                   constraints=cset)
-                    return (x, v, i + 1), x
+                    # write into the current lag slot; the last write of
+                    # each lag window leaves the lag frame.  A per-step
+                    # stacked scan output would materialize EVERY
+                    # integrator step — (ntotal*nsteps, chains, 3N) is
+                    # 38 GB for villin at the reference 1e4-step lag
+                    # (compile-time HBM OOM); the carry buffer holds only
+                    # the (ntotal, chains, 3N) lag frames
+                    buf = jax.lax.dynamic_update_slice(
+                        buf, x[None], (i // nsteps, 0, 0))
+                    return (x, v, i + 1, buf), None
 
                 keys = jax.random.split(kchain, ntotal * nsteps)
                 x0b = jnp.tile(x0[None, :], (chains, 1))
                 v0 = jnp.zeros_like(x0b)
-                (_, _, _), traj = jax.lax.scan(
-                    chainstep, (x0b, v0, 0), keys)
+                buf0 = jnp.zeros((ntotal,) + x0b.shape, x0b.dtype)
+                (_, _, _, traj), _ = jax.lax.scan(
+                    chainstep, (x0b, v0, 0, buf0), keys)
                 # (ntotal, chains, 3N) lag frames; drop the burn-in
                 # prefix, then -> (nx, 3N), chain-major
-                xs = jnp.swapaxes(traj[nsteps - 1::nsteps][burnin:], 0,
-                                  1).reshape(nx, -1)
+                xs = jnp.swapaxes(traj[burnin:], 0, 1).reshape(nx, -1)
 
                 kv, ki = jax.random.split(kprop)
                 yr = jnp.repeat(xs, nk, axis=0)

@@ -145,14 +145,19 @@ def main(quick=False, smoke=False, reps=None, n_starts=None, out=None):
         n_transition=int(trans.sum()),
         mean_var_plain=float(est_plain["raw"].var(axis=0, ddof=1).mean()),
         t_plain_s=t_plain,
-        kernel_girsanov=bool(sim._pallas_girsanov_eligible(
-            reps * n_starts * nk)) if hasattr(
-            sim, "_pallas_girsanov_eligible") else None,
+        kernel_girsanov=None,  # filled below with the bias installed
         by_forcescale={},
     )
     for i, fs in enumerate(FORCESCALES):
         bias = optcontrol(iso, forcescale=fs)
         est_b, ew, ess, t_b, bad = estimates(bias, jax.random.PRNGKey(200 + i))
+        # eligibility must be probed while sim.bias is live (estimates
+        # leaves it installed): the check inspects bias.optcontrol_spec,
+        # so probing with bias=None always reported False
+        if res["kernel_girsanov"] is None and hasattr(
+                sim, "_pallas_girsanov_eligible"):
+            res["kernel_girsanov"] = bool(
+                sim._pallas_girsanov_eligible(reps * n_starts * nk))
         row = dict(mean_weight=ew, ess_of_nk=ess, t_s=t_b,
                    frac_nonfinite=bad)
         row.update(var_ratios(est_plain, est_b, t_plain, t_b))

@@ -37,6 +37,12 @@ sys.path.insert(0, ROOT)
 
 PROBES = ["control_b4", "unchunked_b8", "unchunked_b16", "geom_c208"]
 
+# GB/dense-path large-batch fault (round-4: the trp-cage lag sweep's
+# 1024-walker OBC2 propagate crashed the TPU worker at 02:02 UTC
+# 2026-08-19 while the pilot's own 800-walker bootstrap ran clean).
+# Probes call the exact propagate program at fixed walker counts.
+GB_PROBES = ["gb_b512", "gb_b800", "gb_b1024", "gb_b1024_long"]
+
 
 # ------------------------------------------------------------------ child
 def run_probe(name: str, pdb: str):
@@ -48,6 +54,23 @@ def run_probe(name: str, pdb: str):
     from isokann_tpu.md.neighbor import NeighborPlan, neighbor_sweep_pallas
 
     print(f"probe {name}: devices={jax.devices()}", flush=True)
+    if name.startswith("gb_"):
+        B, nsteps = {"gb_b512": (512, 100), "gb_b800": (800, 100),
+                     "gb_b1024": (1024, 100),
+                     "gb_b1024_long": (1024, 2500)}[name]
+        sim = itk.MDSimulation(pdb=pdb, implicit="obc2", steps=nsteps)
+        print(f"system: {sim.natoms} atoms OBC2 dense, B={B} "
+              f"nsteps={nsteps}", flush=True)
+        xb = jnp.asarray(np.tile(np.asarray(sim.coords).reshape(1, -1),
+                                 (B, 1)), jnp.float32)
+        t0 = time.time()
+        out = sim._propagate_fn(B, nsteps, False)(xb, jax.random.PRNGKey(0))
+        jax.block_until_ready(out)
+        fin = bool(np.isfinite(np.asarray(out)).all())
+        print(f"probe {name}: completed in {time.time() - t0:.0f}s "
+              f"finite={fin}", flush=True)
+        print("PROBE PASS" if fin else "PROBE NONFINITE", flush=True)
+        sys.exit(0 if fin else 3)
     sim = itk.MDSimulation(pdb=pdb, addwater=True, padding=1.0,
                            steps=10, dense_pairs=False)
     s = sim.system
@@ -108,11 +131,15 @@ def prep_fixture(small: bool) -> str:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--probe", choices=PROBES,
+    ap.add_argument("--probe", choices=PROBES + GB_PROBES,
                     help="(internal) run one probe in this process")
     ap.add_argument("--pdb", help="(internal) fixture path")
     ap.add_argument("--small", action="store_true",
                     help="~2k-atom quick variant")
+    ap.add_argument("--gb", action="store_true",
+                    help="run the GB/dense-path large-batch probes "
+                         "(trp-cage OBC2) instead of the neighbor-sweep "
+                         "set; results land in out/v5e_faults_gb.json")
     ap.add_argument("--timeout", type=float, default=900.0,
                     help="per-probe wall-clock limit (compiles through "
                          "the tunnel can take minutes)")
@@ -122,9 +149,24 @@ def main():
         run_probe(args.probe, args.pdb)
         return
 
-    pdb = prep_fixture(args.small)
+    if args.gb:
+        probes = GB_PROBES
+        pdb = os.path.join(ROOT, "out", "trpcage.pdb")
+        if not os.path.exists(pdb):
+            code = (
+                "import jax; jax.config.update('jax_platforms','cpu')\n"
+                f"import sys; sys.path.insert(0, {ROOT!r})\n"
+                "from isokann_tpu.md.fixtures import peptide_pdb\n"
+                "peptide_pdb('NLYIQWLKDGGPSSGRPPPS', "
+                f"{pdb!r}, minimize=True, implicit='obc2', maxiter=1500)\n")
+            print(f"prep: building {pdb} (CPU subprocess)...", flush=True)
+            subprocess.run([sys.executable, "-u", "-c", code], check=True,
+                           timeout=1800)
+    else:
+        probes = PROBES
+        pdb = prep_fixture(args.small)
     results = {}
-    for name in PROBES:
+    for name in probes:
         print(f"\n=== {name} ===", flush=True)
         t0 = time.time()
         try:
@@ -150,11 +192,12 @@ def main():
     results["_meta"] = {"small": args.small, "pdb": pdb,
                         "timeout": args.timeout,
                         "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
-    path = os.path.join(ROOT, "out", "v5e_faults.json")
+    path = os.path.join(
+        ROOT, "out", "v5e_faults_gb.json" if args.gb else "v5e_faults.json")
     with open(path, "w") as f:
         json.dump(results, f, indent=1)
     print(f"\nwrote {path}")
-    for name in PROBES:
+    for name in probes:
         print(f"  {name:16s} {results[name]['status']}")
 
 
