@@ -246,15 +246,34 @@ def _check_steps_override(sim, who):
             "candidate lag instead, or add steps= support.")
 
 
-def _chi_pairs_at_lag(iso, xs, s, nk, key):
+def _chi_pairs_at_lag(iso, xs, s, nk, key, max_batch=None):
     """``(chi(x), E[chi(X_s)|x])`` for fixed start points ``xs`` at lag
     ``s`` integrator steps: one batched ``propagate`` with ``nk``
     replicas, chi evaluated with the trained model, replica mean
-    (Girsanov-weight-aware when propagation returns WeightedSamples)."""
+    (Girsanov-weight-aware when propagation returns WeightedSamples).
+
+    ``max_batch`` caps walkers per device program (``nx*nk`` above it is
+    host-chunked): large sweeps compile walker batches the campaign
+    itself never runs, and on v5e a 1024-walker OBC2 batch has crashed
+    the worker when launched from a long-lived process (standalone
+    probes pass — ``tools/repro_v5e_faults.py --gb``)."""
     from .data import WeightedSamples, values as _values
 
     nx = len(xs)
-    ys = iso.data.sim.propagate(xs, nk, key=key, steps=s)
+    if max_batch is not None and nx * nk > max_batch:
+        nchunks = -(-(nx * nk) // int(max_batch))
+        parts = np.array_split(np.arange(nx), nchunks)
+        keys = jax.random.split(key, len(parts))
+        ys = [iso.data.sim.propagate(xs[p], nk, key=k, steps=s)
+              for p, k in zip(parts, keys)]
+        if isinstance(ys[0], WeightedSamples):
+            ys = WeightedSamples(
+                np.concatenate([np.asarray(y.values) for y in ys]),
+                np.concatenate([np.asarray(y.weights) for y in ys]))
+        else:
+            ys = np.concatenate([np.asarray(y) for y in ys])
+    else:
+        ys = iso.data.sim.propagate(xs, nk, key=key, steps=s)
     yv = np.asarray(_values(ys))                     # (nx, nk, d)
     chi_x = np.asarray(iso.chicoords(xs))            # (nx, d_chi)
     chi_y = np.asarray(iso.chicoords(yv.reshape(-1, yv.shape[-1])))
@@ -280,7 +299,7 @@ def _spectrum_resolved(eigs, tol=1e-6):
 
 
 def lag_sweep(iso, steps=None, nx=50, nk=8, n_boot=100, threshold=0.9,
-              keepedges=True, key=None, verbose=True):
+              keepedges=True, key=None, verbose=True, max_batch=None):
     """Implied-timescale lag validation for production campaigns.
 
     The coarse rate fit (reference ``src/iso.jl:339-351``) is only
@@ -344,7 +363,8 @@ def lag_sweep(iso, steps=None, nx=50, nk=8, n_boot=100, threshold=0.9,
     rows = []
     for s in sorted(int(s) for s in steps):
         key, sub = jax.random.split(key)
-        chi_x, chi_y = _chi_pairs_at_lag(iso, xs, s, nk, sub)
+        chi_x, chi_y = _chi_pairs_at_lag(iso, xs, s, nk, sub,
+                                         max_batch=max_batch)
         K, eigs_c = _fit_koopman(chi_x, chi_y)
         eigs = np.sort(np.real(eigs_c))[::-1]
         lag = s * dt_per_step
@@ -426,7 +446,7 @@ def _recommend_lag(rows, eig_headroom=0.98, plateau_ratio=1.5):
 
 
 def rates_resolved(iso, lags=None, nx=100, nk=8, threshold=0.9, key=None,
-                   verbose=True, return_rows=False):
+                   verbose=True, return_rows=False, max_batch=None):
     """Coarse macro-rates from the smallest lag at which the trained
     chi's Koopman fit resolves.
 
@@ -461,7 +481,7 @@ def rates_resolved(iso, lags=None, nx=100, nk=8, threshold=0.9, key=None,
 
     rec, rows = lag_sweep(iso, steps=sorted(int(s) for s in lags), nx=nx,
                           nk=nk, threshold=threshold, key=key,
-                          verbose=verbose)
+                          verbose=verbose, max_batch=max_batch)
     winner = None
     for row in rows:
         if not row["resolved"]:
@@ -549,7 +569,8 @@ def escalate_lag(iso, new_steps, nx_max=64, keepedges=True, key=None,
 
 
 def cktest(iso, steps=None, factors=(2, 4), nx=50, nk=8, n_boot=200,
-           atol=0.1, keepedges=True, key=None, verbose=True):
+           atol=0.1, keepedges=True, key=None, verbose=True,
+           max_batch=None):
     """Chapman-Kolmogorov test of the chi-coarse Koopman model.
 
     ``lag_sweep`` answers "does the rate fit *resolve* at this lag";
@@ -595,7 +616,8 @@ def cktest(iso, steps=None, factors=(2, 4), nx=50, nk=8, n_boot=200,
     nx = len(xs)
 
     key, sub = jax.random.split(key)
-    chi_x, chi_y0 = _chi_pairs_at_lag(iso, xs, s0, nk, sub)
+    chi_x, chi_y0 = _chi_pairs_at_lag(iso, xs, s0, nk, sub,
+                                      max_batch=max_batch)
     K0, _ = _fit_koopman(chi_x, chi_y0)
 
     rng_b = np.random.default_rng(0)
@@ -604,7 +626,8 @@ def cktest(iso, steps=None, factors=(2, 4), nx=50, nk=8, n_boot=200,
     rows, all_ok = [], True
     for k in sorted(int(k) for k in factors):
         key, sub = jax.random.split(key)
-        _, chi_yk = _chi_pairs_at_lag(iso, xs, k * s0, nk, sub)
+        _, chi_yk = _chi_pairs_at_lag(iso, xs, k * s0, nk, sub,
+                                      max_batch=max_batch)
         Kk, _ = _fit_koopman(chi_x, chi_yk)
         pred = np.linalg.matrix_power(K0, k)
         dev = pred - Kk

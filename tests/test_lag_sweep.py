@@ -272,3 +272,74 @@ def test_rates_resolved_doublewell(trained_doublewell):
     ex = -np.diag(Q)
     ex0 = -np.diag(np.asarray(trained_doublewell.rates()))
     assert 0.2 < ex.sum() / ex0.sum() < 5.0
+
+
+def test_chi_pairs_at_lag_max_batch(trained_doublewell):
+    # max_batch host-chunks the propagation (v5e large-batch crash
+    # mitigation) without changing shapes or the estimate structure
+    import copy
+    import dataclasses
+
+    import jax
+
+    from isokann_tpu.workflows import _chi_pairs_at_lag
+
+    iso = trained_doublewell
+    real = iso.data.sim
+    calls = []
+
+    class Recording:
+        steps = real.steps
+        lagtime = real.lagtime
+
+        def propagate(self, xs, nk, key=None, steps=None):
+            calls.append(len(xs) * nk)
+            return real.propagate(xs, nk, key=key, steps=steps)
+
+    iso2 = copy.copy(iso)
+    iso2.data = dataclasses.replace(iso.data, sim=Recording())
+    xs = np.asarray(iso.data.coords)[:12]
+
+    chi_x, chi_y = _chi_pairs_at_lag(iso2, xs, 50, 4,
+                                     jax.random.PRNGKey(0), max_batch=16)
+    assert len(calls) == 3 and max(calls) <= 16        # 48 walkers / 16
+    assert chi_x.shape == (12, 1) and chi_y.shape == (12, 1)
+    assert np.isfinite(chi_y).all()
+
+    calls.clear()
+    _chi_pairs_at_lag(iso2, xs, 50, 4, jax.random.PRNGKey(0))
+    assert calls == [48]                               # unchunked: one call
+
+
+def test_chi_pairs_at_lag_max_batch_weighted(trained_doublewell):
+    # chunked WeightedSamples concatenate values AND weights; zero-weight
+    # junk replicas still contribute nothing
+    import copy
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from isokann_tpu.data import WeightedSamples
+    from isokann_tpu.workflows import _chi_pairs_at_lag
+
+    class BiasedSim:
+        steps = 50
+        lagtime = 0.5
+
+        def propagate(self, xs, nk, key=None, steps=None):
+            xs = jnp.asarray(xs)
+            n = xs.shape[0]
+            good = jnp.tile(xs[:, None, :], (1, nk // 2, 1))
+            junk = jnp.full((n, nk - nk // 2, xs.shape[1]), 37.0)
+            vals = jnp.concatenate([good, junk], axis=1)
+            w = jnp.concatenate([jnp.ones((n, nk // 2)),
+                                 jnp.zeros((n, nk - nk // 2))], axis=1)
+            return WeightedSamples(vals, w)
+
+    iso = copy.copy(trained_doublewell)
+    iso.data = dataclasses.replace(iso.data, sim=BiasedSim())
+    xs = np.asarray(trained_doublewell.data.coords)[:6]
+    chi_x, chi_y = _chi_pairs_at_lag(iso, xs, 50, 4,
+                                     jax.random.PRNGKey(1), max_batch=8)
+    np.testing.assert_allclose(chi_y, chi_x, atol=1e-6)

@@ -113,11 +113,48 @@ def campaign(iso, generations, iters, resamples, cutoff, telemetry,
     return time.time() - t_start, done
 
 
+def pilot_child(out, pilot_generations, iters, resamples, cutoff, nx, nk):
+    """Phase-0 child: train the pilot at the reference lag and save it.
+    Runs in its own process so its device state cannot destabilize the
+    later, larger-batch sweep (see the v5e note in main)."""
+    import isokann_tpu as itk
+
+    sim0 = build_sim(100)
+    print(f"{sim0.natoms} atoms, pilot lag {sim0.lagtime} ps", flush=True)
+    pilot = itk.Iso(sim=sim0, nx=nx, nk=nk, key=0,
+                    opt=itk.AdamRegularized())
+    t0 = time.time()
+    campaign(pilot, pilot_generations, iters, resamples, cutoff,
+             [], label="pilot")
+    pilot.save(os.path.join(out, "pilot.pkl"))
+    json.dump({"pilot_wall_s": time.time() - t0,
+               "pilot_loss": float(pilot.losses[-1]),
+               "pilot_n": len(pilot.data)},
+              open(os.path.join(out, "pilot.json"), "w"), indent=1)
+    print(f"pilot: saved ({time.time() - t0:.0f}s)", flush=True)
+
+
+def sweep_child(out, ladder, sweep_nx, sweep_nk, max_batch):
+    """Phase-0 child: implied-timescale lag sweep on the saved pilot,
+    fresh process, optional walker-batch cap."""
+    import isokann_tpu as itk
+
+    pilot = itk.load(os.path.join(out, "pilot.pkl"))
+    t0 = time.time()
+    rec, rows = pilot.lag_sweep(steps=ladder, nx=sweep_nx, nk=sweep_nk,
+                                key=7, max_batch=max_batch)
+    json.dump({"recommended_steps": rec, "rows": rows,
+               "wall_s": time.time() - t0, "max_batch": max_batch},
+              open(os.path.join(out, "lag_sweep_phase.json"), "w"),
+              indent=1)
+    print(f"sweep: recommended {rec} ({time.time() - t0:.0f}s)", flush=True)
+
+
 def main(generations=1000, iters=300, resamples=3, cutoff=2000,
          lag_sweep=True, steps=None, pilot_generations=50, out=None,
          sweep_only=False, ladder=None, sweep_nx=128, sweep_nk=8,
          nx=100, nk=8, budget_s=None, cktest_nx=24, cktest_nk=8,
-         rr_nx=None, rr_nk=8, adaptive_lag=True):
+         rr_nx=None, rr_nk=8, adaptive_lag=True, cpu=False):
     import numpy as np
 
     import isokann_tpu as itk
@@ -128,34 +165,70 @@ def main(generations=1000, iters=300, resamples=3, cutoff=2000,
     telemetry = []
 
     # ---- phase 0: pilot at the reference lag + lag sweep -------------------
+    # Both run as FRESH subprocesses: on v5e, the 1024-walker OBC2 sweep
+    # crashed the TPU worker when launched from the long-lived pilot
+    # process while every standalone probe at the same (and larger)
+    # workload passes (tools/repro_v5e_faults.py --gb, 2026-08-19).  The
+    # parent touches no jax device before the children exit, so the
+    # single-tenant claim moves pilot -> sweep -> campaign cleanly, and
+    # a sweep crash costs a retry at reduced max_batch instead of the
+    # whole campaign.
     if steps is None and lag_sweep:
-        sim0 = build_sim(100)
-        print(f"{sim0.natoms} atoms, pilot lag {sim0.lagtime} ps", flush=True)
-        pilot = itk.Iso(sim=sim0, nx=nx, nk=nk, key=0,
-                        opt=itk.AdamRegularized())
-        t0 = time.time()
-        campaign(pilot, pilot_generations, iters, resamples, cutoff,
-                 [], label="pilot")
-        results["pilot_wall_s"] = time.time() - t0
         ladder = ladder or [100, 500, 2500, 12500, 62500]
-        t0 = time.time()
-        rec, rows = pilot.lag_sweep(steps=ladder, nx=sweep_nx, nk=sweep_nk,
-                                    key=7)
-        results["lag_sweep"] = rows
-        results["lag_sweep_wall_s"] = time.time() - t0
-        results["recommended_steps"] = rec
+        import subprocess
+        base = [sys.executable, "-u", os.path.abspath(__file__),
+                "--out", out, "--iters", str(iters),
+                "--pilot-generations", str(pilot_generations),
+                "--nx", str(nx), "--nk", str(nk),
+                "--sweep-nx", str(sweep_nx), "--sweep-nk", str(sweep_nk),
+                "--ladder", ",".join(str(s) for s in ladder)]
+        if cpu:
+            base.append("--cpu")
+        pilot_pkl = os.path.join(out, "pilot.pkl")
+        if not os.path.exists(pilot_pkl):
+            rc = subprocess.run(base + ["--pilot-child"]).returncode
+            if rc != 0 or not os.path.exists(pilot_pkl):
+                raise RuntimeError(f"pilot phase failed (rc={rc})")
+        pj = os.path.join(out, "pilot.json")
+        if os.path.exists(pj):
+            results.update(json.load(open(pj)))
+        sweep_json = os.path.join(out, "lag_sweep_phase.json")
+        rec = None
+        for mb in (None, 256, 64):
+            cmd = base + ["--sweep-child"]
+            if mb is not None:
+                cmd += ["--sweep-max-batch", str(mb)]
+                print(f"sweep: retrying with max_batch={mb}", flush=True)
+                # give a crashed worker time to restart before reclaiming
+                time.sleep(60)
+            rc_ = subprocess.run(cmd).returncode
+            if rc_ == 0 and os.path.exists(sweep_json):
+                sw = json.load(open(sweep_json))
+                results["lag_sweep"] = sw["rows"]
+                results["lag_sweep_wall_s"] = sw["wall_s"]
+                results["lag_sweep_max_batch"] = mb
+                rec = sw["recommended_steps"]
+                if rec is None:
+                    print("lag_sweep: no lag on the ladder resolved; "
+                          "using the largest", flush=True)
+                    rec = ladder[-1]
+                break
+            print(f"sweep child failed (rc={rc_})", flush=True)
         if rec is None:
-            print("lag_sweep: no lag on the ladder resolved; using the "
-                  "largest", flush=True)
-            rec = ladder[-1]
+            # all sweep attempts crashed: fall back to the rung the
+            # round-3 evidence resolved (2500 steps = 5 ps) rather than
+            # aborting the campaign
+            results["lag_sweep_error"] = "all sweep subprocesses failed"
+            rec = 2500
         steps = rec
-        print(f"lag_sweep: production lag = {steps} steps "
-              f"({steps * sim0.step} ps)", flush=True)
+        print(f"lag_sweep: production lag = {steps} steps", flush=True)
         try:
             import matplotlib
             matplotlib.use("Agg")
             from isokann_tpu.utils.plots import plot_lag_sweep
-            plot_lag_sweep(rows, out=os.path.join(out, "lag_sweep.png"))
+            if results.get("lag_sweep"):
+                plot_lag_sweep(results["lag_sweep"],
+                               out=os.path.join(out, "lag_sweep.png"))
         except Exception as e:
             results["lag_sweep_plot_error"] = str(e)
         if sweep_only:
@@ -323,10 +396,31 @@ if __name__ == "__main__":
                          "exceeded")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke testing)")
+    ap.add_argument("--pilot-child", action="store_true",
+                    help="(internal) run only the pilot phase and save "
+                         "pilot.pkl")
+    ap.add_argument("--sweep-child", action="store_true",
+                    help="(internal) run only the lag sweep on the saved "
+                         "pilot")
+    ap.add_argument("--sweep-max-batch", type=int, default=None,
+                    help="cap walkers per device program in the sweep "
+                         "(crash-retry fallback)")
     args = ap.parse_args()
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    _out = args.out or os.path.join(ROOT, "out", "trpcage_production")
+    os.makedirs(_out, exist_ok=True)
+    _ladder = ([int(x) for x in args.ladder.split(",")] if args.ladder
+               else [100, 500, 2500, 12500, 62500])
+    if args.pilot_child:
+        pilot_child(_out, args.pilot_generations, args.iters, 3, 2000,
+                    args.nx, args.nk)
+        sys.exit(0)
+    if args.sweep_child:
+        sweep_child(_out, _ladder, args.sweep_nx, args.sweep_nk,
+                    args.sweep_max_batch)
+        sys.exit(0)
     main(generations=args.generations, iters=args.iters,
          lag_sweep=not args.no_lag_sweep, steps=args.steps,
          pilot_generations=args.pilot_generations,
@@ -337,4 +431,4 @@ if __name__ == "__main__":
          nx=args.nx, nk=args.nk, budget_s=args.budget_s, out=args.out,
          cktest_nx=args.cktest_nx, cktest_nk=args.cktest_nk,
          rr_nx=args.rr_nx, rr_nk=args.rr_nk,
-         adaptive_lag=not args.no_adaptive_lag)
+         adaptive_lag=not args.no_adaptive_lag, cpu=args.cpu)
