@@ -652,6 +652,9 @@ class MDSimulation(IsoSimulation):
             raise ValueError(f"chains={chains} must divide nx={nx}")
         if burnin is None:
             burnin = (nx // chains) * (chains - 1) // 2
+        if (nx // chains + burnin) * self.steps > self._BOOTSTRAP_FUSED_MAX:
+            return self._bootstrap_staged(nx, nk, featurizer, key, chains,
+                                          burnin)
         cache_key = ("bootstrap", nx, nk, self.steps, chains, burnin,
                      id(featurizer))
         if cache_key not in self._jit_cache:
@@ -721,6 +724,54 @@ class MDSimulation(IsoSimulation):
                 "construct the simulation with minimize=True or a smaller "
                 "`step`")
         return out
+
+    # Round-1 validated the fused single-program bootstrap to ~1.4e5
+    # chain-scan steps (villin-scale at 2500-step lags); at the
+    # reference 1e4-step villin lag the same program (6.7e5-step scan)
+    # compiles but crashes the v5e TPU worker during execution
+    # (2026-08-19).  Above this, the bootstrap stages through the block
+    # trajectory program instead.
+    _BOOTSTRAP_FUSED_MAX = 150_000
+
+    def _bootstrap_staged(self, nx, nk, featurizer, key, chains, burnin):
+        """Host-staged dataset bootstrap for long lags: ``ntotal`` host
+        dispatches of one (chains, 3N) lag-block program (velocities
+        resampled at every lag start, as in the fused program), then one
+        standard Koopman-burst propagation.  A few extra dispatches
+        (tens of ms each through the tunnel) buy bounded per-program
+        device time, which the current v5e runtime requires at the
+        villin reference lag."""
+        nlag = nx // chains
+        ntotal = nlag + burnin
+        nsteps = self.steps
+        kchain, kprop = jax.random.split(key)
+        block = self._block_fn(chains, nsteps, resample_velocities=True)
+        x = jnp.tile(jnp.asarray(self._x0)[None, :], (chains, 1))
+        v = jnp.zeros_like(x)
+        frames = []
+        for k in jax.random.split(kchain, ntotal):
+            x, v = block(x, v, k)
+            frames.append(np.asarray(x))
+        xs = np.swapaxes(np.stack(frames[burnin:], axis=0), 0,
+                         1).reshape(nx, -1)          # chain-major (nx, 3N)
+        if not np.isfinite(xs).all():
+            raise FloatingPointError(
+                "dataset bootstrap diverged (non-finite coordinates): the "
+                "initial structure appears unstable at this timestep — "
+                "construct the simulation with minimize=True or a smaller "
+                "`step`")
+        xs = jnp.asarray(xs)
+        # Koopman bursts through the standard propagate program (shared
+        # with the campaign's resampling — no extra executable); the
+        # bootstrap is always unbiased, like the fused program
+        bias, self.bias = self.bias, None
+        try:
+            ys = self.propagate(xs, nk, key=kprop)
+        finally:
+            self.bias = bias
+        fxs = jnp.asarray(featurizer(xs), jnp.float32)
+        fys = jnp.asarray(featurizer(ys), jnp.float32)
+        return xs, ys, fxs, fys
 
     # ---- trajectories ------------------------------------------------------
 

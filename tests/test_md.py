@@ -321,3 +321,27 @@ def test_hangles_constraints():
     ys = sim3.propagate(np.asarray(sim3.coords)[None, :], 2,
                         key=jax.random.PRNGKey(1))
     assert np.isfinite(np.asarray(ys)).all()
+
+
+def test_bootstrap_staged_matches_fused_semantics():
+    # long-lag bootstraps stage through the block program (the fused
+    # 6.7e5-step chain scan crashes the v5e worker); shapes, finiteness
+    # and feature statistics must match the fused path
+    import jax
+    import numpy as np
+    import isokann_tpu as itk
+
+    sim = itk.MDSimulation(steps=50)
+    sim._BOOTSTRAP_FUSED_MAX = 100          # force staging at this lag
+    xs, ys, fxs, fys = sim.bootstrap_data(8, 3, key=jax.random.PRNGKey(0),
+                                          chains=4)
+    assert xs.shape == (8, sim.dim) and ys.shape == (8, 3, sim.dim)
+    assert fxs.shape[0] == 8 and fys.shape[:2] == (8, 3)
+    assert np.isfinite(np.asarray(ys)).all()
+    assert np.isfinite(np.asarray(fys)).all()
+
+    sim2 = itk.MDSimulation(steps=50)
+    _, _, ffx, _ = sim2.bootstrap_data(8, 3, key=jax.random.PRNGKey(0),
+                                       chains=4)
+    a, b = float(np.asarray(fxs).mean()), float(np.asarray(ffx).mean())
+    assert abs(a - b) / abs(b) < 0.2
