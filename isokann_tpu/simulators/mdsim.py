@@ -521,6 +521,22 @@ class MDSimulation(IsoSimulation):
 
         return run
 
+    # Per-program walker-step budget for step-scanned programs embedding
+    # the Pallas GB kernel: on the 2026-08 v5e runtime such programs
+    # crash the TPU worker above roughly 2.5e6 walker-steps (lower when
+    # the process has accumulated device state), while every probe at or
+    # below ~1e6 passes — tools/repro_v5e_faults.py --gb and
+    # docs/v5e_fault_report.md class (c).  Propagations above the budget
+    # are host-chunked into equal sub-batches (one compile).
+    _GB_SCAN_WORK_CAP = 1_000_000
+
+    def _scan_work_cap(self):
+        if not self._nb_kernel_eligible():
+            return None
+        import os
+        return int(os.environ.get("ISOKANN_MAX_PROGRAM_WALKER_STEPS",
+                                  self._GB_SCAN_WORK_CAP))
+
     def propagate(self, x0, nk, key=None, steps=None):
         """(n, 3N) -> (n, nk, 3N) Koopman burst propagation — one jitted
         device program for all n*nk walkers (replaces the reference's serial
@@ -530,6 +546,21 @@ class MDSimulation(IsoSimulation):
         x0 = jnp.asarray(x0)
         n, d = x0.shape
         nsteps = self.steps if steps is None else steps
+        cap = self._scan_work_cap()
+        if cap is not None and n > 1 and n * nk * nsteps > cap:
+            from ..data import WeightedSamples
+            rows = max(1, cap // (nk * nsteps))
+            if rows > 1:          # same compiled bucket for every chunk
+                rows = 1 << (rows.bit_length() - 1)
+            parts = [(i, min(i + rows, n)) for i in range(0, n, rows)]
+            keys = jax.random.split(key, len(parts))
+            outs = [self.propagate(x0[a:b], nk, key=k, steps=nsteps)
+                    for (a, b), k in zip(parts, keys)]
+            if isinstance(outs[0], WeightedSamples):
+                return WeightedSamples(
+                    jnp.concatenate([o.values for o in outs], axis=0),
+                    jnp.concatenate([o.weights for o in outs], axis=0))
+            return jnp.concatenate(outs, axis=0)
         xs = jnp.repeat(x0, nk, axis=0)
         # bucket the walker count to the next power of two: adaptive
         # sampling loops call propagate with ever-changing batch sizes,

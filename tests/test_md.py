@@ -345,3 +345,29 @@ def test_bootstrap_staged_matches_fused_semantics():
                                        chains=4)
     a, b = float(np.asarray(fxs).mean()), float(np.asarray(ffx).mean())
     assert abs(a - b) / abs(b) < 0.2
+
+
+def test_propagate_work_cap_chunks():
+    # programs over the GB-scan walker-step budget are host-chunked into
+    # equal sub-batches (v5e fault class (c) mitigation); inert on CPU
+    # unless forced
+    import jax
+    import numpy as np
+    import isokann_tpu as itk
+
+    sim = itk.MDSimulation(steps=50)
+    calls = []
+    orig = type(sim).propagate
+
+    def counting(self, x0, nk, key=None, steps=None):
+        calls.append(len(np.asarray(x0)))
+        return orig(self, x0, nk, key=key, steps=steps)
+
+    sim.propagate = counting.__get__(sim)
+    sim._scan_work_cap = lambda: 400
+    x0 = np.tile(np.asarray(sim.coords).reshape(1, -1), (8, 1))
+    ys = sim.propagate(x0, 2, key=jax.random.PRNGKey(0))
+    # outer call (8 rows) + two sub-calls of 4 rows (4*2*50 = cap)
+    assert calls == [8, 4, 4]
+    assert ys.shape == (8, 2, sim.dim)
+    assert np.isfinite(np.asarray(ys)).all()
