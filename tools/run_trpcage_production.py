@@ -136,18 +136,45 @@ def pilot_child(out, pilot_generations, iters, resamples, cutoff, nx, nk):
 
 def sweep_child(out, ladder, sweep_nx, sweep_nk, max_batch):
     """Phase-0 child: implied-timescale lag sweep on the saved pilot,
-    fresh process, optional walker-batch cap."""
+    fresh process, optional walker-batch cap.  Rows are written to disk
+    after EVERY rung so a worker crash costs only the in-flight rung —
+    the retry attempt resumes from the recorded rows (same start points:
+    the sweep key is fixed)."""
     import isokann_tpu as itk
+    from isokann_tpu.workflows import _recommend_lag
 
-    pilot = itk.load(os.path.join(out, "pilot.pkl"))
+    pkl = os.path.join(out, "pilot.pkl")
+    path = os.path.join(out, "lag_sweep_phase.json")
+    pilot_mtime = os.path.getmtime(pkl)
+    rows = []
+    if os.path.exists(path):
+        try:
+            old = json.load(open(path))
+            if old.get("pilot_mtime") == pilot_mtime:
+                rows = old["rows"]
+        except Exception:
+            rows = []
+    done = {r["steps"] for r in rows}
+    pilot = itk.load(pkl)
     t0 = time.time()
-    rec, rows = pilot.lag_sweep(steps=ladder, nx=sweep_nx, nk=sweep_nk,
+
+    def dump(partial):
+        rows.sort(key=lambda r: r["steps"])
+        json.dump({"recommended_steps": _recommend_lag(rows), "rows": rows,
+                   "wall_s": time.time() - t0, "max_batch": max_batch,
+                   "pilot_mtime": pilot_mtime, "partial": partial},
+                  open(path, "w"), indent=1)
+
+    for s in sorted(int(s) for s in ladder):
+        if s in done:
+            continue
+        _, rs = pilot.lag_sweep(steps=[s], nx=sweep_nx, nk=sweep_nk,
                                 key=7, max_batch=max_batch)
-    json.dump({"recommended_steps": rec, "rows": rows,
-               "wall_s": time.time() - t0, "max_batch": max_batch},
-              open(os.path.join(out, "lag_sweep_phase.json"), "w"),
-              indent=1)
-    print(f"sweep: recommended {rec} ({time.time() - t0:.0f}s)", flush=True)
+        rows += rs
+        dump(partial=True)
+    dump(partial=False)
+    print(f"sweep: recommended {_recommend_lag(rows)} "
+          f"({time.time() - t0:.0f}s)", flush=True)
 
 
 def main(generations=1000, iters=300, resamples=3, cutoff=2000,
