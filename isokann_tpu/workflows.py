@@ -403,7 +403,32 @@ def lag_sweep(iso, steps=None, nx=50, nk=8, n_boot=100, threshold=0.9,
                   f"eigs={np.round(eigs, 5).tolist()} timescale={ts:g} "
                   f"resolved={frac:.2f}", flush=True)
 
+    if _ladder_edge_rising(rows):
+        import warnings
+        tail = [r for r in rows if r["resolved"]
+                and np.isfinite(r["timescale"])]
+        warnings.warn(
+            f"lag_sweep: the implied timescale is still RISING at the "
+            f"ladder edge ({tail[-2]['timescale']:.3g} -> "
+            f"{tail[-1]['timescale']:.3g} at lag {tail[-1]['lag']:g}) — "
+            f"the slowest process is likely slower than every candidate "
+            f"lag resolves; extend the ladder, or rely on the campaign's "
+            f"adaptive lag escalation to correct the recommendation as "
+            f"chi sharpens.")
     return _recommend_lag(rows), rows
+
+
+def _ladder_edge_rising(rows, plateau_ratio=1.5):
+    """True when the two largest RESOLVED rungs still show a rising
+    implied timescale (ratio > plateau_ratio): the mid-ladder plateau
+    the recommendation picked may be a fast-mode artifact and the true
+    slow timescale lies beyond the ladder (observed on the trp-cage
+    pilot sweep: 8.4/5.5/5.8/15.5/67.9 ps over a 100..62500-step
+    ladder)."""
+    tail = [r for r in rows if r["resolved"] and np.isfinite(r["timescale"])]
+    if len(tail) < 2:
+        return False
+    return tail[-1]["timescale"] / tail[-2]["timescale"] > plateau_ratio
 
 
 def _recommend_lag(rows, eig_headroom=0.98, plateau_ratio=1.5):

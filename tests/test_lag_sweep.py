@@ -343,3 +343,53 @@ def test_chi_pairs_at_lag_max_batch_weighted(trained_doublewell):
     chi_x, chi_y = _chi_pairs_at_lag(iso, xs, 50, 4,
                                      jax.random.PRNGKey(1), max_batch=8)
     np.testing.assert_allclose(chi_y, chi_x, atol=1e-6)
+
+
+def test_ladder_edge_rising():
+    from isokann_tpu.workflows import _ladder_edge_rising
+
+    def row(steps, ts, resolved=True):
+        return dict(steps=steps, lag=float(steps), timescale=ts,
+                    resolved=resolved, eigs=[1.0, 0.5])
+
+    # trp-cage pilot shape: plateau mid-ladder, rising tail
+    assert _ladder_edge_rising([row(100, 8.4), row(500, 5.5),
+                                row(2500, 5.8), row(12500, 15.5),
+                                row(62500, 67.9)])
+    # genuine plateau at the edge
+    assert not _ladder_edge_rising([row(500, 5.5), row(2500, 5.8),
+                                    row(12500, 6.1)])
+    # unresolved tail rungs are ignored
+    assert not _ladder_edge_rising([row(500, 5.5), row(2500, 5.8),
+                                    row(12500, 60.0, resolved=False)])
+    assert not _ladder_edge_rising([row(500, 5.5)])
+
+
+def test_lag_sweep_warns_on_rising_edge(trained_doublewell):
+    # synthetic sweep whose resolved timescales rise at the edge must warn
+    import warnings as _w
+    import copy
+    import dataclasses
+    import jax.numpy as jnp
+
+    class SlowingSim:
+        steps = 50
+        lagtime = 0.5
+
+        def propagate(self, xs, nk, key=None, steps=None):
+            # contraction keyed to lag so the implied timescale RISES:
+            # chi_y = 0.5 + (chi_x - 0.5) * lam(steps), lam growing with
+            # steps is impossible for a real process — emulate by pulling
+            # towards the mean more weakly at longer lags
+            lam = {50: 0.2, 100: 0.2, 200: 0.8}[int(steps)]
+            xs = jnp.asarray(xs)
+            y = 0.5 + (xs - 0.0) * 0.0 + lam * xs  # linear pull in x-space
+            return jnp.tile(y[:, None, :], (1, nk, 1))
+
+    iso = copy.copy(trained_doublewell)
+    iso.data = dataclasses.replace(iso.data, sim=SlowingSim())
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        iso.lag_sweep(steps=[50, 100, 200], nx=20, nk=4, n_boot=20,
+                      key=5, verbose=False)
+    assert any("RISING at the ladder edge" in str(x.message) for x in rec)
