@@ -43,7 +43,7 @@ def build_sim(steps):
 def campaign(iso, generations, iters, resamples, cutoff, telemetry,
              label="", budget_s=None, adaptive_lag=False, check_every=25,
              lag_factor=5, max_steps=62500, headroom=0.98,
-             results=None):
+             results=None, out=None, checkpoint_every=50, start_gen=0):
     """Run the adaptive loop; with ``budget_s``, stop early once the
     measured per-generation cost says the budget would be exceeded
     (recorded in the telemetry — the run stays a complete artifact).
@@ -53,14 +53,20 @@ def campaign(iso, generations, iters, resamples, cutoff, telemetry,
     eigenvalue has drifted above ``headroom`` (the pilot-recommended
     lag was provisional — round-3 lesson: pilot-resolved lags can go
     unresolved once chi sharpens), escalate the lag by ``lag_factor``
-    and continue warm-started.  Escalations land in ``results``."""
+    and continue warm-started.  Escalations land in ``results``.
+
+    ``out``: checkpoint directory — every ``checkpoint_every``
+    generations the Iso (model + optimizer + data + the escalated sim)
+    and the telemetry are persisted, and a relaunch resumes from
+    ``start_gen`` (round-4 lesson: a TPU worker crash at gen 199 cost
+    the whole campaign when only end-of-run artifacts existed)."""
     import isokann_tpu as itk
     from isokann_tpu.workflows import escalate_lag, training_lag_headroom
 
     t_start = time.time()
     t_gen = t_start
-    done = 0
-    for g in range(generations):
+    done = start_gen
+    for g in range(start_gen, generations):
         try:
             iso.run(iters)
         except itk.DomainError:
@@ -76,6 +82,13 @@ def campaign(iso, generations, iters, resamples, cutoff, telemetry,
                               steps=int(cur_steps) if cur_steps else None))
         t_gen = now
         done = g + 1
+        if out is not None and done % checkpoint_every == 0:
+            iso.save(os.path.join(out, "campaign_checkpoint.pkl"))
+            json.dump(dict(done=done, telemetry=telemetry,
+                           lag_escalations=(results or {}).get(
+                               "lag_escalations")),
+                      open(os.path.join(out, "campaign_telemetry.json"),
+                           "w"))
         if g % 50 == 0 or g == generations - 1:
             print(f"[{label}] gen {g}: n={len(iso.data)} "
                   f"loss={iso.losses[-1]:.5f} ({now - t_start:.0f}s)",
@@ -181,7 +194,8 @@ def main(generations=1000, iters=300, resamples=3, cutoff=2000,
          lag_sweep=True, steps=None, pilot_generations=50, out=None,
          sweep_only=False, ladder=None, sweep_nx=128, sweep_nk=8,
          nx=100, nk=8, budget_s=None, cktest_nx=24, cktest_nk=8,
-         rr_nx=None, rr_nk=8, adaptive_lag=True, cpu=False):
+         rr_nx=None, rr_nk=8, adaptive_lag=True, cpu=False,
+         checkpoint_every=50):
     import numpy as np
 
     import isokann_tpu as itk
@@ -267,20 +281,39 @@ def main(generations=1000, iters=300, resamples=3, cutoff=2000,
         steps = 100
 
     # ---- production campaign at the selected lag ---------------------------
-    sim = build_sim(steps)
-    print(f"{sim.natoms} atoms, production lag {sim.lagtime} ps", flush=True)
-    iso = itk.Iso(sim=sim, nx=nx, nk=nk, key=0, opt=itk.AdamRegularized())
+    ckpt = os.path.join(out, "campaign_checkpoint.pkl")
+    meta_p = os.path.join(out, "campaign_telemetry.json")
+    start_gen = 0
+    if os.path.exists(ckpt) and os.path.exists(meta_p):
+        meta = json.load(open(meta_p))
+        iso = itk.load(ckpt)
+        start_gen = int(meta["done"])
+        telemetry.extend(meta.get("telemetry", []))
+        if meta.get("lag_escalations"):
+            results["lag_escalations"] = meta["lag_escalations"]
+        sim = iso.data.sim
+        print(f"resuming campaign from checkpoint: gen {start_gen}, "
+              f"lag {sim.steps} steps", flush=True)
+    else:
+        sim = build_sim(steps)
+        print(f"{sim.natoms} atoms, production lag {sim.lagtime} ps",
+              flush=True)
+        iso = itk.Iso(sim=sim, nx=nx, nk=nk, key=0,
+                      opt=itk.AdamRegularized())
 
     wall, gens_run = campaign(iso, generations, iters, resamples, cutoff,
                               telemetry, label="prod", budget_s=budget_s,
-                              adaptive_lag=adaptive_lag, results=results)
+                              adaptive_lag=adaptive_lag, results=results,
+                              out=out, start_gen=start_gen,
+                              checkpoint_every=checkpoint_every)
     # lag escalations replace the simulation: analysis runs at the lag
     # the campaign ENDED on
     sim = iso.data.sim
     steps = int(sim.steps)
-    print(f"total {wall:.1f}s for {gens_run} generations "
-          f"({wall / gens_run * 1e3:.0f} ms/gen), final lag {steps} steps",
-          flush=True)
+    gens_new = max(1, gens_run - start_gen)
+    print(f"total {wall:.1f}s for {gens_new} generations this process "
+          f"({wall / gens_new * 1e3:.0f} ms/gen, {gens_run} total), "
+          f"final lag {steps} steps", flush=True)
 
     # --- analysis artifacts -------------------------------------------------
     iso.save(os.path.join(out, "iso_final.pkl"))
@@ -294,7 +327,8 @@ def main(generations=1000, iters=300, resamples=3, cutoff=2000,
     results.update(generations=gens_run, generations_requested=generations,
                    iters_per_gen=iters,
                    steps=steps, lag_ps=sim.lagtime,
-                   wall_s=wall, ms_per_gen=wall / gens_run * 1e3,
+                   wall_s=wall, ms_per_gen=wall / gens_new * 1e3,
+                   resumed_from_gen=start_gen,
                    n_final=len(iso.data),
                    loss_final=float(iso.losses[-1]))
     try:
@@ -423,6 +457,8 @@ if __name__ == "__main__":
                          "exceeded")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke testing)")
+    ap.add_argument("--checkpoint-every", type=int, default=50,
+                    help="campaign checkpoint interval (generations)")
     ap.add_argument("--pilot-child", action="store_true",
                     help="(internal) run only the pilot phase and save "
                          "pilot.pkl")
@@ -458,4 +494,5 @@ if __name__ == "__main__":
          nx=args.nx, nk=args.nk, budget_s=args.budget_s, out=args.out,
          cktest_nx=args.cktest_nx, cktest_nk=args.cktest_nk,
          rr_nx=args.rr_nx, rr_nk=args.rr_nk,
-         adaptive_lag=not args.no_adaptive_lag, cpu=args.cpu)
+         adaptive_lag=not args.no_adaptive_lag, cpu=args.cpu,
+         checkpoint_every=args.checkpoint_every)
