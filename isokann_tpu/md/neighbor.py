@@ -56,7 +56,9 @@ class NeighborPlan:
 
     def __init__(self, sys: MDSystem, x0=None, capacity: int = None,
                  margin: float = 1.5, cell_div: int = None,
-                 cells=None, box_slack: float = 0.0):
+                 cells=None, box_slack: float = 0.0, cutoff: float = None):
+        # ``cutoff`` overrides the system cutoff — the Verlet-list mode
+        # (md/verlet.py) builds its candidate grid at cutoff + skin
         # box_slack > 0 builds the stencil as if every cell edge were
         # (1 - box_slack) shorter, so the static offset table stays valid
         # while a traced NPT box shrinks up to that fraction
@@ -68,7 +70,8 @@ class NeighborPlan:
             raise ValueError("neighbor engine requires a periodic cutoff "
                              "method (CutoffPeriodic/Ewald/PME/LJPME) + box")
         self.box = np.asarray(sys.box, np.float64)
-        self.cutoff = float(sys.cutoff)
+        self.cutoff = float(cutoff) if cutoff is not None else \
+            float(sys.cutoff)
         if not self.cutoff < float(self.box.min()) / 2:
             # outside the minimum-image invariant the stencil dedupe can
             # silently drop cross-cell pairs or double-count the self cell

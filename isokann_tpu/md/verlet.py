@@ -1,0 +1,257 @@
+"""Verlet-list neighbor mode: per-atom pair lists reused across steps.
+
+The cell sweep (``md/neighbor.py``) rebuilds its cell table every step and
+evaluates full (C, C) candidate blocks — measured candidate efficiency on
+the 7.7k-atom solvated benchmark is ~6%, i.e. ~16 evaluated pair lanes per
+true pair (ROADMAP round-2 #1).  This module is the classical alternative,
+redesigned for XLA/TPU:
+
+- every ``rebuild_every`` steps, per-atom neighbor lists are built at an
+  enlarged radius ``cutoff + skin`` from the cell grid (sorts, searchsorted
+  and gathers only — no scatters, no Pallas);
+- in between, forces are one ``(n, K, 3)`` gather + elementwise pair math
+  summed over the K axis.  Every directed pair is present in its owner's
+  row, so Newton bookkeeping disappears (at 2x the pair lanes, still ~3-5x
+  fewer than the block sweep's overcoverage);
+- hard (1-2/1-3) exclusions are dropped at build time; soft 1-4 pairs stay
+  full pairs and are corrected by the shared ``_exception_terms`` path,
+  numerically identical to the sweep and dense formulations.
+
+Validity: a list at radius cutoff+skin remains exact while every atom has
+moved less than skin/2 since the rebuild.  ``langevin_middle_verlet``
+tracks the max displacement per rebuild block and returns it as a
+diagnostic; callers check it like ``NeighborPlan.overflow``.
+
+Reference parity note: the reference outsources all of this to OpenMM's
+neighbor-list kernels (``src/simulators/mopenmm.py:101-115``); the skin /
+rebuild-interval idiom mirrors OpenMM semantics (skin 0.2 nm, ~10-20 step
+reuse) rather than any reference code.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .system import MDSystem, COULOMB
+from .neighbor import (NeighborPlan, _pair_terms, _pair_terms_ewald,
+                       _rf_consts, _exception_terms, bonded_force_sparse,
+                       _ewald_tables, _ljpme_tables)
+
+
+class VerletPlan:
+    """Static data for Verlet-list builds: a cell grid at ``cutoff + skin``
+    and the per-atom list capacity ``K``.
+
+    ``K`` defaults to ``margin`` times the densest observed candidate
+    count of ``x0`` (or a uniform-density estimate), rounded up to a lane
+    multiple.  Build-time overflow (more true neighbors than K) is
+    returned by ``build_lists`` and must be zero for exact forces —
+    regrow with a larger K, exactly like the cell plan's capacity."""
+
+    def __init__(self, sys: MDSystem, x0=None, skin: float = 0.2,
+                 K: int = None, margin: float = 1.3,
+                 rebuild_every: int = None):
+        self.skin = float(skin)
+        self.rv = float(sys.cutoff) + self.skin
+        self.plan = NeighborPlan(sys, x0=x0, cutoff=self.rv)
+        self.natoms = int(sys.natoms)
+        p = self.plan
+        # full candidate cell table: self + both stencil directions
+        if p.newton:
+            cand = np.concatenate(
+                [np.arange(p.ncells, dtype=np.int32)[:, None],
+                 np.asarray(p.stencil), np.asarray(p.stencil_inv)], axis=1)
+        else:
+            cand = np.concatenate(
+                [np.arange(p.ncells, dtype=np.int32)[:, None],
+                 np.asarray(p.stencil)], axis=1)
+        self.cand_cells = jnp.asarray(cand)          # (ncells, nstencil)
+        self.M = cand.shape[1] * p.C                 # candidates per atom
+        if K is None:
+            if x0 is not None:
+                K = int(margin * self._max_true_neighbors(np.asarray(x0)))
+            else:
+                dens = self.natoms / float(np.prod(p.box))
+                K = int(margin * dens * 4.0 / 3.0 * math.pi * self.rv ** 3)
+        self.K = max(8, ((int(K) + 127) // 128) * 128)   # lane multiple
+        # default rebuild interval: skin/2 headroom over a generous
+        # 0.02 nm/step thermal displacement bound
+        self.rebuild_every = int(rebuild_every or
+                                 max(1, int(self.skin / 2 / 0.02)))
+
+    def _max_true_neighbors(self, x0):
+        xw = x0.reshape(-1, 3)
+        box = self.plan.box
+        xw = xw - box * np.floor(xw / box)
+        # exact small-n estimate via the cell structure (host, once)
+        cid = self.plan._cell_id_np(xw)
+        counts = np.zeros(self.natoms, np.int64)
+        order = np.argsort(cid)
+        # brute force on a subsample for large systems: neighbor counts
+        # concentrate tightly around the density mean
+        idx = np.arange(self.natoms) if self.natoms <= 4096 else \
+            np.random.default_rng(0).choice(self.natoms, 4096, False)
+        for a in idx:
+            d = xw - xw[a]
+            d -= box * np.round(d / box)
+            counts[a] = int(((d * d).sum(1) < self.rv ** 2).sum()) - 1
+        return int(counts.max())
+
+
+def build_lists(vp: VerletPlan, sys: MDSystem, xw):
+    """(n, 3) wrapped coords -> ``(lists, n_over)``: (n, K) ORIGINAL-frame
+    neighbor ids (sentinel n) for every directed pair within ``rv``, hard
+    exclusions dropped; ``n_over`` counts true neighbors that did not fit
+    in K (must be 0)."""
+    p, n, K = vp.plan, vp.natoms, vp.K
+    order, table, pos, _ = p.sorted_frame(xw)
+    xs = jnp.concatenate([xw[order], jnp.zeros((1, 3), xw.dtype)])
+    opad = jnp.concatenate([order.astype(jnp.int32),
+                            jnp.full((1,), n, jnp.int32)])
+    cell_of_k = jnp.clip(pos // p.C, 0, p.ncells - 1)
+    # candidate slots of every stencil cell, sorted-frame ids (n, M)
+    rows = table[vp.cand_cells[cell_of_k]].reshape(n, -1)
+    d = xs[rows] - xs[jnp.arange(n)][:, None, :]
+    box = jnp.asarray(p.box, xw.dtype)
+    d = d - box * jnp.round(d / box)
+    r2 = jnp.sum(d * d, axis=-1)
+    oid_j = opad[rows]                               # (n, M) original ids
+    oid_i = opad[jnp.arange(n)][:, None]
+    # hard exclusions (window bitmask + far table, original-id space)
+    dd = oid_j - oid_i
+    WIN = p.excl_win
+    bits_i = p.excl_bits[jnp.clip(oid_i, 0, n)]
+    bits_j = p.excl_bits[jnp.clip(oid_j, 0, n)]
+    fwd = ((dd >= 1) & (dd <= WIN)
+           & (((bits_i >> jnp.clip(dd - 1, 0, 31)) & 1) == 1))
+    bwd = ((dd <= -1) & (dd >= -WIN)
+           & (((bits_j >> jnp.clip(-dd - 1, 0, 31)) & 1) == 1))
+    far_i = p.excl_far[jnp.clip(oid_i, 0, n)]        # (n, 1, E2)
+    excluded = fwd | bwd | jnp.any(far_i == oid_j[:, :, None], axis=-1)
+    valid = ((rows < n) & (rows != jnp.arange(n)[:, None])
+             & (r2 < vp.rv * vp.rv) & ~excluded)
+    n_over = jnp.maximum(jnp.sum(valid, axis=1) - K, 0).sum()
+    # compact: stable-sort invalid-last, keep the first K candidates
+    sel = jnp.argsort(jnp.where(valid, 0, 1), axis=1, stable=True)[:, :K]
+    take = jnp.take_along_axis
+    lists = jnp.where(take(valid, sel, 1), take(oid_j, sel, 1), n)
+    # rows are aligned to SORTED atoms; re-gather into original atom
+    # order (order[k] = original id of sorted atom k)
+    lists = lists[jnp.argsort(order)]
+    return lists.astype(jnp.int32), n_over
+
+
+def nonbonded_force_verlet(sys: MDSystem, x, lists):
+    """(n, 3) coords + (n, K) lists -> (n, 3) nonbonded sweep force
+    (full pairs; add ``_exception_terms`` + bonded + reciprocal terms for
+    the total — same composition as the cell sweep)."""
+    n = sys.natoms
+    dtype = x.dtype
+    box = jnp.asarray(sys.box, dtype)
+    rc, krf, crf = _rf_consts(sys)
+    xw = x - box * jnp.floor(x / box)
+    xpad = jnp.concatenate([xw, jnp.zeros((1, 3), dtype)])
+    d = xw[:, None, :] - xpad[lists]
+    d = d - box * jnp.round(d / box)
+    r2 = jnp.sum(d * d, axis=-1) + 1e-12
+    mask = (lists < n) & (r2 < rc * rc)
+    r2s = jnp.where(mask, r2, 1.0)
+    zero = jnp.zeros((1,), dtype)
+    qpad = jnp.concatenate([sys.charges, zero])
+    rmpad = jnp.concatenate([sys.rmin_half, zero])
+    epad = jnp.concatenate([sys.eps, zero])
+    qq = COULOMB * sys.charges[:, None] * qpad[lists]
+    rmin = sys.rmin_half[:, None] + rmpad[lists]
+    epsij = jnp.sqrt(sys.eps[:, None] * epad[lists])
+    if sys.method in ("Ewald", "PME", "LJPME"):
+        e, g = _pair_terms_ewald(r2s, qq, rmin, epsij, sys.ewald_alpha)
+        if sys.method == "LJPME":
+            from .ewald import ljpme_hker_grad
+            q6pad = jnp.concatenate([sys.q6, zero])
+            c6 = sys.q6[:, None] * q6pad[lists]
+            h, dh = ljpme_hker_grad(r2s, sys.ljpme_beta)
+            e = e + c6 * h
+            g = g + c6 * dh
+    else:
+        e, g = _pair_terms(r2s, qq, rmin, epsij, krf, crf)
+    w = (-2.0 * g) * mask.astype(dtype)
+    return jnp.sum(w[..., None] * d, axis=1)
+
+
+def force_verlet(sys: MDSystem, x, lists):
+    """Total analytic force from a Verlet list; ``x``: (natoms, 3)."""
+    f = (nonbonded_force_verlet(sys, x, lists)
+         + _exception_terms(sys, x, True)
+         + bonded_force_sparse(sys, x))
+    if sys.method in ("Ewald", "PME", "LJPME"):
+        from .ewald import ewald_recip_force
+        kv, cf = _ewald_tables(sys, None)
+        f = f + ewald_recip_force(kv, cf, sys.charges, x)
+    if sys.method == "LJPME":
+        from .ewald import ewald_recip_force
+        kv6, cf6 = _ljpme_tables(sys, None)
+        f = f + ewald_recip_force(kv6, cf6, sys.q6, x)
+    return f
+
+
+def langevin_middle_verlet(sys: MDSystem, vp: VerletPlan, x0, v0, masses3,
+                           T, gamma, dt, nsteps: int, key,
+                           rebuild_every: int = None, constraints=None):
+    """Batched LangevinMiddle trajectory with Verlet-list reuse.
+
+    ``x0``/``v0``: (B, 3N).  Lists are rebuilt every ``rebuild_every``
+    steps (default: the plan's).  Returns ``(x, v, diag)`` with ``diag``
+    = dict(max_disp, n_over): the worst per-atom displacement within any
+    rebuild block (exactness requires < skin/2) and the worst list
+    overflow (must be 0) — host-checked after the run, in the same spirit
+    as ``NeighborPlan.overflow``."""
+    from .integrators import langevin_middle_step
+
+    R = int(rebuild_every or vp.rebuild_every)
+    nblocks, rem = divmod(int(nsteps), R)
+    B, d3 = x0.shape
+    natoms = sys.natoms
+    box = jnp.asarray(vp.plan.box, x0.dtype)
+
+    vbuild = jax.vmap(lambda xw: build_lists(vp, sys, xw))
+
+    def wrap(x):
+        xr = x.reshape(B, natoms, 3)
+        return (xr - box * jnp.floor(xr / box))
+
+    def block(carry, keys):
+        x, v, worst_disp, worst_over = carry
+        xw = wrap(x)
+        lists, n_over = vbuild(xw)
+        xref = x
+
+        def step(c, k):
+            x, v = c
+            f = lambda xf: jax.vmap(
+                lambda xi, li: force_verlet(sys, xi.reshape(-1, 3), li)
+                .reshape(-1))(xf, lists)
+            x, v = langevin_middle_step(f, x, v, masses3, T, gamma, dt, k,
+                                        constraints=constraints)
+            return (x, v), None
+
+        (x, v), _ = jax.lax.scan(step, (x, v), keys)
+        disp = (x - xref).reshape(B, natoms, 3)
+        disp = disp - box * jnp.round(disp / box)
+        worst_disp = jnp.maximum(worst_disp,
+                                 jnp.sqrt(jnp.sum(disp * disp, -1)).max())
+        worst_over = jnp.maximum(worst_over, n_over.max())
+        return (x, v, worst_disp, worst_over), None
+
+    keys = jax.random.split(key, max(nsteps, 1))
+    carry = (x0, v0, jnp.zeros((), x0.dtype), jnp.zeros((), jnp.int32))
+    if nblocks:
+        carry, _ = jax.lax.scan(block, carry,
+                                keys[:nblocks * R].reshape(nblocks, R, -1))
+    if rem:
+        carry, _ = block(carry, keys[nblocks * R:])
+    x, v, worst_disp, worst_over = carry
+    return x, v, dict(max_disp=worst_disp, n_over=worst_over)

@@ -74,7 +74,11 @@ class MDSimulation(IsoSimulation):
                  ionic_strength: float = 0.0, rigidwater: bool = True,
                  water_model: str = "tip3p",
                  dense_pairs="auto", dispersion_correction: bool = True,
+                 neighbor_mode: str = "cells", skin: float = 0.2,
                  dtype=jnp.float32):
+        # neighbor_mode="verlet" (opt-in): sparse systems propagate with
+        # per-atom Verlet lists rebuilt every few steps (md/verlet.py)
+        # instead of the per-step cell sweep
         if pdb is None:
             from ..md.fixtures import alanine_dipeptide_pdb
             pdb = alanine_dipeptide_pdb()
@@ -91,7 +95,12 @@ class MDSimulation(IsoSimulation):
                                 rigidwater=rigidwater,
                                 water_model=water_model,
                                 dense_pairs=dense_pairs,
-                                dispersion_correction=dispersion_correction)
+                                dispersion_correction=dispersion_correction,
+                                neighbor_mode=neighbor_mode, skin=skin)
+        if neighbor_mode not in ("cells", "verlet"):
+            raise ValueError(f"unknown neighbor_mode {neighbor_mode!r}")
+        self.neighbor_mode = neighbor_mode
+        self.skin = float(skin)
         self.pdbfile = pdb
         self.steps = int(steps)
         self.temp = float(temp)
@@ -236,6 +245,7 @@ class MDSimulation(IsoSimulation):
         d = self.__dict__.copy()
         d["_jit_cache"] = {}
         d.pop("_nbplan", None)      # rebuilt lazily (device arrays)
+        d.pop("_vplan", None)
         return d
 
     @property
@@ -413,7 +423,7 @@ class MDSimulation(IsoSimulation):
         # cannot serve a stale program.  (The cached closure keeps the old
         # bias alive, so its id() cannot be recycled while cached.)
         key_ = ("prop", nwalkers, nsteps, biased, self.integrator,
-                self._pallas_eligible(nwalkers),
+                self._pallas_eligible(nwalkers), self.neighbor_mode,
                 id(self.bias) if biased else None)
         if key_ in self._jit_cache:
             return self._jit_cache[key_]
@@ -423,8 +433,8 @@ class MDSimulation(IsoSimulation):
             # generation, and each stale entry pins a whole compiled
             # trajectory program (and the bias closure) forever
             for k in [k for k in self._jit_cache
-                      if isinstance(k, tuple) and len(k) == 7
-                      and k[0] == "prop" and k[3] and k[6] != key_[6]]:
+                      if isinstance(k, tuple) and len(k) == 8
+                      and k[0] == "prop" and k[3] and k[7] != key_[7]]:
                 del self._jit_cache[k]
         force_fn = self._force_fn()
         masses3, T, gamma, dt = self.masses3, self.temp, self.friction, self.step
@@ -449,6 +459,42 @@ class MDSimulation(IsoSimulation):
                 x, v = langevin_middle_fused(system, x0p, v0, T, gamma, dt,
                                              nsteps, ki, block=block)
                 return x[:nwalkers]
+
+            self._jit_cache[key_] = run
+            return run
+
+        if (not biased and self.integrator == "langevin"
+                and self.neighbor_mode == "verlet"
+                and not self.system.dense_pairs):
+            from ..md.verlet import VerletPlan, langevin_middle_verlet
+            if getattr(self, "_vplan", None) is None:
+                self._vplan = VerletPlan(
+                    self.system, x0=np.asarray(self._x0).reshape(-1, 3),
+                    skin=self.skin)
+            vp = self._vplan
+            system = self.system
+
+            @jax.jit
+            def core(x0, key):
+                kv, ki = jax.random.split(key)
+                v0 = I.maxwell_boltzmann(kv, masses3, T, x0.shape)
+                x, _, diag = langevin_middle_verlet(
+                    system, vp, x0, v0, masses3, T, gamma, dt, nsteps, ki,
+                    constraints=cset)
+                return x, diag["max_disp"], diag["n_over"]
+
+            def run(x0, key):
+                x, max_disp, n_over = core(x0, key)
+                if int(n_over) or float(max_disp) > vp.skin / 2:
+                    import warnings
+                    warnings.warn(
+                        f"verlet lists degraded: overflow {int(n_over)} "
+                        f"atoms, max per-block displacement "
+                        f"{float(max_disp):.3f} nm vs skin/2 "
+                        f"{vp.skin / 2:.3f} — forces of this propagation "
+                        f"may be inexact; raise K/skin or lower "
+                        f"rebuild_every")
+                return x
 
             self._jit_cache[key_] = run
             return run
