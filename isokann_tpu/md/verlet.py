@@ -56,6 +56,22 @@ class VerletPlan:
                  K: int = None, margin: float = 1.3,
                  rebuild_every: int = None):
         self.skin = float(skin)
+        # the minimum-image invariant bounds the list radius by
+        # min(box)/2; in small boxes the requested skin is clamped (and
+        # the rebuild interval shrinks with it)
+        max_skin = float(np.min(np.asarray(sys.box))) / 2 \
+            - float(sys.cutoff)
+        if max_skin <= 0:
+            raise ValueError(
+                f"verlet lists need cutoff < min(box)/2 "
+                f"(cutoff={sys.cutoff}, box={tuple(np.asarray(sys.box))})")
+        if self.skin >= max_skin:
+            import warnings
+            clamped = 0.9 * max_skin
+            warnings.warn(
+                f"verlet skin {self.skin:.3f} nm exceeds the minimum-image "
+                f"bound for this box; clamped to {clamped:.3f} nm")
+            self.skin = clamped
         self.rv = float(sys.cutoff) + self.skin
         self.plan = NeighborPlan(sys, x0=x0, cutoff=self.rv)
         self.natoms = int(sys.natoms)

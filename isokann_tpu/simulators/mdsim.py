@@ -594,7 +594,9 @@ class MDSimulation(IsoSimulation):
         nsteps = self.steps if steps is None else steps
         cap = self._scan_work_cap()
         if cap is not None and n > 1 and n * nk * nsteps > cap:
-            from ..data import WeightedSamples
+            # NOTE: WeightedSamples comes from the module import — a
+            # local import here would shadow it for the whole function
+            # and break the biased return path below
             rows = max(1, cap // (nk * nsteps))
             if rows > 1:          # same compiled bucket for every chunk
                 rows = 1 << (rows.bit_length() - 1)

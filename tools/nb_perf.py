@@ -90,6 +90,42 @@ def measure_sweep(sim, nwalk, label="", use_pallas=True, reps=20):
     return dt
 
 
+def measure_verlet(nwalk=4, steps=100, small=False, skin=0.2,
+                   rebuild_every=None):
+    """Propagation rate through the Verlet-list mode (md/verlet.py) on
+    the same fixture, vs the default cell/Pallas mode — the measurement
+    deciding whether verlet becomes the sparse-system default."""
+    import json
+
+    import isokann_tpu as itk
+
+    out = os.path.join(ROOT, "out", "nb_perf")
+    pdb = f"{out}/peptide_small.pdb" if small else f"{out}/peptide.pdb"
+    res = {}
+    for mode, kw in (("cells", {}),
+                     ("verlet", dict(neighbor_mode="verlet", skin=skin))):
+        sim = itk.MDSimulation(pdb=pdb, addwater=True,
+                               padding=0.7 if small else 1.0,
+                               steps=steps, dense_pairs=False, **kw)
+        if mode == "verlet" and rebuild_every is not None:
+            from isokann_tpu.md.verlet import VerletPlan
+            import numpy as np
+            sim._vplan = VerletPlan(sim.system,
+                                    x0=np.asarray(sim.coords).reshape(-1, 3),
+                                    skin=skin, rebuild_every=rebuild_every)
+        rate, fin = measure_propagate(sim, nwalk, steps=steps, label=mode)
+        res[mode] = dict(walker_steps_per_s=rate, finite=fin)
+        if mode == "verlet":
+            vp = sim._vplan
+            res[mode].update(K=int(vp.K), rebuild_every=int(vp.rebuild_every),
+                             rv=float(vp.rv))
+    res["speedup"] = (res["verlet"]["walker_steps_per_s"]
+                      / res["cells"]["walker_steps_per_s"])
+    print(f"[verlet] speedup vs cells: {res['speedup']:.2f}x")
+    json.dump(res, open(f"{out}/verlet_perf.json", "w"), indent=1)
+    print(f"wrote {out}/verlet_perf.json")
+
+
 def fault_tests(sim):
     """Retest the v5e faults on the current runtime."""
     import jax
@@ -158,11 +194,21 @@ def main():
     ap.add_argument("--fault-only", action="store_true")
     ap.add_argument("--perf-only", action="store_true")
     ap.add_argument("--prep-only", action="store_true")
+    ap.add_argument("--verlet", action="store_true",
+                    help="measure the Verlet-list mode vs the cell mode")
+    ap.add_argument("--walkers", type=int, default=4)
+    ap.add_argument("--skin", type=float, default=0.2)
+    ap.add_argument("--rebuild-every", type=int, default=None)
     args = ap.parse_args()
 
     if args.prep_only:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    if args.verlet:
+        build(small=args.quick)      # ensure the fixture exists
+        measure_verlet(nwalk=args.walkers, small=args.quick,
+                       skin=args.skin, rebuild_every=args.rebuild_every)
+        return
     sim = build(small=args.quick)
     if args.prep_only:
         return
