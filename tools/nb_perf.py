@@ -199,9 +199,14 @@ def main():
     ap.add_argument("--walkers", type=int, default=4)
     ap.add_argument("--skin", type=float, default=0.2)
     ap.add_argument("--rebuild-every", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon plugin hijacks "
+                         "JAX_PLATFORMS, so the env var is NOT enough — "
+                         "and a stray TPU claim collides with the single-"
+                         "tenant device)")
     args = ap.parse_args()
 
-    if args.prep_only:
+    if args.prep_only or args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
     if args.verlet:
