@@ -151,8 +151,12 @@ def build_lists(vp: VerletPlan, sys: MDSystem, xw):
     valid = ((rows < n) & (rows != jnp.arange(n)[:, None])
              & (r2 < vp.rv * vp.rv) & ~excluded)
     n_over = jnp.maximum(jnp.sum(valid, axis=1) - K, 0).sum()
-    # compact: stable-sort invalid-last, keep the first K candidates
-    sel = jnp.argsort(jnp.where(valid, 0, 1), axis=1, stable=True)[:, :K]
+    # compact via top_k (O(M log K) per row — a full row argsort at the
+    # 7.7k-atom scale is ~20x more comparisons): key >0 iff valid,
+    # decreasing with column so valid candidates keep their order
+    M = rows.shape[1]
+    keys_ = jnp.where(valid, M - jnp.arange(M, dtype=jnp.int32), 0)
+    _, sel = jax.lax.top_k(keys_, K)
     take = jnp.take_along_axis
     lists = jnp.where(take(valid, sel, 1), take(oid_j, sel, 1), n)
     # rows are aligned to SORTED atoms; re-gather into original atom
@@ -233,7 +237,11 @@ def langevin_middle_verlet(sys: MDSystem, vp: VerletPlan, x0, v0, masses3,
     natoms = sys.natoms
     box = jnp.asarray(vp.plan.box, x0.dtype)
 
-    vbuild = jax.vmap(lambda xw: build_lists(vp, sys, xw))
+    # sequential per-walker builds: the candidate gather materializes
+    # (natoms, M, 3) — ~1.8 GB at the 7.7k-atom scale — so a vmapped
+    # build would multiply that by the walker batch
+    vbuild = lambda xws: jax.lax.map(
+        lambda xw: build_lists(vp, sys, xw), xws)
 
     def wrap(x):
         xr = x.reshape(B, natoms, 3)
