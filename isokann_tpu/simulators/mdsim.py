@@ -63,6 +63,11 @@ class MDSimulation(IsoSimulation):
       neighbor engine, "auto" = switch at 4000 atoms
     """
 
+    # class-level defaults: ``from_system`` and pickles from before the
+    # Verlet mode bypass ``__init__``
+    neighbor_mode = "cells"
+    skin = 0.2
+
     def __init__(self, pdb: Optional[str] = None, steps: int = 100,
                  temp: float = 310.0, friction: float = 1.0,
                  step: float = 0.002, integrator: str = "langevin",
