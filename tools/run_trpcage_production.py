@@ -43,7 +43,8 @@ def build_sim(steps):
 def campaign(iso, generations, iters, resamples, cutoff, telemetry,
              label="", budget_s=None, adaptive_lag=False, check_every=25,
              lag_factor=5, max_steps=62500, headroom=0.98,
-             results=None, out=None, checkpoint_every=50, start_gen=0):
+             results=None, out=None, checkpoint_every=50, start_gen=0,
+             already_spent=0.0):
     """Run the adaptive loop; with ``budget_s``, stop early once the
     measured per-generation cost says the budget would be exceeded
     (recorded in the telemetry — the run stays a complete artifact).
@@ -118,7 +119,7 @@ def campaign(iso, generations, iters, resamples, cutoff, telemetry,
             # ~100x the pilot's) cannot blow the stage timeout and
             # lose the artifacts
             s_next = telemetry[-1]["t_gen"]
-            if now - t_start + s_next > budget_s:
+            if now - t_start + already_spent + s_next > budget_s:
                 print(f"[{label}] budget {budget_s:.0f}s reached after "
                       f"{done} generations (next gen ~{s_next:.2f} s)",
                       flush=True)
@@ -292,20 +293,25 @@ def main(generations=1000, iters=300, resamples=3, cutoff=2000,
         if meta.get("lag_escalations"):
             results["lag_escalations"] = meta["lag_escalations"]
         sim = iso.data.sim
+        already_spent = float(meta["telemetry"][-1]["t_total"]) \
+            if meta.get("telemetry") else 0.0
         print(f"resuming campaign from checkpoint: gen {start_gen}, "
-              f"lag {sim.steps} steps", flush=True)
+              f"lag {sim.steps} steps, {already_spent:.0f}s of budget "
+              f"already spent", flush=True)
     else:
         sim = build_sim(steps)
         print(f"{sim.natoms} atoms, production lag {sim.lagtime} ps",
               flush=True)
         iso = itk.Iso(sim=sim, nx=nx, nk=nk, key=0,
                       opt=itk.AdamRegularized())
+        already_spent = 0.0
 
     wall, gens_run = campaign(iso, generations, iters, resamples, cutoff,
                               telemetry, label="prod", budget_s=budget_s,
                               adaptive_lag=adaptive_lag, results=results,
                               out=out, start_gen=start_gen,
-                              checkpoint_every=checkpoint_every)
+                              checkpoint_every=checkpoint_every,
+                              already_spent=already_spent)
     # lag escalations replace the simulation: analysis runs at the lag
     # the campaign ENDED on
     sim = iso.data.sim
@@ -351,10 +357,13 @@ def main(generations=1000, iters=300, resamples=3, cutoff=2000,
         # what certifies the reported exit rates (round-3 verdict:
         # a single resolved rung is not a plateau)
         from isokann_tpu.workflows import rates_resolved
+        rr_lags = ([steps, steps * 5] if steps * 5 <= 62500
+                   else [max(100, steps // 5), steps])
         Qr, row, rrows = rates_resolved(
-            iso, lags=[steps, steps * 5],
+            iso, lags=rr_lags,
             nx=min(rr_nx or 100, len(iso.data)),
-            nk=rr_nk, key=13, return_rows=True)
+            nk=rr_nk, key=13, return_rows=True,
+            max_batch=max(8, 1_000_000 // max(rr_lags)))
         results["rates_resolved_rows"] = [
             {k: v for k, v in r.items() if k != "K"} for r in rrows]
         if Qr is not None:
@@ -377,7 +386,9 @@ def main(generations=1000, iters=300, resamples=3, cutoff=2000,
             # (K(tau)^k == K(k*tau) within the joint bootstrap band)
             from isokann_tpu.workflows import cktest as _cktest
             t0 = time.time()
-            ck_ok, ck_rows = _cktest(iso, steps=steps, factors=(2, 4),
+            ck_factors = tuple(k for k in (2, 4)
+                               if steps * k <= 125000) or (2,)
+            ck_ok, ck_rows = _cktest(iso, steps=steps, factors=ck_factors,
                                      nx=int(cktest_nx), nk=int(cktest_nk),
                                      key=11)
             results["cktest_ok"] = bool(ck_ok)
