@@ -63,7 +63,7 @@ def stratified_sample(cv, n, lo, hi, nbins, rng=None, periodic=True):
 
 
 def ulam_transition_matrix(cv_x, cv_y, lo, hi, nbins, periodic=True,
-                           min_count=1):
+                           min_count=1, symmetrize=False):
     """Row-stochastic Ulam matrix from lagged CV pairs.
 
     ``cv_x``: (n, d) start-point CVs; ``cv_y``: (n, d) or (n, k, d)
@@ -72,6 +72,13 @@ def ulam_transition_matrix(cv_x, cv_y, lo, hi, nbins, periodic=True,
     the estimate is unbiased for the Koopman (transfer) operator whatever
     the start-point sampling distribution — exactly the setting of
     ISOKANN's (xs, ys) data.
+
+    ``symmetrize=True`` applies the detailed-balance count estimator
+    (C + C^T before row normalization) — valid when the pairs come from
+    EQUILIBRIUM trajectories of a reversible dynamics (use
+    ``trajectory_pairs``), where it roughly halves the eigenvector noise;
+    it is NOT valid for adaptively-resampled burst data, whose start
+    distribution is not stationary.
 
     Returns (P (m, m) row-stochastic over occupied cells, cells (m,) flat
     ids, counts (m,) row counts)."""
@@ -86,6 +93,9 @@ def ulam_transition_matrix(cv_x, cv_y, lo, hi, nbins, periodic=True,
     ncell = int(np.prod(shape))
     C = np.zeros((ncell, ncell))
     np.add.at(C, (ix, iy), 1.0)
+    if symmetrize:
+        C = C + C.T
+        min_count = 2 * min_count
     rows = C.sum(axis=1)
     # occupied = cells that appear as a start at least min_count times AND
     # appear at all as an endpoint-or-start (keeps P square + substochastic
@@ -97,6 +107,28 @@ def ulam_transition_matrix(cv_x, cv_y, lo, hi, nbins, periodic=True,
     P = P[np.ix_(keep.nonzero()[0], keep.nonzero()[0])]
     P = P / P.sum(axis=1, keepdims=True)
     return P, occ, rows[occ]
+
+
+def trajectory_pairs(cv, lag_frames, walkers=None):
+    """Sliding-window lagged pairs from an ensemble of trajectories.
+
+    ``cv``: (W, F, d) per-walker frame CVs (or any per-frame values);
+    ``lag_frames``: the lag in saved-frame units; ``walkers``: optional
+    walker index list — repeats are KEPT, so a bootstrap resample of
+    walkers maps directly to a resampled pair set.
+
+    Returns ``(x (n, d), y (n, d))`` with n = len(walkers) *
+    (F - lag_frames)."""
+    cv = np.asarray(cv)
+    if walkers is None:
+        walkers = np.arange(cv.shape[0])
+    lag_frames = int(lag_frames)
+    if not 1 <= lag_frames < cv.shape[1]:
+        raise ValueError(f"lag_frames={lag_frames} outside [1, F) for "
+                         f"F={cv.shape[1]} frames")
+    xs = np.concatenate([cv[w, :-lag_frames] for w in walkers])
+    ys = np.concatenate([cv[w, lag_frames:] for w in walkers])
+    return xs, ys
 
 
 def koopman_eigenfunctions(P, k=2):

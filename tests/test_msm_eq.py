@@ -1,0 +1,75 @@
+"""Equilibrium-trajectory MSM estimators (analysis/msm.py):
+trajectory_pairs extraction and the detailed-balance symmetrized Ulam
+option used by the trp-cage equilibrium golden anchor
+(tools/trpcage_golden_eq.py)."""
+
+import numpy as np
+import pytest
+
+from isokann_tpu.analysis.msm import (koopman_eigenfunctions,
+                                      trajectory_pairs,
+                                      ulam_transition_matrix)
+
+
+def test_trajectory_pairs_basic():
+    cv = np.arange(2 * 5 * 1, dtype=float).reshape(2, 5, 1)
+    x, y = trajectory_pairs(cv, 2)
+    assert x.shape == (6, 1)
+    np.testing.assert_array_equal(x.ravel(), [0, 1, 2, 5, 6, 7])
+    np.testing.assert_array_equal(y.ravel(), [2, 3, 4, 7, 8, 9])
+
+
+def test_trajectory_pairs_repeats_kept():
+    cv = np.arange(3 * 4 * 2, dtype=float).reshape(3, 4, 2)
+    x1, _ = trajectory_pairs(cv, 1, walkers=[2, 2])
+    x2, _ = trajectory_pairs(cv, 1, walkers=[2])
+    assert len(x1) == 2 * len(x2)
+    np.testing.assert_array_equal(x1[:len(x2)], x1[len(x2):])
+
+
+def test_trajectory_pairs_lag_bounds():
+    cv = np.zeros((1, 4, 1))
+    with pytest.raises(ValueError):
+        trajectory_pairs(cv, 4)
+    with pytest.raises(ValueError):
+        trajectory_pairs(cv, 0)
+
+
+def _two_state_chains(p01=0.05, p10=0.10, W=20, F=400, seed=0):
+    """Ensemble of 2-state Markov chains embedded as CV values 0/1."""
+    rng = np.random.default_rng(seed)
+    s = rng.integers(0, 2, W)
+    out = np.empty((W, F, 1))
+    for t in range(F):
+        out[:, t, 0] = s
+        flip = rng.random(W) < np.where(s == 0, p01, p10)
+        s = np.where(flip, 1 - s, s)
+    return out
+
+
+def test_symmetrized_ulam_recovers_two_state_eigenvalue():
+    cv = _two_state_chains()
+    x, y = trajectory_pairs(cv, 1)
+    P, cells, counts = ulam_transition_matrix(
+        x, y, -0.5, 1.5, 2, periodic=False, symmetrize=True)
+    assert P.shape == (2, 2)
+    np.testing.assert_allclose(P.sum(axis=1), 1.0, atol=1e-12)
+    vals, vecs = koopman_eigenfunctions(P, k=2)
+    # lambda_2 = 1 - p01 - p10 = 0.85
+    assert abs(vals[1] - 0.85) < 0.05
+    # detailed balance: pi_i P_ij symmetric by construction
+    pi = counts / counts.sum()
+    np.testing.assert_allclose(pi[:, None] * P, (pi[:, None] * P).T,
+                               atol=1e-12)
+
+
+def test_symmetrized_matches_raw_in_expectation():
+    cv = _two_state_chains(W=40, F=800, seed=3)
+    x, y = trajectory_pairs(cv, 1)
+    P_s, _, _ = ulam_transition_matrix(x, y, -0.5, 1.5, 2,
+                                       periodic=False, symmetrize=True)
+    P_r, _, _ = ulam_transition_matrix(x, y, -0.5, 1.5, 2,
+                                       periodic=False)
+    v_s, _ = koopman_eigenfunctions(P_s, k=2)
+    v_r, _ = koopman_eigenfunctions(P_r, k=2)
+    assert abs(v_s[1] - v_r[1]) < 0.03

@@ -41,42 +41,6 @@ sys.path.insert(0, ROOT)
 from trpcage_golden import ca_pairdists, subspace_R  # noqa: E402
 
 
-def traj_pairs(cv, lag_frames, walker_ids):
-    """Sliding-window (x, y) pairs over the listed walkers (repeats kept,
-    for walker bootstraps): cv (W, F, d) -> two (n_pairs, d) arrays."""
-    import numpy as np
-
-    xs, ys = [], []
-    for w in walker_ids:
-        xs.append(cv[w, :-lag_frames])
-        ys.append(cv[w, lag_frames:])
-    return np.concatenate(xs), np.concatenate(ys)
-
-
-def ulam_symmetrized(cv_x, cv_y, lo, hi, nbins, min_count=2):
-    """Row-stochastic Ulam matrix with detailed-balance symmetrization
-    (C + C^T), valid for equilibrium trajectories of a reversible
-    dynamics — halves the eigenvector noise vs the raw row estimate."""
-    import numpy as np
-
-    from isokann_tpu.analysis.msm import grid_assign
-
-    ix, shape = grid_assign(cv_x, lo, hi, nbins, periodic=False)
-    iy, _ = grid_assign(cv_y, lo, hi, nbins, periodic=False)
-    ncell = int(np.prod(shape))
-    C = np.zeros((ncell, ncell))
-    np.add.at(C, (ix, iy), 1.0)
-    C = C + C.T
-    rows = C.sum(axis=1)
-    occ = np.where(rows >= 2 * min_count)[0]
-    P = C[np.ix_(occ, occ)]
-    keep = P.sum(axis=1) > 0
-    occ = occ[keep]
-    P = P[np.ix_(keep.nonzero()[0], keep.nonzero()[0])]
-    P = P / P.sum(axis=1, keepdims=True)
-    return P, occ, rows[occ]
-
-
 def crossings(series, lo=0.35, hi=0.65):
     """Count full transitions of a scalar trajectory across [lo, hi]."""
     import numpy as np
@@ -213,7 +177,8 @@ def main():
         args.checkpoint_every, args.budget_s, not args.no_resume)
     from isokann_tpu.analysis.msm import (
         koopman_eigenfunctions, eigenfunction_on_samples,
-        implied_timescale, tica)
+        implied_timescale, tica, trajectory_pairs,
+        ulam_transition_matrix)
     from isokann_tpu.md.pdbio import read_pdb
 
     lag_ps = args.lag_ps or float(sim.lagtime)
@@ -237,7 +202,7 @@ def main():
                          ca_idx).reshape(W, nF, -1).astype(np.float64)
 
     ok_idx = np.where(walker_ok)[0]
-    f_x, f_y = traj_pairs(feats, lag_frames, ok_idx)
+    f_x, f_y = trajectory_pairs(feats, lag_frames, ok_idx)
     lam_t, V, mu = tica(f_x, f_y, dim=2, n_pca=args.n_pca)
     cv = ((feats.reshape(W * nF, -1) - mu) @ V).reshape(W, nF, 2)
     cv_ok = cv[walker_ok].reshape(-1, 2)
@@ -246,9 +211,10 @@ def main():
     lo, hi = lo - pad, hi + pad
 
     def build(walker_ids):
-        cx, cy = traj_pairs(cv, lag_frames, walker_ids)
-        P, cells, counts = ulam_symmetrized(cx, cy, lo, hi, args.nbins,
-                                            min_count=args.min_count)
+        cx, cy = trajectory_pairs(cv, lag_frames, walker_ids)
+        P, cells, counts = ulam_transition_matrix(
+            cx, cy, lo, hi, args.nbins, periodic=False,
+            min_count=args.min_count, symmetrize=True)
         vals, vecs = koopman_eigenfunctions(P, k=4)
         return P, cells, vals, vecs
 
