@@ -478,18 +478,46 @@ class MDSimulation(IsoSimulation):
                     skin=self.skin)
             vp = self._vplan
             system = self.system
+            # class-c fault mitigation (docs/v5e_fault_report.md): bound
+            # the per-program device work — the 7.7k-atom 8-walker
+            # 100-step verlet program crashed the v5e worker at runtime
+            # (2026-08-19) while each rebuild-block is harmless.  Chunks
+            # share at most two compiled programs (chunk + remainder)
+            # and carry (x, v) across host dispatches, so the dynamics
+            # is identical to the fused program.
+            import os as _os
+            vcap = int(_os.environ.get(
+                "ISOKANN_VERLET_ATOM_STEPS_PER_PROGRAM", 2_000_000))
+            natoms = int(system.natoms)
+            R = int(vp.rebuild_every)
+            raw = max(1, vcap // max(1, nwalkers * natoms))
+            chunk = max(R, (raw // R) * R) if raw >= R else R
+            cores = {}
 
-            @jax.jit
-            def core(x0, key):
-                kv, ki = jax.random.split(key)
-                v0 = I.maxwell_boltzmann(kv, masses3, T, x0.shape)
-                x, _, diag = langevin_middle_verlet(
-                    system, vp, x0, v0, masses3, T, gamma, dt, nsteps, ki,
-                    constraints=cset)
-                return x, diag["max_disp"], diag["n_over"]
+            def _core(n_sub):
+                if n_sub not in cores:
+                    @jax.jit
+                    def core(x0, v0, key):
+                        x, v, diag = langevin_middle_verlet(
+                            system, vp, x0, v0, masses3, T, gamma, dt,
+                            n_sub, key, constraints=cset)
+                        return x, v, diag["max_disp"], diag["n_over"]
+                    cores[n_sub] = core
+                return cores[n_sub]
 
             def run(x0, key):
-                x, max_disp, n_over = core(x0, key)
+                kv, key = jax.random.split(key)
+                v = I.maxwell_boltzmann(kv, masses3, T, x0.shape)
+                x = x0
+                max_disp, n_over = 0.0, 0
+                left = int(nsteps)
+                while left > 0:
+                    n_sub = min(chunk, left)
+                    key, ki = jax.random.split(key)
+                    x, v, md, no = _core(n_sub)(x, v, ki)
+                    max_disp = max(max_disp, float(md))
+                    n_over = max(n_over, int(no))
+                    left -= n_sub
                 if int(n_over) or float(max_disp) > vp.skin / 2:
                     import warnings
                     warnings.warn(

@@ -1,0 +1,193 @@
+"""Trajectory-trained ISOKANN vs MSM on the trp-cage equilibrium
+ensemble: the method-equivalence golden anchor.
+
+Round-4 measurement chain: the campaign chi (trained on 125 ps
+adaptive bursts, lag capped at 62500 steps) tracks a ~1 ns structural
+process, while the equilibrium ensemble (tools/trpcage_golden_eq.py)
+reveals a slower mode the campaign's own headroom check flagged at
+gen 574 ("eigenvalue 0.99 > headroom but max_steps reached").  Direct
+campaign-chi x equilibrium-MSM correlation therefore compares two
+DIFFERENT processes and is an honest negative — not evidence that
+either estimator is wrong.
+
+This tool closes the loop the way the ala2 anchors do: estimate the
+SAME operator from the SAME data with two independent methods —
+
+  1. ISOKANN: chi trained on sliding-window trajectory pairs
+     (``data_from_trajectories`` with time-reversed augmentation,
+     reference ``src/data.jl:88-100``) at a lag long enough to resolve
+     the ensemble's slow mode;
+  2. grid MSM: detailed-balance-symmetrized Ulam matrix at the same
+     lag on TICA CVs (``analysis/msm``).
+
+If the framework's learner is correct, corr(chi, MSM eigenfunction)
+must be high REGARDLESS of whether 20 ns/walker fully converges the
+physical folding process — both estimators see the same sampled
+operator.  Reports the 1-D correlation, the top-3 subspace multiple
+correlation, and corr(campaign chi, trajectory chi) to quantify the
+process mismatch explanation.
+
+Usage: python -u tools/trpcage_traj_iso.py [artifact] --lag-ps 625
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from trpcage_golden import ca_pairdists, subspace_R  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out", nargs="?",
+                    default=os.path.join(ROOT, "out", "trpcage_tpu"))
+    ap.add_argument("--lag-ps", type=float, default=625.0)
+    ap.add_argument("--burnin-ps", type=float, default=250.0)
+    ap.add_argument("--iters", type=int, default=3000)
+    ap.add_argument("--nbins", type=int, default=12)
+    ap.add_argument("--min-count", type=int, default=2)
+    ap.add_argument("--n-pca", type=int, default=10)
+    ap.add_argument("--max-pairs", type=int, default=20000,
+                    help="stride the pair set down to this size")
+    ap.add_argument("--accept", type=float, default=0.95)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import isokann_tpu as itk
+    from isokann_tpu.analysis.msm import (
+        koopman_eigenfunctions, eigenfunction_on_samples,
+        implied_timescale, tica, trajectory_pairs,
+        ulam_transition_matrix)
+    from isokann_tpu.data import SimulationData, data_from_trajectories
+    from isokann_tpu.md.pdbio import read_pdb
+
+    t0 = time.time()
+    ck = os.path.join(args.out, "golden_eq_frames.npz")
+    with np.load(ck) as z:
+        F = z["frames"]                               # (W, nF, 3N)
+    iso0 = itk.load(os.path.join(args.out, "iso_final.pkl"))
+    sim = iso0.data.sim
+    stride_ps = 12.5                                  # golden_eq default
+    burn = int(round(args.burnin_ps / stride_ps))
+    F = F[:, burn:]
+    walker_ok = np.isfinite(F).all(axis=(1, 2))
+    F = F[walker_ok]
+    W, nF = F.shape[:2]
+    lag = max(1, int(round(args.lag_ps / stride_ps)))
+    lag_ps = lag * stride_ps
+    print(f"ensemble {W} walkers x {nF} frames ({nF * stride_ps / 1e3:.1f} "
+          f"ns each); ISOKANN/MSM lag {lag_ps} ps ({lag} frames)",
+          flush=True)
+
+    # ---- ISOKANN on trajectory pairs (reference data_from_trajectory) ----
+    stride_pairs = max(1, (W * (nF - 2 * lag)) // args.max_pairs)
+    xs, ys = data_from_trajectories(
+        [jnp.asarray(F[w]) for w in range(W)], reverse=True, lag=lag,
+        stride=stride_pairs)
+    print(f"{len(xs)} training pairs (stride {stride_pairs}, reverse "
+          f"augmented k=2)", flush=True)
+    data = SimulationData.from_coords(sim, xs, ys,
+                                      featurizer=iso0.data.featurizer)
+    iso = itk.Iso(data=data, key=5, opt=itk.AdamRegularized())
+    iso.run(args.iters)
+    loss = float(iso.losses[-1])
+    print(f"trained {args.iters} iters, loss {loss:.6f} "
+          f"({time.time() - t0:.0f}s)", flush=True)
+
+    # ---- MSM at the same lag on TICA CVs ---------------------------------
+    pdb = getattr(sim, "pdbfile", None) or os.path.join(ROOT, "out",
+                                                        "trpcage.pdb")
+    p = read_pdb(pdb)
+    ca_idx = np.asarray([i for i, nm in enumerate(p.atom_names)
+                         if nm == "CA"], np.int64)
+    feats = ca_pairdists(F.reshape(W * nF, -1),
+                         ca_idx).reshape(W, nF, -1).astype(np.float64)
+    f_x, f_y = trajectory_pairs(feats, lag)
+    lam_t, V, mu = tica(f_x, f_y, dim=2, n_pca=args.n_pca)
+    cv = ((feats.reshape(W * nF, -1) - mu) @ V).reshape(W, nF, 2)
+    cvf = cv.reshape(-1, 2)
+    lo, hi = cvf.min(axis=0), cvf.max(axis=0)
+    pad = 1e-9 + 0.02 * (hi - lo)
+    lo, hi = lo - pad, hi + pad
+    cx, cy = trajectory_pairs(cv, lag)
+    P, cells, counts = ulam_transition_matrix(
+        cx, cy, lo, hi, args.nbins, periodic=False,
+        min_count=args.min_count, symmetrize=True)
+    vals, vecs = koopman_eigenfunctions(P, k=4)
+    ts = implied_timescale(vals[1], lag_ps)
+    gap = float(vals[2] / vals[1]) if vals[1] > 0 else float("nan")
+
+    # ---- compare on the frames -------------------------------------------
+    chi = np.asarray(iso.chicoords(jnp.asarray(F.reshape(W * nF, -1))),
+                     np.float64).ravel()
+    ref = eigenfunction_on_samples(cvf, cells, vecs[:, 1], lo, hi,
+                                   args.nbins, periodic=False)
+    fin = np.isfinite(ref)
+    corr = float(abs(np.corrcoef(chi[fin], ref[fin])[0, 1]))
+    R3 = subspace_R(chi, cvf, cells, vecs, lo, hi, args.nbins, j=3)
+    chi0 = np.asarray(iso0.chicoords(jnp.asarray(F.reshape(W * nF, -1))),
+                      np.float64).ravel()
+    corr_campaign_msm = float(abs(np.corrcoef(chi0[fin], ref[fin])[0, 1]))
+    corr_campaign_traj = float(abs(np.corrcoef(chi0, chi)[0, 1]))
+    print(f"MSM eigvals {np.round(vals, 4).tolist()} (gap {gap:.3f}), "
+          f"timescale {ts:.0f} ps", flush=True)
+    print(f"corr(traj-chi, MSM)={corr:.4f} R3={R3:.4f} | "
+          f"corr(campaign-chi, MSM)={corr_campaign_msm:.4f} "
+          f"corr(campaign-chi, traj-chi)={corr_campaign_traj:.4f}",
+          flush=True)
+
+    row = dict(
+        system="trp-cage TC5B + OBC2 (trajectory-ISOKANN vs MSM, "
+               "equilibrium ensemble)",
+        artifact=os.path.relpath(args.out, ROOT),
+        method="ISOKANN on data_from_trajectories (reverse-augmented) "
+               "vs symmetrized Ulam MSM, SAME frames, SAME lag",
+        walkers=int(W), frames_per_walker=int(nF),
+        total_ns=float(W * nF * stride_ps / 1e3),
+        lag_ps=float(lag_ps), n_pairs=int(len(xs)),
+        train_iters=int(args.iters), train_loss=loss,
+        tica_autocorr=np.asarray(lam_t).tolist(),
+        msm_eigvals=np.asarray(vals).tolist(),
+        msm_gap_l3_over_l2=gap, msm_implied_timescale_ps=float(ts),
+        chi_corr=corr, chi_subspace_R3=R3,
+        corr_campaign_chi_msm=corr_campaign_msm,
+        corr_campaign_chi_traj_chi=corr_campaign_traj,
+        accept_threshold=args.accept, accepted=bool(corr >= args.accept),
+        wall_s=time.time() - t0)
+
+    iso.save(os.path.join(args.out, "iso_traj.pkl"))
+    gpath = os.path.join(ROOT, "out", "golden_md.json")
+    gdoc = json.load(open(gpath)) if os.path.exists(gpath) else []
+    gdoc = [r for r in gdoc
+            if not (isinstance(r, dict) and "trajectory-ISOKANN"
+                    in r.get("system", ""))]
+    gdoc.append(row)
+    json.dump(gdoc, open(gpath, "w"), indent=1)
+    rpath = os.path.join(args.out, "results.json")
+    if os.path.exists(rpath):
+        doc = json.load(open(rpath))
+        doc.setdefault("results", {}).update(
+            traj_iso_chi_corr=corr, traj_iso_R3=R3,
+            traj_iso_lag_ps=float(lag_ps),
+            traj_iso_corr_campaign_msm=corr_campaign_msm,
+            traj_iso_corr_campaign=corr_campaign_traj,
+            traj_iso_accepted=row["accepted"])
+        json.dump(doc, open(rpath, "w"), indent=1)
+    json.dump(row, open(os.path.join(args.out, "traj_iso.json"), "w"),
+              indent=1)
+    print(json.dumps(row, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()
