@@ -912,8 +912,15 @@ def _nb_kernel_body(plan, rc, krf, icols_ref, jrows_ref, ifar_ref,
          -live * jnp.sum(w * dz, axis=0, keepdims=True), z5r], axis=0)
 
 
-_SCAN_CHUNK = 8     # v5e in-scan batch fault workaround (see kernel notes;
-                    # retested round 2: 8 walkers OK, 16 still faults)
+# v5e in-scan batch fault workaround (see kernel notes and
+# docs/v5e_fault_report.md).  History: B=16 faulted in rounds 1-2; the
+# 2026-08-19 runtime passes the FULL 7.7k-atom retest at B=16 inside a
+# scan (out/v5e_faults.json, small:false), so the default chunk is now
+# 16.  Set ISOKANN_SCAN_CHUNK=8 to restore the conservative guard if a
+# runtime regression reappears.
+import os as _os
+
+_SCAN_CHUNK = int(_os.environ.get("ISOKANN_SCAN_CHUNK", "16"))
 
 
 def neighbor_sweep_pallas(sys: MDSystem, plan: NeighborPlan, xb,
