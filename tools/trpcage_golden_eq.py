@@ -222,9 +222,15 @@ def main():
     ts = implied_timescale(vals[1], lag_ps)
     gap = float(vals[2] / vals[1]) if vals[1] > 0 else float("nan")
 
-    # chi on the equilibrium frames (the unbiased comparison set)
-    chi = np.asarray(iso.chicoords(F.reshape(W * nF, -1)),
-                     np.float64).reshape(W, nF, -1)[..., 0]
+    # chi on the equilibrium frames (the unbiased comparison set),
+    # host-chunked: one device call per 8192 frames bounds the
+    # featurizer gather memory at the 50k-frame ensemble scale
+    import jax.numpy as jnp
+    flat = F.reshape(W * nF, -1)
+    chi = np.concatenate(
+        [np.asarray(iso.chicoords(jnp.asarray(flat[i:i + 8192])))
+         for i in range(0, len(flat), 8192)]).reshape(W, nF, -1)[..., 0]
+    chi = chi.astype(np.float64)
     chi_flat = chi[walker_ok].ravel()
     ref = eigenfunction_on_samples(cv[walker_ok].reshape(-1, 2), cells,
                                    vecs[:, 1], lo, hi, args.nbins,

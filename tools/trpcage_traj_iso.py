@@ -128,16 +128,21 @@ def main():
     ts = implied_timescale(vals[1], lag_ps)
     gap = float(vals[2] / vals[1]) if vals[1] > 0 else float("nan")
 
-    # ---- compare on the frames -------------------------------------------
-    chi = np.asarray(iso.chicoords(jnp.asarray(F.reshape(W * nF, -1))),
-                     np.float64).ravel()
+    # ---- compare on the frames (host-chunked device calls) ---------------
+    flat = F.reshape(W * nF, -1)
+
+    def chi_chunked(model_iso):
+        return np.concatenate(
+            [np.asarray(model_iso.chicoords(jnp.asarray(flat[i:i + 8192])))
+             for i in range(0, len(flat), 8192)]).astype(np.float64).ravel()
+
+    chi = chi_chunked(iso)
     ref = eigenfunction_on_samples(cvf, cells, vecs[:, 1], lo, hi,
                                    args.nbins, periodic=False)
     fin = np.isfinite(ref)
     corr = float(abs(np.corrcoef(chi[fin], ref[fin])[0, 1]))
     R3 = subspace_R(chi, cvf, cells, vecs, lo, hi, args.nbins, j=3)
-    chi0 = np.asarray(iso0.chicoords(jnp.asarray(F.reshape(W * nF, -1))),
-                      np.float64).ravel()
+    chi0 = chi_chunked(iso0)
     corr_campaign_msm = float(abs(np.corrcoef(chi0[fin], ref[fin])[0, 1]))
     corr_campaign_traj = float(abs(np.corrcoef(chi0, chi)[0, 1]))
     print(f"MSM eigvals {np.round(vals, 4).tolist()} (gap {gap:.3f}), "
@@ -167,6 +172,49 @@ def main():
         wall_s=time.time() - t0)
 
     iso.save(os.path.join(args.out, "iso_traj.pkl"))
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        figp = os.path.join(args.out, "traj_iso.png")
+        fig, axes = plt.subplots(1, 3, figsize=(13, 4))
+        axes[0].scatter(ref[fin], chi[fin], s=2, alpha=0.2)
+        axes[0].set_xlabel("MSM eigenfunction $\\psi_2$")
+        axes[0].set_ylabel("trajectory-trained $\\chi$")
+        axes[0].set_title(f"method equivalence: |corr| = {corr:.3f}")
+        axes[1].scatter(ref[fin], chi0[fin], s=2, alpha=0.2, color="C1")
+        axes[1].set_xlabel("MSM eigenfunction $\\psi_2$")
+        axes[1].set_ylabel("campaign $\\chi$ (125 ps lag)")
+        axes[1].set_title(f"|corr| = {corr_campaign_msm:.3f}")
+        tgrid = np.arange(nF) * stride_ps / 1000.0
+        chi_w = chi.reshape(W, nF)
+        for w in range(0, W, max(1, W // 6)):
+            axes[2].plot(tgrid, chi_w[w], lw=0.7)
+        axes[2].set_xlabel("t [ns]")
+        axes[2].set_ylabel("$\\chi$(traj)")
+        axes[2].set_title(f"lag {lag_ps:.0f} ps, "
+                          f"{W * nF * stride_ps / 1e3:.0f} ns total")
+        fig.tight_layout()
+        fig.savefig(figp, dpi=110)
+        print(f"wrote {figp}", flush=True)
+    except Exception as e:
+        print(f"plot skipped: {e}", flush=True)
+    # compact committed regression bundle: every 10th frame's CV,
+    # MSM-eigenfunction value and both chi values, plus the recorded
+    # correlations — tests/test_trpcage_golden.py re-derives corr from
+    # the stored samples and pins it against the recorded value
+    os.makedirs(os.path.join(ROOT, "data", "golden"), exist_ok=True)
+    sl = slice(None, None, 10)
+    np.savez(os.path.join(ROOT, "data", "golden", "trpcage_traj_iso.npz"),
+             cv=cvf[sl].astype(np.float32),
+             ref=ref[sl].astype(np.float32),
+             chi_traj=chi[sl].astype(np.float32),
+             chi_campaign=chi0[sl].astype(np.float32),
+             msm_eigvals=np.asarray(vals),
+             cells=cells, vec=vecs[:, 1], lo=lo, hi=hi, nbins=args.nbins,
+             lag_ps=lag_ps, chi_corr=corr, chi_subspace_R3=R3,
+             corr_campaign_msm=corr_campaign_msm)
     gpath = os.path.join(ROOT, "out", "golden_md.json")
     gdoc = json.load(open(gpath)) if os.path.exists(gpath) else []
     gdoc = [r for r in gdoc
