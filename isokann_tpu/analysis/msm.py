@@ -131,6 +131,58 @@ def trajectory_pairs(cv, lag_frames, walkers=None):
     return xs, ys
 
 
+def disconnected_trajectories(chi_w, z_thresh=5.0, collapse_ratio=10.0):
+    """Flag kinetically disconnected trajectories from a trained chi.
+
+    The trajectory analogue of MSM ergodic trimming (restriction to the
+    largest connected set).  When ISOKANN trains on trajectory pairs
+    (``data_from_trajectories``) and the ensemble contains a trajectory
+    that never exchanges conformations with the rest, the slowest
+    empirical mode of the sampled operator is that trajectory's
+    isolation: chi collapses to its indicator — near-constant within
+    every trajectory, with the isolated one pinned at the opposite end
+    of [0, 1].  A CV-grid MSM on the same data typically does NOT see
+    the disconnect because the outlier overlaps other trajectories in
+    the projected CV space, so the two estimators silently diverge.
+
+    ``chi_w``: (W, F) chi evaluated on each trajectory's frames
+    (non-finite frames ignored).  Returns ``(flagged, info)`` where
+    ``flagged`` is an int array of trajectory indices (empty when chi
+    has not collapsed onto trajectory labels) and ``info`` carries the
+    variance decomposition: ``between`` / ``within`` trajectory chi
+    variance, their ``ratio``, and the robust ``z`` score of every
+    trajectory mean.
+
+    Detection: chi counts as trajectory-collapsed when the
+    between-trajectory variance of the per-trajectory means exceeds
+    ``collapse_ratio`` x the mean within-trajectory variance; flagged
+    trajectories are those whose mean lies ``z_thresh`` robust
+    (MAD-based) standard deviations from the median.  At most W // 4
+    trajectories are flagged — a genuinely 2-state ensemble with
+    metastable trajectories splits into two large groups and is NOT
+    reported as disconnected."""
+    chi_w = np.asarray(chi_w, np.float64)
+    if chi_w.ndim != 2:
+        raise ValueError(f"chi_w must be (W, F), got {chi_w.shape}")
+    W = chi_w.shape[0]
+    with np.errstate(invalid="ignore"):
+        means = np.nanmean(chi_w, axis=1)
+        within = float(np.nanmean(np.nanvar(chi_w, axis=1)))
+    between = float(np.var(means))
+    ratio = between / max(within, 1e-12)
+    med = np.median(means)
+    mad = np.median(np.abs(means - med))
+    z = np.abs(means - med) / (1.4826 * mad + 1e-9)
+    info = dict(between=between, within=within, ratio=ratio, z=z,
+                means=means)
+    if ratio < collapse_ratio:
+        return np.asarray([], np.int64), info
+    flagged = np.flatnonzero(z > z_thresh)
+    if len(flagged) == 0 or len(flagged) > max(1, W // 4):
+        return np.asarray([], np.int64), info
+    return flagged.astype(np.int64), info
+
+
 def koopman_eigenfunctions(P, k=2):
     """Leading right eigenvectors of a row-stochastic matrix, sorted by
     |eigenvalue| descending (f64 host eig; real parts, sign-fixed so the

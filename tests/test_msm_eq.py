@@ -73,3 +73,39 @@ def test_symmetrized_matches_raw_in_expectation():
     v_s, _ = koopman_eigenfunctions(P_s, k=2)
     v_r, _ = koopman_eigenfunctions(P_r, k=2)
     assert abs(v_s[1] - v_r[1]) < 0.03
+
+
+def test_disconnected_trajectories_flags_isolated_walker():
+    from isokann_tpu.analysis.msm import disconnected_trajectories
+
+    rng = np.random.default_rng(0)
+    # 15 connected walkers: chi hovers near 0.1 with real fluctuations
+    chi = 0.1 + 0.02 * rng.standard_normal((16, 200))
+    # 1 isolated walker: chi pinned at the opposite end (indicator mode)
+    chi[7] = 0.9 + 0.002 * rng.standard_normal(200)
+    flagged, info = disconnected_trajectories(chi)
+    assert flagged.tolist() == [7]
+    assert info["ratio"] > 10
+
+
+def test_disconnected_trajectories_keeps_two_state_split():
+    from isokann_tpu.analysis.msm import disconnected_trajectories
+
+    rng = np.random.default_rng(1)
+    # genuinely metastable 2-state ensemble: half the walkers in each
+    # basin, chi near 0/1 — NOT a disconnect (two large groups)
+    chi = np.where(np.arange(16)[:, None] < 8, 0.05, 0.95) \
+        + 0.01 * rng.standard_normal((16, 200))
+    flagged, _ = disconnected_trajectories(chi)
+    assert flagged.size == 0
+
+
+def test_disconnected_trajectories_quiet_without_collapse():
+    from isokann_tpu.analysis.msm import disconnected_trajectories
+
+    rng = np.random.default_rng(2)
+    # healthy chi: within-walker variance dominates
+    chi = rng.uniform(0, 1, (12, 300))
+    flagged, info = disconnected_trajectories(chi)
+    assert flagged.size == 0
+    assert info["ratio"] < 10

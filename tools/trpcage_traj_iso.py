@@ -66,9 +66,9 @@ def main():
     import jax.numpy as jnp
     import isokann_tpu as itk
     from isokann_tpu.analysis.msm import (
-        koopman_eigenfunctions, eigenfunction_on_samples,
-        implied_timescale, tica, trajectory_pairs,
-        ulam_transition_matrix)
+        disconnected_trajectories, koopman_eigenfunctions,
+        eigenfunction_on_samples, implied_timescale, tica,
+        trajectory_pairs, ulam_transition_matrix)
     from isokann_tpu.data import SimulationData, data_from_trajectories
     from isokann_tpu.md.pdbio import read_pdb
 
@@ -90,67 +90,93 @@ def main():
           f"ns each); ISOKANN/MSM lag {lag_ps} ps ({lag} frames)",
           flush=True)
 
-    # ---- ISOKANN on trajectory pairs (reference data_from_trajectory) ----
-    stride_pairs = max(1, (W * (nF - 2 * lag)) // args.max_pairs)
-    xs, ys = data_from_trajectories(
-        [jnp.asarray(F[w]) for w in range(W)], reverse=True, lag=lag,
-        stride=stride_pairs)
-    print(f"{len(xs)} training pairs (stride {stride_pairs}, reverse "
-          f"augmented k=2)", flush=True)
-    data = SimulationData.from_coords(sim, xs, ys,
-                                      featurizer=iso0.data.featurizer)
-    iso = itk.Iso(data=data, key=5, opt=itk.AdamRegularized())
-    iso.run(args.iters)
-    loss = float(iso.losses[-1])
-    print(f"trained {args.iters} iters, loss {loss:.6f} "
-          f"({time.time() - t0:.0f}s)", flush=True)
-
-    # ---- MSM at the same lag on TICA CVs ---------------------------------
     pdb = getattr(sim, "pdbfile", None) or os.path.join(ROOT, "out",
                                                         "trpcage.pdb")
     p = read_pdb(pdb)
     ca_idx = np.asarray([i for i, nm in enumerate(p.atom_names)
                          if nm == "CA"], np.int64)
-    feats = ca_pairdists(F.reshape(W * nF, -1),
-                         ca_idx).reshape(W, nF, -1).astype(np.float64)
-    f_x, f_y = trajectory_pairs(feats, lag)
-    lam_t, V, mu = tica(f_x, f_y, dim=2, n_pca=args.n_pca)
-    cv = ((feats.reshape(W * nF, -1) - mu) @ V).reshape(W, nF, 2)
-    cvf = cv.reshape(-1, 2)
-    lo, hi = cvf.min(axis=0), cvf.max(axis=0)
-    pad = 1e-9 + 0.02 * (hi - lo)
-    lo, hi = lo - pad, hi + pad
-    cx, cy = trajectory_pairs(cv, lag)
-    P, cells, counts = ulam_transition_matrix(
-        cx, cy, lo, hi, args.nbins, periodic=False,
-        min_count=args.min_count, symmetrize=True)
-    vals, vecs = koopman_eigenfunctions(P, k=4)
-    ts = implied_timescale(vals[1], lag_ps)
-    gap = float(vals[2] / vals[1]) if vals[1] > 0 else float("nan")
 
-    # ---- compare on the frames (host-chunked device calls) ---------------
-    flat = F.reshape(W * nF, -1)
+    # Up to two rounds: train + compare, then — if chi collapsed onto a
+    # kinetically disconnected trajectory (the trajectory analogue of
+    # MSM ergodic trimming, analysis.msm.disconnected_trajectories) —
+    # exclude the flagged walkers from BOTH estimators and retrain.
+    excluded = []
+    round1 = None
+    for round_i in range(2):
+        # ---- ISOKANN on trajectory pairs (ref data_from_trajectory) ------
+        stride_pairs = max(1, (W * (nF - 2 * lag)) // args.max_pairs)
+        xs, ys = data_from_trajectories(
+            [jnp.asarray(F[w]) for w in range(W)], reverse=True, lag=lag,
+            stride=stride_pairs)
+        print(f"{len(xs)} training pairs (stride {stride_pairs}, reverse "
+              f"augmented k=2)", flush=True)
+        data = SimulationData.from_coords(sim, xs, ys,
+                                          featurizer=iso0.data.featurizer)
+        iso = itk.Iso(data=data, key=5, opt=itk.AdamRegularized())
+        iso.run(args.iters)
+        loss = float(iso.losses[-1])
+        print(f"trained {args.iters} iters, loss {loss:.6f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
 
-    def chi_chunked(model_iso):
-        return np.concatenate(
-            [np.asarray(model_iso.chicoords(jnp.asarray(flat[i:i + 8192])))
-             for i in range(0, len(flat), 8192)]).astype(np.float64).ravel()
+        # ---- MSM at the same lag on TICA CVs ------------------------------
+        feats = ca_pairdists(F.reshape(W * nF, -1),
+                             ca_idx).reshape(W, nF, -1).astype(np.float64)
+        f_x, f_y = trajectory_pairs(feats, lag)
+        lam_t, V, mu = tica(f_x, f_y, dim=2, n_pca=args.n_pca)
+        cv = ((feats.reshape(W * nF, -1) - mu) @ V).reshape(W, nF, 2)
+        cvf = cv.reshape(-1, 2)
+        lo, hi = cvf.min(axis=0), cvf.max(axis=0)
+        pad = 1e-9 + 0.02 * (hi - lo)
+        lo, hi = lo - pad, hi + pad
+        cx, cy = trajectory_pairs(cv, lag)
+        P, cells, counts = ulam_transition_matrix(
+            cx, cy, lo, hi, args.nbins, periodic=False,
+            min_count=args.min_count, symmetrize=True)
+        vals, vecs = koopman_eigenfunctions(P, k=4)
+        ts = implied_timescale(vals[1], lag_ps)
+        gap = float(vals[2] / vals[1]) if vals[1] > 0 else float("nan")
 
-    chi = chi_chunked(iso)
-    ref = eigenfunction_on_samples(cvf, cells, vecs[:, 1], lo, hi,
-                                   args.nbins, periodic=False)
-    fin = np.isfinite(ref)
-    corr = float(abs(np.corrcoef(chi[fin], ref[fin])[0, 1]))
-    R3 = subspace_R(chi, cvf, cells, vecs, lo, hi, args.nbins, j=3)
-    chi0 = chi_chunked(iso0)
-    corr_campaign_msm = float(abs(np.corrcoef(chi0[fin], ref[fin])[0, 1]))
-    corr_campaign_traj = float(abs(np.corrcoef(chi0, chi)[0, 1]))
-    print(f"MSM eigvals {np.round(vals, 4).tolist()} (gap {gap:.3f}), "
-          f"timescale {ts:.0f} ps", flush=True)
-    print(f"corr(traj-chi, MSM)={corr:.4f} R3={R3:.4f} | "
-          f"corr(campaign-chi, MSM)={corr_campaign_msm:.4f} "
-          f"corr(campaign-chi, traj-chi)={corr_campaign_traj:.4f}",
-          flush=True)
+        # ---- compare on the frames (host-chunked device calls) ------------
+        flat = F.reshape(W * nF, -1)
+
+        def chi_chunked(model_iso):
+            return np.concatenate(
+                [np.asarray(model_iso.chicoords(jnp.asarray(flat[i:i + 8192])))
+                 for i in range(0, len(flat), 8192)]).astype(np.float64).ravel()
+
+        chi = chi_chunked(iso)
+        ref = eigenfunction_on_samples(cvf, cells, vecs[:, 1], lo, hi,
+                                       args.nbins, periodic=False)
+        fin = np.isfinite(ref)
+        corr = float(abs(np.corrcoef(chi[fin], ref[fin])[0, 1]))
+        R3 = subspace_R(chi, cvf, cells, vecs, lo, hi, args.nbins, j=3)
+        chi0 = chi_chunked(iso0)
+        corr_campaign_msm = float(abs(np.corrcoef(chi0[fin], ref[fin])[0, 1]))
+        corr_campaign_traj = float(abs(np.corrcoef(chi0, chi)[0, 1]))
+        print(f"MSM eigvals {np.round(vals, 4).tolist()} (gap {gap:.3f}), "
+              f"timescale {ts:.0f} ps", flush=True)
+        print(f"corr(traj-chi, MSM)={corr:.4f} R3={R3:.4f} | "
+              f"corr(campaign-chi, MSM)={corr_campaign_msm:.4f} "
+              f"corr(campaign-chi, traj-chi)={corr_campaign_traj:.4f}",
+              flush=True)
+
+        if round_i == 0:
+            flagged, dinfo = disconnected_trajectories(chi.reshape(W, nF))
+            if len(flagged):
+                print(f"chi collapsed onto disconnected walker(s) "
+                      f"{flagged.tolist()} (between/within variance ratio "
+                      f"{dinfo['ratio']:.0f}) — excluding and retraining "
+                      f"both estimators on the connected set", flush=True)
+                round1 = dict(chi_corr=corr, chi_subspace_R3=R3,
+                              msm_eigvals=np.asarray(vals).tolist(),
+                              variance_ratio=float(dinfo["ratio"]),
+                              flagged_walkers=flagged.tolist())
+                excluded = flagged.tolist()
+                keep = np.setdiff1d(np.arange(W), flagged)
+                F = F[keep]
+                W = len(keep)
+                continue
+        break
 
     row = dict(
         system="trp-cage TC5B + OBC2 (trajectory-ISOKANN vs MSM, "
@@ -168,6 +194,8 @@ def main():
         chi_corr=corr, chi_subspace_R3=R3,
         corr_campaign_chi_msm=corr_campaign_msm,
         corr_campaign_chi_traj_chi=corr_campaign_traj,
+        excluded_walkers=excluded,
+        round1_before_exclusion=round1,
         accept_threshold=args.accept, accepted=bool(corr >= args.accept),
         wall_s=time.time() - t0)
 
