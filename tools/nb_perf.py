@@ -91,10 +91,17 @@ def measure_sweep(sim, nwalk, label="", use_pallas=True, reps=20):
 
 
 def measure_verlet(nwalk=4, steps=100, small=False, skin=0.2,
-                   rebuild_every=None):
+                   rebuild_every=None, verlet_only=False):
     """Propagation rate through the Verlet-list mode (md/verlet.py) on
     the same fixture, vs the default cell/Pallas mode — the measurement
-    deciding whether verlet becomes the sparse-system default."""
+    deciding whether verlet becomes the sparse-system default.
+
+    ``verlet_only`` skips the in-process cells baseline: on the v5e the
+    full-scale cells measurement followed by the verlet one in the SAME
+    process trips the class-c fault (docs/v5e_fault_report.md), so the
+    two modes are measured from separate fresh processes and the
+    speedup computed against a cells number passed via
+    ISOKANN_CELLS_RATE (walker-steps/s) when available."""
     import json
 
     import isokann_tpu as itk
@@ -102,8 +109,10 @@ def measure_verlet(nwalk=4, steps=100, small=False, skin=0.2,
     out = os.path.join(ROOT, "out", "nb_perf")
     pdb = f"{out}/peptide_small.pdb" if small else f"{out}/peptide.pdb"
     res = {}
-    for mode, kw in (("cells", {}),
-                     ("verlet", dict(neighbor_mode="verlet", skin=skin))):
+    modes = (("verlet", dict(neighbor_mode="verlet", skin=skin)),) \
+        if verlet_only else \
+        (("cells", {}), ("verlet", dict(neighbor_mode="verlet", skin=skin)))
+    for mode, kw in modes:
         sim = itk.MDSimulation(pdb=pdb, addwater=True,
                                padding=0.7 if small else 1.0,
                                steps=steps, dense_pairs=False, **kw)
@@ -119,11 +128,18 @@ def measure_verlet(nwalk=4, steps=100, small=False, skin=0.2,
             vp = sim._vplan
             res[mode].update(K=int(vp.K), rebuild_every=int(vp.rebuild_every),
                              rv=float(vp.rv))
-    res["speedup"] = (res["verlet"]["walker_steps_per_s"]
-                      / res["cells"]["walker_steps_per_s"])
-    print(f"[verlet] speedup vs cells: {res['speedup']:.2f}x")
-    json.dump(res, open(f"{out}/verlet_perf.json", "w"), indent=1)
-    print(f"wrote {out}/verlet_perf.json")
+    if verlet_only:
+        cells_rate = float(os.environ.get("ISOKANN_CELLS_RATE", "0") or 0)
+        if cells_rate > 0:
+            res["cells"] = dict(walker_steps_per_s=cells_rate,
+                                source="ISOKANN_CELLS_RATE (separate process)")
+    if "cells" in res:
+        res["speedup"] = (res["verlet"]["walker_steps_per_s"]
+                          / res["cells"]["walker_steps_per_s"])
+        print(f"[verlet] speedup vs cells: {res['speedup']:.2f}x")
+    suffix = "_only" if verlet_only else ""
+    json.dump(res, open(f"{out}/verlet_perf{suffix}.json", "w"), indent=1)
+    print(f"wrote {out}/verlet_perf{suffix}.json")
 
 
 def fault_tests(sim):
@@ -196,6 +212,10 @@ def main():
     ap.add_argument("--prep-only", action="store_true")
     ap.add_argument("--verlet", action="store_true",
                     help="measure the Verlet-list mode vs the cell mode")
+    ap.add_argument("--verlet-only", action="store_true",
+                    help="measure ONLY the Verlet mode (fresh-process "
+                         "mitigation for the v5e class-c fault; pass the "
+                         "cells rate via ISOKANN_CELLS_RATE for a speedup)")
     ap.add_argument("--walkers", type=int, default=4)
     ap.add_argument("--skin", type=float, default=0.2)
     ap.add_argument("--rebuild-every", type=int, default=None)
@@ -209,10 +229,11 @@ def main():
     if args.prep_only or args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
-    if args.verlet:
+    if args.verlet or args.verlet_only:
         build(small=args.quick)      # ensure the fixture exists
         measure_verlet(nwalk=args.walkers, small=args.quick,
-                       skin=args.skin, rebuild_every=args.rebuild_every)
+                       skin=args.skin, rebuild_every=args.rebuild_every,
+                       verlet_only=args.verlet_only)
         return
     sim = build(small=args.quick)
     if args.prep_only:
