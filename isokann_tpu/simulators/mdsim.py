@@ -481,16 +481,25 @@ class MDSimulation(IsoSimulation):
             # class-c fault mitigation (docs/v5e_fault_report.md): bound
             # the per-program device work — the 7.7k-atom 8-walker
             # 100-step verlet program crashed the v5e worker at runtime
-            # (2026-08-19) while each rebuild-block is harmless.  Chunks
-            # share at most two compiled programs (chunk + remainder)
-            # and carry (x, v) across host dispatches, so the dynamics
-            # is identical to the fused program.
+            # (2026-08-19) while each rebuild-block is harmless.  Step
+            # chunking alone is NOT enough: the verlet footprint scales
+            # with walkers*atoms*K per STEP (lists + per-pair force
+            # buffers live simultaneously), and the full-scale run
+            # crashed even at 32-step programs (verletperf2-5 logs).  So
+            # the walker axis is chunked too: each program sees at most
+            # ``ISOKANN_VERLET_WALKER_ATOMS_PER_PROGRAM`` walker-atoms,
+            # the last chunk padded to the chunk width so only two step
+            # programs exist.  (x, v) carry across host dispatches, so
+            # the dynamics is identical to the fused program.
             import os as _os
             vcap = int(_os.environ.get(
                 "ISOKANN_VERLET_ATOM_STEPS_PER_PROGRAM", 2_000_000))
+            wcap = int(_os.environ.get(
+                "ISOKANN_VERLET_WALKER_ATOMS_PER_PROGRAM", 16_384))
             natoms = int(system.natoms)
+            W = max(1, min(nwalkers, wcap // max(1, natoms)))
             R = int(vp.rebuild_every)
-            raw = max(1, vcap // max(1, nwalkers * natoms))
+            raw = max(1, vcap // max(1, W * natoms))
             chunk = max(R, (raw // R) * R) if raw >= R else R
             cores = {}
 
@@ -506,18 +515,27 @@ class MDSimulation(IsoSimulation):
                 return cores[n_sub]
 
             def run(x0, key):
-                kv, key = jax.random.split(key)
-                v = I.maxwell_boltzmann(kv, masses3, T, x0.shape)
-                x = x0
                 max_disp, n_over = 0.0, 0
-                left = int(nsteps)
-                while left > 0:
-                    n_sub = min(chunk, left)
-                    key, ki = jax.random.split(key)
-                    x, v, md, no = _core(n_sub)(x, v, ki)
-                    max_disp = max(max_disp, float(md))
-                    n_over = max(n_over, int(no))
-                    left -= n_sub
+                outs = []
+                for s0 in range(0, nwalkers, W):
+                    sub = x0[s0:s0 + W]
+                    npad = W - sub.shape[0]
+                    if npad:
+                        sub = jnp.concatenate(
+                            [sub, jnp.tile(sub[-1:], (npad, 1))], axis=0)
+                    key, kv = jax.random.split(key)
+                    v = I.maxwell_boltzmann(kv, masses3, T, sub.shape)
+                    x = sub
+                    left = int(nsteps)
+                    while left > 0:
+                        n_sub = min(chunk, left)
+                        key, ki = jax.random.split(key)
+                        x, v, md, no = _core(n_sub)(x, v, ki)
+                        max_disp = max(max_disp, float(md))
+                        n_over = max(n_over, int(no))
+                        left -= n_sub
+                    outs.append(x[:W - npad] if npad else x)
+                x = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
                 if int(n_over) or float(max_disp) > vp.skin / 2:
                     import warnings
                     warnings.warn(

@@ -126,3 +126,24 @@ def test_mdsimulation_verlet_mode(solvated):
 def test_verlet_mode_rejects_unknown():
     with pytest.raises(ValueError):
         itk.MDSimulation(neighbor_mode="wat")
+
+
+def test_verlet_walker_chunking(monkeypatch, solvated):
+    # class-c mitigation: ISOKANN_VERLET_WALKER_ATOMS_PER_PROGRAM splits
+    # the walker axis into per-program sub-batches (the last one padded);
+    # a cap of one walker-atom forces W=1 and must still return all
+    # walkers, finite and exactly batch-shaped (3 walkers, W=1 -> 3
+    # chunks, no pad; then a cap forcing W=2 -> 2 chunks with 1 pad row)
+    for cap in ("1", str(2 * solvated.system.natoms)):
+        monkeypatch.setenv("ISOKANN_VERLET_WALKER_ATOMS_PER_PROGRAM", cap)
+        sim = itk.MDSimulation(addwater=True, padding=0.9, steps=5,
+                               dense_pairs=False, neighbor_mode="verlet",
+                               skin=0.1)
+        x0 = np.tile(np.asarray(sim.coords)[None, :], (3, 1))
+        ys = sim.propagate(x0, 1, key=jax.random.PRNGKey(0))
+        assert ys.shape == (3, 1, sim.dim)
+        assert np.isfinite(np.asarray(ys)).all()
+        # walkers actually moved and are not copies of the pad source
+        yf = np.asarray(ys)[:, 0]
+        assert np.abs(yf - x0).mean() > 0
+        assert np.abs(yf[2] - yf[1]).max() > 0
