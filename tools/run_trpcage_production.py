@@ -29,14 +29,23 @@ sys.path.insert(0, ROOT)
 
 TC5B = "NLYIQWLKDGGPSSGRPPPS"
 
+# Overridable system config (--sequence/--name): the pipeline (pilot ->
+# lag sweep -> budgeted adaptive campaign -> resolved rates/CK test) is
+# sequence-agnostic; trp-cage is just the default.  Round-5 use case:
+# mid-scale golden-anchor systems (deca-alanine helix-coil) where
+# equilibrium transitions are abundant at reachable sampling.
+SEQUENCE = TC5B
+PDB_NAME = "trpcage"
+
 
 def build_sim(steps):
     import isokann_tpu as itk
     from isokann_tpu.md.fixtures import peptide_pdb
 
-    pdb = os.path.join(ROOT, "out", "trpcage.pdb")
+    pdb = os.path.join(ROOT, "out", f"{PDB_NAME}.pdb")
     if not os.path.exists(pdb):
-        peptide_pdb(TC5B, pdb, minimize=True, implicit="obc2", maxiter=1500)
+        peptide_pdb(SEQUENCE, pdb, minimize=True, implicit="obc2",
+                    maxiter=1500)
     return itk.MDSimulation(pdb=pdb, steps=steps, implicit="obc2")
 
 
@@ -223,6 +232,7 @@ def main(generations=1000, iters=300, resamples=3, cutoff=2000,
                 "--pilot-generations", str(pilot_generations),
                 "--nx", str(nx), "--nk", str(nk),
                 "--sweep-nx", str(sweep_nx), "--sweep-nk", str(sweep_nk),
+                "--sequence", SEQUENCE, "--name", PDB_NAME,
                 "--ladder", ",".join(str(s) for s in ladder)]
         if cpu:
             base.append("--cpu")
@@ -468,6 +478,13 @@ if __name__ == "__main__":
                          "exceeded")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke testing)")
+    ap.add_argument("--sequence", type=str, default=TC5B,
+                    help="one-letter peptide sequence (default: trp-cage "
+                         "TC5B); the system is built + minimized in OBC2")
+    ap.add_argument("--name", type=str, default="trpcage",
+                    help="system name: the structure is cached at "
+                         "out/<name>.pdb and the default artifact dir is "
+                         "out/<name>_production")
     ap.add_argument("--checkpoint-every", type=int, default=50,
                     help="campaign checkpoint interval (generations)")
     ap.add_argument("--pilot-child", action="store_true",
@@ -483,7 +500,9 @@ if __name__ == "__main__":
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
-    _out = args.out or os.path.join(ROOT, "out", "trpcage_production")
+    SEQUENCE = args.sequence
+    PDB_NAME = args.name
+    _out = args.out or os.path.join(ROOT, "out", f"{args.name}_production")
     os.makedirs(_out, exist_ok=True)
     _ladder = ([int(x) for x in args.ladder.split(",")] if args.ladder
                else [100, 500, 2500, 12500, 62500])
@@ -502,7 +521,7 @@ if __name__ == "__main__":
          ladder=([int(x) for x in args.ladder.split(",")]
                  if args.ladder else None),
          sweep_nx=args.sweep_nx, sweep_nk=args.sweep_nk,
-         nx=args.nx, nk=args.nk, budget_s=args.budget_s, out=args.out,
+         nx=args.nx, nk=args.nk, budget_s=args.budget_s, out=_out,
          cktest_nx=args.cktest_nx, cktest_nk=args.cktest_nk,
          rr_nx=args.rr_nx, rr_nk=args.rr_nk,
          adaptive_lag=not args.no_adaptive_lag, cpu=args.cpu,

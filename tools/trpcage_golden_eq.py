@@ -167,6 +167,16 @@ def main():
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--accept", type=float, default=0.95)
     ap.add_argument("--bootstrap", type=int, default=100)
+    ap.add_argument("--name", type=str, default="trpcage",
+                    help="system name: fallback structure out/<name>.pdb "
+                         "and committed anchor data/golden/"
+                         "<name>_msm_eq.npz (the pipeline is sequence-"
+                         "agnostic; pair with run_trpcage_production.py "
+                         "--sequence/--name)")
+    ap.add_argument("--label", type=str, default=None,
+                    help="human-readable system label for the evidence "
+                         "row (default: trp-cage wording for the trpcage "
+                         "name, else the name)")
     args = ap.parse_args()
 
     import numpy as np
@@ -193,8 +203,8 @@ def main():
     F = F[:, burn:]
     nF = F.shape[1]
 
-    pdb = getattr(sim, "pdbfile", None) or os.path.join(ROOT, "out",
-                                                        "trpcage.pdb")
+    pdb = getattr(sim, "pdbfile", None) or os.path.join(
+        ROOT, "out", f"{args.name}.pdb")
     p = read_pdb(pdb)
     ca_idx = np.asarray([i for i, nm in enumerate(p.atom_names)
                          if nm == "CA"], np.int64)
@@ -272,8 +282,10 @@ def main():
           f"subspace_R3={R3:.4f} coverage={coverage:.3f} "
           f"transitions: chi={n_trans_chi} msm={n_trans_msm}", flush=True)
 
+    label = args.label or ("trp-cage TC5B" if args.name == "trpcage"
+                           else args.name)
     row = dict(
-        system="trp-cage TC5B + OBC2 (equilibrium ensemble)",
+        system=f"{label} + OBC2 (equilibrium ensemble)",
         artifact=os.path.relpath(args.out, ROOT),
         method="chi-stratified starts -> unbiased Langevin ensemble; "
                "TICA(CA pairdists) CVs; symmetrized Ulam MSM on "
@@ -299,7 +311,8 @@ def main():
              tica_components=V, tica_mean=mu, lag_ps=lag_ps,
              stride_ps=stride_ps)
     os.makedirs(os.path.join(ROOT, "data", "golden"), exist_ok=True)
-    np.savez(os.path.join(ROOT, "data", "golden", "trpcage_msm_eq.npz"),
+    np.savez(os.path.join(ROOT, "data", "golden",
+                          f"{args.name}_msm_eq.npz"),
              cells=cells, vec=vecs[:, 1], vecs=vecs, eigvals=vals,
              lo=lo, hi=hi, nbins=args.nbins, lag_ps=lag_ps,
              cv_sample=cv[walker_ok][:, ::10].reshape(-1, 2),
@@ -308,8 +321,8 @@ def main():
     gpath = os.path.join(ROOT, "out", "golden_md.json")
     gdoc = json.load(open(gpath)) if os.path.exists(gpath) else []
     gdoc = [r for r in gdoc
-            if not (isinstance(r, dict) and "equilibrium ensemble"
-                    in r.get("system", ""))]
+            if not (isinstance(r, dict)
+                    and r.get("system", "") == row["system"])]
     gdoc.append(row)
     json.dump(gdoc, open(gpath, "w"), indent=1)
     rpath = os.path.join(args.out, "results.json")

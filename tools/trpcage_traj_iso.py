@@ -58,6 +58,15 @@ def main():
     ap.add_argument("--no-exclude", action="store_true",
                     help="skip the disconnected-walker exclusion round")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--name", type=str, default="trpcage",
+                    help="system name: fallback structure out/<name>.pdb "
+                         "and committed anchor data/golden/"
+                         "<name>_traj_iso.npz")
+    ap.add_argument("--label", type=str, default=None,
+                    help="human-readable system label for the evidence "
+                         "row")
+    ap.add_argument("--stride-ps", type=float, default=12.5,
+                    help="frame stride of the golden_eq ensemble")
     args = ap.parse_args()
 
     import numpy as np
@@ -80,7 +89,7 @@ def main():
         F = z["frames"]                               # (W, nF, 3N)
     iso0 = itk.load(os.path.join(args.out, "iso_final.pkl"))
     sim = iso0.data.sim
-    stride_ps = 12.5                                  # golden_eq default
+    stride_ps = float(args.stride_ps)                 # golden_eq stride
     burn = int(round(args.burnin_ps / stride_ps))
     F = F[:, burn:]
     walker_ok = np.isfinite(F).all(axis=(1, 2))
@@ -92,8 +101,8 @@ def main():
           f"ns each); ISOKANN/MSM lag {lag_ps} ps ({lag} frames)",
           flush=True)
 
-    pdb = getattr(sim, "pdbfile", None) or os.path.join(ROOT, "out",
-                                                        "trpcage.pdb")
+    pdb = getattr(sim, "pdbfile", None) or os.path.join(
+        ROOT, "out", f"{args.name}.pdb")
     p = read_pdb(pdb)
     ca_idx = np.asarray([i for i, nm in enumerate(p.atom_names)
                          if nm == "CA"], np.int64)
@@ -213,8 +222,10 @@ def main():
           f"{corr_cv:.4f} (loss {float(iso_cv.losses[-1]):.6f})",
           flush=True)
 
+    label = args.label or ("trp-cage TC5B" if args.name == "trpcage"
+                           else args.name)
     row = dict(
-        system="trp-cage TC5B + OBC2 (trajectory-ISOKANN vs MSM, "
+        system=f"{label} + OBC2 (trajectory-ISOKANN vs MSM, "
                "equilibrium ensemble)",
         artifact=os.path.relpath(args.out, ROOT),
         method="ISOKANN on data_from_trajectories (reverse-augmented) "
@@ -278,7 +289,8 @@ def main():
     # the stored samples and pins it against the recorded value
     os.makedirs(os.path.join(ROOT, "data", "golden"), exist_ok=True)
     sl = slice(None, None, 10)
-    np.savez(os.path.join(ROOT, "data", "golden", "trpcage_traj_iso.npz"),
+    np.savez(os.path.join(ROOT, "data", "golden",
+                          f"{args.name}_traj_iso.npz"),
              cv=cvf[sl].astype(np.float32),
              ref=ref[sl].astype(np.float32),
              chi_traj=chi[sl].astype(np.float32),
@@ -294,8 +306,8 @@ def main():
     gpath = os.path.join(ROOT, "out", "golden_md.json")
     gdoc = json.load(open(gpath)) if os.path.exists(gpath) else []
     gdoc = [r for r in gdoc
-            if not (isinstance(r, dict) and "trajectory-ISOKANN"
-                    in r.get("system", ""))]
+            if not (isinstance(r, dict)
+                    and r.get("system", "") == row["system"])]
     gdoc.append(row)
     json.dump(gdoc, open(gpath, "w"), indent=1)
     rpath = os.path.join(args.out, "results.json")
