@@ -43,6 +43,15 @@ PROBES = ["control_b4", "unchunked_b8", "unchunked_b16", "geom_c208"]
 # Probes call the exact propagate program at fixed walker counts.
 GB_PROBES = ["gb_b512", "gb_b800", "gb_b1024", "gb_b1024_long"]
 
+# Verlet-mode worker crash (round-4 tail: verletperf2-6 logs): the
+# chunked langevin_middle_verlet program crashes the worker at its
+# SMALLEST size (2 walkers x ~R steps, fresh process), so the fault is
+# the program content, not cumulative work.  Bisect, safest-first:
+# build alone, mapped build, one force eval, the step scan with FIXED
+# lists, one build+scan block, then the full entry point that crashed.
+VERLET_PROBES = ["v_build1", "v_buildmap", "v_force",
+                 "v_scan_fixedlists", "v_block", "v_full"]
+
 
 # ------------------------------------------------------------------ child
 def run_probe(name: str, pdb: str):
@@ -77,6 +86,76 @@ def run_probe(name: str, pdb: str):
     x0 = np.asarray(sim.coords).reshape(-1, 3)
     print(f"system: {sim.natoms} atoms, box {np.asarray(s.box)}",
           flush=True)
+
+    if name.startswith("v_"):
+        from isokann_tpu.md import integrators as I
+        from isokann_tpu.md.verlet import (
+            VerletPlan, build_lists, force_verlet, langevin_middle_verlet)
+
+        vp = VerletPlan(s, x0=x0, skin=0.2)
+        R = int(vp.rebuild_every)
+        W = 2
+        print(f"verlet plan: K={vp.K} rebuild_every={R} rv={vp.rv:.3f} "
+              f"W={W}", flush=True)
+        xb = jnp.asarray(np.tile(x0.reshape(1, -1), (W, 1)), jnp.float32)
+        xw = xb.reshape(W, -1, 3)
+        key = jax.random.PRNGKey(0)
+        masses3 = jnp.asarray(np.repeat(np.asarray(s.masses), 3),
+                              jnp.float32)
+        T, gamma, dt = 310.0, 1.0, float(sim.step)
+        t0 = time.time()
+        if name == "v_build1":
+            lists, nov = jax.jit(
+                lambda x: build_lists(vp, s, x))(xw[0])
+            out = lists
+        elif name == "v_buildmap":
+            out, nov = jax.jit(lambda xs: jax.lax.map(
+                lambda x: build_lists(vp, s, x), xs))(xw)
+        elif name == "v_force":
+            lists, _ = jax.jit(lambda xs: jax.lax.map(
+                lambda x: build_lists(vp, s, x), xs))(xw)
+            jax.block_until_ready(lists)
+            out = jax.jit(jax.vmap(
+                lambda xi, li: force_verlet(s, xi, li)))(xw, lists)
+        elif name == "v_scan_fixedlists":
+            lists, _ = jax.jit(lambda xs: jax.lax.map(
+                lambda x: build_lists(vp, s, x), xs))(xw)
+            jax.block_until_ready(lists)
+            v0 = jnp.zeros_like(xb)
+
+            def step(c, k):
+                x, v = c
+                f = lambda xf: jax.vmap(
+                    lambda xi, li: force_verlet(s, xi.reshape(-1, 3), li)
+                    .reshape(-1))(xf, lists)
+                return I.langevin_middle_step(
+                    f, x, v, masses3, T, gamma, dt, k), None
+
+            def prog(x, v, key):
+                ks = jax.random.split(key, R)
+                return jax.lax.scan(step, (x, v), ks)[0][0]
+
+            out = jax.jit(prog)(xb, v0, key)
+        elif name == "v_block":
+            v0 = jnp.zeros_like(xb)
+            out = jax.jit(
+                lambda x, v, k: langevin_middle_verlet(
+                    s, vp, x, v, masses3, T, gamma, dt, R, k)[0]
+            )(xb, v0, key)
+        elif name == "v_full":
+            v0 = jnp.zeros_like(xb)
+            nsteps = 2 * R + R // 2       # blocks scan + remainder block
+            out = jax.jit(
+                lambda x, v, k: langevin_middle_verlet(
+                    s, vp, x, v, masses3, T, gamma, dt, nsteps, k)[0]
+            )(xb, v0, key)
+        jax.block_until_ready(out)
+        fin = bool(np.isfinite(
+            np.asarray(out, dtype=np.float64)).all())
+        print(f"probe {name}: completed in {time.time() - t0:.0f}s "
+              f"finite={fin}", flush=True)
+        print("PROBE PASS" if fin else "PROBE NONFINITE", flush=True)
+        sys.exit(0 if fin else 3)
 
     if name == "geom_c208":
         plan = NeighborPlan(s, x0=x0, capacity=208, cell_div=1)
@@ -131,11 +210,16 @@ def prep_fixture(small: bool) -> str:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--probe", choices=PROBES + GB_PROBES,
+    ap.add_argument("--probe", choices=PROBES + GB_PROBES + VERLET_PROBES,
                     help="(internal) run one probe in this process")
     ap.add_argument("--pdb", help="(internal) fixture path")
     ap.add_argument("--small", action="store_true",
                     help="~2k-atom quick variant")
+    ap.add_argument("--verlet", action="store_true",
+                    help="bisect the Verlet-mode worker crash "
+                         "(langevin_middle_verlet, round-4 verletperf "
+                         "logs); results land in out/v5e_faults_verlet"
+                         ".json")
     ap.add_argument("--gb", action="store_true",
                     help="run the GB/dense-path large-batch probes "
                          "(trp-cage OBC2) instead of the neighbor-sweep "
@@ -149,7 +233,10 @@ def main():
         run_probe(args.probe, args.pdb)
         return
 
-    if args.gb:
+    if args.verlet:
+        probes = VERLET_PROBES
+        pdb = prep_fixture(args.small)
+    elif args.gb:
         probes = GB_PROBES
         pdb = os.path.join(ROOT, "out", "trpcage.pdb")
         if not os.path.exists(pdb):
@@ -193,7 +280,9 @@ def main():
                         "timeout": args.timeout,
                         "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
     path = os.path.join(
-        ROOT, "out", "v5e_faults_gb.json" if args.gb else "v5e_faults.json")
+        ROOT, "out",
+        "v5e_faults_verlet.json" if args.verlet
+        else "v5e_faults_gb.json" if args.gb else "v5e_faults.json")
     with open(path, "w") as f:
         json.dump(results, f, indent=1)
     print(f"\nwrote {path}")
