@@ -125,3 +125,49 @@ def test_dihedral_known_angles():
     # right angle
     p3 = jnp.asarray([[0., 0, 1], [0, 0, 0], [1, 0, 0], [1, 1, 0]])
     assert abs(abs(float(dihedral(p3))) - np.pi / 2) < 1e-5
+
+
+def _rmsd_via_rotation(x, ys, weights=None):
+    """Explicit-rotation RMSD (the pre-QCP formulation) for parity."""
+    a = np.asarray(align(jnp.asarray(x), jnp.asarray(ys),
+                         weights=weights, flat=False))
+    w = np.ones(x.shape[-2]) if weights is None else np.asarray(weights)
+    d = ((a - x) ** 2 * w[:, None]).sum(axis=(-1, -2)) / w.sum()
+    return np.sqrt(d)
+
+
+def test_aligned_rmsd_qcp_matches_rotation():
+    rng = np.random.default_rng(21)
+    x = rng.normal(size=(9, 3)).astype(np.float32)
+    ys = (x[None] + 0.3 * rng.normal(size=(50, 9, 3))).astype(np.float32)
+    d_qcp = np.asarray(aligned_rmsd(jnp.asarray(x), jnp.asarray(ys),
+                                    flat=False))
+    d_rot = _rmsd_via_rotation(x, ys)
+    assert np.allclose(d_qcp, d_rot, atol=2e-3, rtol=1e-3)
+
+
+def test_aligned_rmsd_qcp_weighted():
+    rng = np.random.default_rng(22)
+    x = rng.normal(size=(7, 3)).astype(np.float32)
+    ys = (x[None] + 0.5 * rng.normal(size=(20, 7, 3))).astype(np.float32)
+    w = rng.uniform(0.5, 2.0, size=7).astype(np.float32)
+    d_qcp = np.asarray(aligned_rmsd(jnp.asarray(x), jnp.asarray(ys),
+                                    weights=jnp.asarray(w), flat=False))
+    d_rot = _rmsd_via_rotation(x, ys, weights=jnp.asarray(w))
+    assert np.allclose(d_qcp, d_rot, atol=2e-3, rtol=1e-3)
+
+
+def test_aligned_rmsd_qcp_no_reflection():
+    # a mirrored structure must NOT report rmsd 0: the QCP maximum is
+    # over proper rotations only, like the det-corrected Kabsch path
+    rng = np.random.default_rng(23)
+    x = rng.normal(size=(8, 3)).astype(np.float32)
+    x -= x.mean(0)
+    y = x.copy()
+    y[:, 2] *= -1.0
+    d = float(np.asarray(aligned_rmsd(jnp.asarray(x),
+                                      jnp.asarray(y[None]),
+                                      flat=False))[0])
+    d_rot = float(_rmsd_via_rotation(x, y[None])[0])
+    assert d > 0.1
+    assert abs(d - d_rot) < 2e-3
