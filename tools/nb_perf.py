@@ -109,9 +109,14 @@ def measure_verlet(nwalk=4, steps=100, small=False, skin=0.2,
     out = os.path.join(ROOT, "out", "nb_perf")
     pdb = f"{out}/peptide_small.pdb" if small else f"{out}/peptide.pdb"
     res = {}
-    modes = (("verlet", dict(neighbor_mode="verlet", skin=skin)),) \
-        if verlet_only else \
-        (("cells", {}), ("verlet", dict(neighbor_mode="verlet", skin=skin)))
+    if verlet_only == "cells":
+        # fresh-process cells baseline feeding ISOKANN_CELLS_RATE
+        modes = (("cells", {}),)
+    elif verlet_only:
+        modes = (("verlet", dict(neighbor_mode="verlet", skin=skin)),)
+    else:
+        modes = (("cells", {}),
+                 ("verlet", dict(neighbor_mode="verlet", skin=skin)))
     for mode, kw in modes:
         sim = itk.MDSimulation(pdb=pdb, addwater=True,
                                padding=0.7 if small else 1.0,
@@ -128,11 +133,19 @@ def measure_verlet(nwalk=4, steps=100, small=False, skin=0.2,
             vp = sim._vplan
             res[mode].update(K=int(vp.K), rebuild_every=int(vp.rebuild_every),
                              rv=float(vp.rv))
+    if verlet_only == "cells":
+        json.dump(res, open(f"{out}/cells_perf.json", "w"), indent=1)
+        print(f"wrote {out}/cells_perf.json")
+        return
     if verlet_only:
         cells_rate = float(os.environ.get("ISOKANN_CELLS_RATE", "0") or 0)
+        if cells_rate <= 0 and os.path.exists(f"{out}/cells_perf.json"):
+            prev = json.load(open(f"{out}/cells_perf.json"))
+            cells_rate = float(prev["cells"]["walker_steps_per_s"])
         if cells_rate > 0:
             res["cells"] = dict(walker_steps_per_s=cells_rate,
-                                source="ISOKANN_CELLS_RATE (separate process)")
+                                source="separate fresh process "
+                                       "(cells_perf.json / env)")
     if "cells" in res:
         res["speedup"] = (res["verlet"]["walker_steps_per_s"]
                           / res["cells"]["walker_steps_per_s"])
@@ -214,8 +227,13 @@ def main():
                     help="measure the Verlet-list mode vs the cell mode")
     ap.add_argument("--verlet-only", action="store_true",
                     help="measure ONLY the Verlet mode (fresh-process "
-                         "mitigation for the v5e class-c fault; pass the "
-                         "cells rate via ISOKANN_CELLS_RATE for a speedup)")
+                         "mitigation for the v5e class-c fault; the cells "
+                         "rate comes from a prior --cells-only run or "
+                         "ISOKANN_CELLS_RATE)")
+    ap.add_argument("--cells-only", action="store_true",
+                    help="measure ONLY the cells mode and write "
+                         "out/nb_perf/cells_perf.json (the fresh-process "
+                         "baseline for a later --verlet-only run)")
     ap.add_argument("--walkers", type=int, default=4)
     ap.add_argument("--skin", type=float, default=0.2)
     ap.add_argument("--rebuild-every", type=int, default=None)
@@ -229,11 +247,12 @@ def main():
     if args.prep_only or args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
-    if args.verlet or args.verlet_only:
+    if args.verlet or args.verlet_only or args.cells_only:
         build(small=args.quick)      # ensure the fixture exists
         measure_verlet(nwalk=args.walkers, small=args.quick,
                        skin=args.skin, rebuild_every=args.rebuild_every,
-                       verlet_only=args.verlet_only)
+                       verlet_only=("cells" if args.cells_only
+                                    else args.verlet_only))
         return
     sim = build(small=args.quick)
     if args.prep_only:
