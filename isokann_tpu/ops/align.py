@@ -134,16 +134,86 @@ def _qcp_lambda_max(h, ga, gb, iters=40):
     return jax.lax.fori_loop(0, iters, body, lam0)
 
 
+def _qcp_rotation(h, ga, gb, iters=40):
+    """Optimal proper rotation R (..., 3, 3) from the 3x3 correlation
+    ``h`` via Theobald QCP: eigenvector of the 4x4 quaternion key matrix
+    for lambda_max, read off the adjugate of (K - lam I).
+
+    Elementwise-only (static 3x3 subdeterminants), so it batches on TPU
+    without the ``jnp.linalg.svd`` custom call that scoped-VMEM-faults
+    at ~5e4 problems/program (docs/v5e_fault_report.md).  Matches
+    :func:`kabsch_rotation` (proper rotations, R y aligns onto x)."""
+    lam = _qcp_lambda_max(h, ga, gb, iters)
+    sxx, sxy, sxz = h[..., 0, 0], h[..., 0, 1], h[..., 0, 2]
+    syx, syy, syz = h[..., 1, 0], h[..., 1, 1], h[..., 1, 2]
+    szx, szy, szz = h[..., 2, 0], h[..., 2, 1], h[..., 2, 2]
+
+    k00 = sxx + syy + szz - lam
+    k11 = sxx - syy - szz - lam
+    k22 = syy - sxx - szz - lam
+    k33 = szz - sxx - syy - lam
+    k01, k02, k03 = syz - szy, szx - sxz, sxy - syx
+    k12, k13, k23 = sxy + syx, szx + sxz, syz + szy
+
+    A = jnp.stack([k00, k01, k02, k03,
+                   k01, k11, k12, k13,
+                   k02, k12, k22, k23,
+                   k03, k13, k23, k33], axis=-1)
+    A = A.reshape(A.shape[:-1] + (4, 4))
+
+    def minor(i, j):
+        r = [k for k in range(4) if k != i]
+        c = [k for k in range(4) if k != j]
+        m = A[..., r, :][..., :, c]
+        return (m[..., 0, 0] * (m[..., 1, 1] * m[..., 2, 2]
+                                - m[..., 1, 2] * m[..., 2, 1])
+                - m[..., 0, 1] * (m[..., 1, 0] * m[..., 2, 2]
+                                  - m[..., 1, 2] * m[..., 2, 0])
+                + m[..., 0, 2] * (m[..., 1, 0] * m[..., 2, 1]
+                                  - m[..., 1, 1] * m[..., 2, 0]))
+
+    # adj(A) = c * q q^T for the singular symmetric A; column j is q
+    # scaled by c*q_j — take the best-conditioned one (largest norm)
+    cols = []
+    for j in range(4):
+        cols.append(jnp.stack(
+            [((-1) ** (i + j)) * minor(j, i) for i in range(4)], axis=-1))
+    cols = jnp.stack(cols, axis=-1)                        # (..., 4, 4)
+    nsq = jnp.sum(cols * cols, axis=-2)                    # (..., 4)
+    onehot = jax.nn.one_hot(jnp.argmax(nsq, axis=-1), 4, dtype=cols.dtype)
+    q = jnp.sum(cols * onehot[..., None, :], axis=-1)      # (..., 4)
+    nrm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
+    # degenerate adjugate (multiple optimal rotations): fall back to
+    # identity — the residual is rotation-independent there
+    e0 = jnp.zeros_like(q).at[..., 0].set(1.0)
+    q = jnp.where(nrm > 1e-20, q / jnp.where(nrm > 1e-20, nrm, 1.0), e0)
+
+    # conjugate quaternion: the K-matrix eigenvector rotates x onto y;
+    # kabsch_rotation's convention (R y -> x) is its inverse
+    w, x, y, z = q[..., 0], -q[..., 1], -q[..., 2], -q[..., 3]
+    r00 = w * w + x * x - y * y - z * z
+    r11 = w * w - x * x + y * y - z * z
+    r22 = w * w - x * x - y * y + z * z
+    r01, r02 = 2 * (x * y - w * z), 2 * (x * z + w * y)
+    r10, r12 = 2 * (x * y + w * z), 2 * (y * z - w * x)
+    r20, r21 = 2 * (x * z - w * y), 2 * (y * z + w * x)
+    R = jnp.stack([r00, r01, r02, r10, r11, r12, r20, r21, r22], axis=-1)
+    return R.reshape(R.shape[:-1] + (3, 3))
+
+
 @partial(jax.jit, static_argnames=("flat",))
 def aligned_rmsd(x, ys, weights=None, flat=True):
     """RMSD of ``x`` to each structure in ``ys`` after optimal alignment
     (reference ``src/utils/align.jl:59-68``).
 
-    Computed via Theobald QCP (rmsd^2 = (ga + gb - 2 lam_max)/ws) rather
-    than an explicit rotation: elementwise-only, so huge pair batches
-    (reactive-path OM costs) compile without the batched-SVD scoped-VMEM
-    fault (docs/v5e_fault_report.md).  f32 noise floor is ~1e-3 of the
-    structure radius near rmsd=0."""
+    Computed via Theobald QCP (rotation from the adjugate of the 4x4
+    key matrix at lam_max, then the residual DIRECTLY as a sum of
+    squares) rather than batched SVD: elementwise-only + one small
+    matmul, so huge pair batches (reactive-path OM costs) compile
+    without the batched-SVD scoped-VMEM fault
+    (docs/v5e_fault_report.md).  The direct residual avoids the
+    (ga + gb - 2 lam) cancellation, so rmsd(x, x) ~ f32 eps rather
+    than ~1e-3 of the structure radius."""
     if flat:
         xs_, ys_ = _as_struct(x), _as_struct(ys)
     else:
@@ -156,8 +226,9 @@ def aligned_rmsd(x, ys, weights=None, flat=True):
     h = jnp.swapaxes(xw, -1, -2) @ yc                      # (..., 3, 3)
     ga = jnp.sum(xw * xc, axis=(-1, -2))
     gb = jnp.sum(yc * yc * w[:, None], axis=(-1, -2))
-    lam = _qcp_lambda_max(h, ga, gb)
-    return jnp.sqrt(jnp.maximum(ga + gb - 2.0 * lam, 0.0) / ws)
+    r = _qcp_rotation(h, ga, gb)
+    d = xc - yc @ jnp.swapaxes(r, -1, -2)
+    return jnp.sqrt(jnp.sum(d * d * w[:, None], axis=(-1, -2)) / ws)
 
 
 def aligned_rmsd_one_to_many(x, ys, weights=None):
