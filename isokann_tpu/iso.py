@@ -70,6 +70,10 @@ def make_fused_run(apply, opt, fused_target, d, minibatch,
     mb = minibatch
     bs = nx if (mb == 0 or nx < mb) else mb
     nb = nx // bs
+    # transforms may take (kchi) or (kchi, mask, n_true) — the masked form
+    # lets quantile bounds ignore the padding duplicates (trace-time check)
+    import inspect
+    _ft_masked = len(inspect.signature(fused_target).parameters) >= 3
 
     def epoch_fn(params, opt_state, xs, target, w, mask, scale, n_true, key):
         if nb == 1 and bs == nx:
@@ -117,7 +121,8 @@ def make_fused_run(apply, opt, fused_target, d, minibatch,
                 kchi = jnp.sum(chi_y * yw[..., None], axis=1) / nk
             else:
                 kchi = jnp.mean(chi_y, axis=1)
-            target = fused_target(kchi)
+            target = (fused_target(kchi, mask, n_true) if _ft_masked
+                      else fused_target(kchi))
             if d > 1:
                 # masked std: exact over the real rows only
                 mu = jnp.sum(target * mask[:, None], axis=0) / n_true

@@ -122,23 +122,58 @@ def propfeatures(data):
 # 1D shift-scale (the production default for 1-D chi)
 # ==========================================================================
 
-def shiftscale(ks):
+def shiftscale(ks, quantile=0.0):
     """Empirical shift-scale: (ks - min) / (max - min).
 
     Raises DomainError on constant chi (reference ``src/isotarget.jl:36-42``).
-    """
+
+    ``quantile`` > 0 selects the robust variant: bounds are the
+    (q, 1-q) order statistics and the normalized target is clipped to
+    [0, 1].  The min/max normalization (the reference's, and the
+    default) lets a SINGLE rarely-visited state with near-unit
+    self-transition own one end of the scale, collapsing chi to a
+    rare-event indicator on equilibrium trajectory data (observed on
+    the deca-alanine 632 ns ensemble: chi = 0.013 on 31/32 walkers
+    with spikes on one rare visit).  Quantile bounds make the power
+    iteration normalize on the bulk modes instead; rare extremes
+    saturate at 0/1."""
     ks = jnp.asarray(ks)
     if ks.ndim > 1 and ks.shape[-1] != 1:
         raise DomainError("TransformShiftscale only works with one dimensional chi functions")
+    if quantile:
+        out = shiftscale_jit(ks, quantile=quantile)
+        if not bool(jnp.isfinite(out).all()):
+            raise DomainError("Could not compute the shift-scale. chi function is constant")
+        return out
     lo, hi = jnp.min(ks), jnp.max(ks)
     if not bool(hi > lo):
         raise DomainError("Could not compute the shift-scale. chi function is constant")
     return (ks - lo) / (hi - lo)
 
 
-def shiftscale_jit(ks):
+def shiftscale_jit(ks, mask=None, n_true=None, quantile=0.0):
     """Jit-safe variant (no host check); degenerate case yields NaN/Inf which
-    the training loop's finite-loss guard catches."""
+    the training loop's finite-loss guard catches.
+
+    With ``quantile`` > 0 the bounds are masked order statistics: the
+    capacity-bucketed fused path pads the dataset with REPEATED rows,
+    which keeps min/max exact but would bias quantiles, so invalid rows
+    sort to +inf and the order-statistic indices use the runtime
+    ``n_true``."""
+    if quantile:
+        v = ks.ravel()
+        if mask is None:
+            nt = jnp.float32(v.shape[0])
+            srt = jnp.sort(v)
+        else:
+            nt = n_true
+            srt = jnp.sort(jnp.where(mask.ravel() > 0, v, jnp.inf))
+        i_lo = jnp.clip(jnp.floor(quantile * (nt - 1.0)),
+                        0, v.shape[0] - 1).astype(jnp.int32)
+        i_hi = jnp.clip(jnp.ceil((1.0 - quantile) * (nt - 1.0)),
+                        0, v.shape[0] - 1).astype(jnp.int32)
+        lo, hi = srt[i_lo], srt[i_hi]
+        return jnp.clip((ks - lo) / (hi - lo), 0.0, 1.0)
     lo, hi = jnp.min(ks), jnp.max(ks)
     return (ks - lo) / (hi - lo)
 
@@ -148,15 +183,21 @@ class TransformShiftscale:
     """Classical 1-D shift-scale power iteration (ISOKANN 1).
 
     This transform is pure jnp (``fused=True``): the training loop fuses it
-    into the jitted episode scan (see ``iso.py``)."""
+    into the jitted episode scan (see ``iso.py``).
 
+    ``quantile`` > 0 uses robust (q, 1-q) order-statistic bounds with
+    clipping instead of min/max — see :func:`shiftscale` for when the
+    classical normalization collapses chi onto a rare-event indicator
+    (heavy-tailed Kchi on equilibrium trajectory data)."""
+
+    quantile: float = 0.0
     fused = True
 
     def __call__(self, model, xs, ys):
-        return shiftscale(expectation(model, ys))
+        return shiftscale(expectation(model, ys), self.quantile)
 
-    def fused_target(self, kchi):
-        return shiftscale_jit(kchi)
+    def fused_target(self, kchi, mask=None, n_true=None):
+        return shiftscale_jit(kchi, mask, n_true, self.quantile)
 
 
 # ==========================================================================

@@ -54,6 +54,23 @@ def test_doublewell_chi_structure():
     assert r > 0.9
 
 
+def test_quantile_shiftscale_trains_fused():
+    """The robust transform runs through the fused (bucketed, masked)
+    training path and still learns the doublewell chi."""
+    sim = Doublewell(sigma=1.0)
+    iso = Iso(sim=sim, nx=128, nk=8, key=0, minibatch=32,
+              opt=AdamRegularized(1e-3, 1e-5),
+              target=TransformShiftscale(quantile=0.02))
+    iso.run(300)
+    assert np.isfinite(iso.losses[-1])
+    xs = jnp.linspace(-1.3, 1.3, 101)[:, None]
+    chi = np.asarray(iso.chicoords(xs))[:, 0]
+    chi_ss = (chi - chi.min()) / (chi.max() - chi.min())
+    if chi_ss[0] > 0.5:
+        chi_ss = 1.0 - chi_ss
+    assert chi_ss[:20].mean() < 0.25           # wells separated
+
+
 def test_rates_and_exit_rate():
     iso = _doublewell_iso(nx=64, nk=4)
     iso.run(100)

@@ -97,6 +97,50 @@ def test_transform_shiftscale_call():
     assert float(t.min()) == 0.0 and float(t.max()) == 1.0
 
 
+def test_shiftscale_quantile_robust():
+    """Robust bounds ignore a rare-state outlier that owns the min/max
+    scale (the deca-alanine equilibrium-trajectory collapse mode)."""
+    bulk = np.linspace(0.0, 1.0, 200)
+    ks = jnp.asarray(np.concatenate([bulk, [50.0]])[:, None], jnp.float32)
+    squashed = T.shiftscale(ks)
+    assert float(squashed[:200].max()) < 0.05    # bulk crushed by outlier
+    robust = T.shiftscale(ks, quantile=0.01)
+    assert float(robust[:200].max()) > 0.95      # bulk spans the scale
+    assert float(robust[200, 0]) == 1.0          # outlier saturates
+    assert float(robust.min()) >= 0.0 and float(robust.max()) <= 1.0
+    with pytest.raises(T.DomainError):
+        T.shiftscale(jnp.ones((50, 1)), quantile=0.01)
+
+
+def test_shiftscale_jit_masked_quantile_ignores_padding():
+    """Padding with repeated rows must not shift the quantile bounds:
+    the masked order statistics use only the n_true real rows."""
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=37).astype(np.float32)
+    ks = jnp.asarray(v[:, None])
+    plain = T.shiftscale_jit(ks, quantile=0.05)
+    # pad by repeating the MOST EXTREME row (worst case for quantiles)
+    worst = v[np.argmax(np.abs(v))]
+    pad = np.full(27, worst, np.float32)
+    ks_p = jnp.asarray(np.concatenate([v, pad])[:, None])
+    mask = jnp.asarray(np.concatenate([np.ones(37), np.zeros(27)]),
+                       jnp.float32)
+    padded = T.shiftscale_jit(ks_p, mask, jnp.float32(37), quantile=0.05)
+    np.testing.assert_allclose(np.asarray(padded[:37]), np.asarray(plain),
+                               rtol=1e-6)
+
+
+def test_transform_shiftscale_quantile_fused_signature():
+    """fused_target accepts (kchi, mask, n_true) and matches the host
+    transform on unpadded data."""
+    rng = np.random.default_rng(7)
+    ks = jnp.asarray(rng.normal(size=(25, 1)), jnp.float32)
+    tr = T.TransformShiftscale(quantile=0.02)
+    out = tr.fused_target(ks, jnp.ones(25), jnp.float32(25))
+    ref = T.shiftscale(ks, quantile=0.02)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
 def test_experimental_transforms_run():
     rng = np.random.default_rng(4)
     xs = jnp.asarray(rng.normal(size=(40, 3)), jnp.float32)

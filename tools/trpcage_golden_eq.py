@@ -167,6 +167,10 @@ def main():
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--accept", type=float, default=0.95)
     ap.add_argument("--bootstrap", type=int, default=100)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (analysis-only reruns "
+                         "from a complete frame checkpoint don't need "
+                         "the chip)")
     ap.add_argument("--name", type=str, default="trpcage",
                     help="system name: fallback structure out/<name>.pdb "
                          "and committed anchor data/golden/"
@@ -178,6 +182,10 @@ def main():
                          "row (default: trp-cage wording for the trpcage "
                          "name, else the name)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
 

@@ -55,6 +55,13 @@ def main():
     ap.add_argument("--max-pairs", type=int, default=20000,
                     help="stride the pair set down to this size")
     ap.add_argument("--accept", type=float, default=0.95)
+    ap.add_argument("--quantile", type=float, default=0.005,
+                    help="robust shift-scale quantile used for the "
+                         "retrain when chi collapses onto a rare state "
+                         "(min/max normalization lets one rarely-"
+                         "visited near-absorbing state own the scale)")
+    ap.add_argument("--no-robust", action="store_true",
+                    help="disable the rare-state-collapse retrain")
     ap.add_argument("--no-exclude", action="store_true",
                     help="skip the disconnected-walker exclusion round")
     ap.add_argument("--cpu", action="store_true")
@@ -113,7 +120,20 @@ def main():
     # exclude the flagged walkers from BOTH estimators and retrain.
     excluded = []
     round1 = None
-    for round_i in range(2):
+    round_collapse = None
+    tq = 0.0                      # robust shift-scale quantile in effect
+
+    def _collapsed(c):
+        """Rare-state collapse: nearly all chi mass in a sliver of the
+        range (one rarely-visited state owns the min/max scale)."""
+        c = np.asarray(c, np.float64)
+        rng_c = c.max() - c.min()
+        if rng_c <= 0:
+            return True
+        q1, q3 = np.percentile(c, [25, 75])
+        return (q3 - q1) / rng_c < 0.05
+
+    for round_i in range(3):
         # ---- ISOKANN on trajectory pairs (ref data_from_trajectory) ------
         stride_pairs = max(1, (W * (nF - 2 * lag)) // args.max_pairs)
         xs, ys = data_from_trajectories(
@@ -123,7 +143,8 @@ def main():
               f"augmented k=2)", flush=True)
         data = SimulationData.from_coords(sim, xs, ys,
                                           featurizer=iso0.data.featurizer)
-        iso = itk.Iso(data=data, key=5, opt=itk.AdamRegularized())
+        iso = itk.Iso(data=data, key=5, opt=itk.AdamRegularized(),
+                      target=itk.TransformShiftscale(quantile=tq))
         iso.run(args.iters)
         loss = float(iso.losses[-1])
         print(f"trained {args.iters} iters, loss {loss:.6f} "
@@ -187,6 +208,20 @@ def main():
                 F = F[keep]
                 W = len(keep)
                 continue
+        if not args.no_robust and tq == 0.0 and _collapsed(chi):
+            q1, q3 = np.percentile(chi, [25, 75])
+            iqr_ratio = float((q3 - q1) / (chi.max() - chi.min()))
+            print(f"chi collapsed onto a rare state (IQR/range "
+                  f"{iqr_ratio:.4f}): the min/max shift-scale let a "
+                  f"rarely-visited near-absorbing state own the scale — "
+                  f"retraining with quantile-robust bounds "
+                  f"(q={args.quantile})", flush=True)
+            round_collapse = dict(
+                chi_corr=corr, chi_subspace_R3=R3,
+                chi_iqr_over_range=iqr_ratio,
+                corr_campaign_chi_traj_chi=corr_campaign_traj)
+            tq = args.quantile
+            continue
         break
 
     # ---- variational check: chi's own autocorrelation at the lag ---------
@@ -212,11 +247,19 @@ def main():
         stride=stride_pairs)
     data_cv = SimulationData.from_coords(sim, cxs, cys,
                                          featurizer=FeaturesCoords())
-    iso_cv = itk.Iso(data=data_cv, key=7, opt=itk.AdamRegularized())
-    iso_cv.run(args.iters)
-    chi_cv = np.concatenate(
-        [np.asarray(iso_cv.chicoords(jnp.asarray(cvf[i:i + 8192])))
-         for i in range(0, len(cvf), 8192)]).astype(np.float64).ravel()
+    cv_retrained = False
+    for q_cv in ([tq] if (tq or args.no_robust) else [0.0, args.quantile]):
+        iso_cv = itk.Iso(data=data_cv, key=7, opt=itk.AdamRegularized(),
+                         target=itk.TransformShiftscale(quantile=q_cv))
+        iso_cv.run(args.iters)
+        chi_cv = np.concatenate(
+            [np.asarray(iso_cv.chicoords(jnp.asarray(cvf[i:i + 8192])))
+             for i in range(0, len(cvf), 8192)]).astype(np.float64).ravel()
+        if not _collapsed(chi_cv):
+            break
+        cv_retrained = True
+        print(f"chi_on_CV collapsed at q={q_cv} — retrying robust",
+              flush=True)
     corr_cv = float(abs(np.corrcoef(chi_cv[fin], ref[fin])[0, 1]))
     print(f"projected method equivalence: corr(chi_on_CV, MSM) = "
           f"{corr_cv:.4f} (loss {float(iso_cv.losses[-1]):.6f})",
@@ -242,6 +285,9 @@ def main():
         corr_campaign_chi_traj_chi=corr_campaign_traj,
         excluded_walkers=excluded,
         round1_before_exclusion=round1,
+        transform_quantile=tq,
+        round_before_robust=round_collapse,
+        cv_robust_retrained=cv_retrained,
         chi_autocorr_at_lag=chi_autocorr,
         msm_lambda2=float(vals[1]),
         variational_ok=bool(chi_autocorr >= float(vals[1]) - 0.02),
