@@ -210,6 +210,108 @@ def eigenfunction_on_samples(cv, cells, vec, lo, hi, nbins, periodic=True):
     return lookup[ids]
 
 
+def anchor_identifiability(cv, lag_frames, lo, hi, nbins, walkers=None,
+                           n_boot=30, min_count=2, periodic=False,
+                           symmetrize=True, chi=None, k=None, rng=None):
+    """Bootstrap eigenvector identifiability of a trajectory Ulam anchor.
+
+    A golden anchor can only certify (or refute) a trained chi at some
+    tolerance if its OWN replicas agree about the slowest nontrivial
+    eigenfunction: with a near-degenerate spectrum the individual
+    eigenvectors of the estimated transition matrix are not
+    statistically identifiable, and any 1-D comparison against them is
+    instrument noise (the trp-cage honest negative, identifiability
+    ~0.3; deca-alanine by contrast is >= 0.99 — see
+    tools/golden_anchor_probe.py).
+
+    ``cv``: (W, F, d) per-walker frame CVs; ``lag_frames``: MSM lag in
+    frames; ``walkers``: optional indices of usable walkers.  Resamples
+    walkers with replacement ``n_boot`` times, re-estimates the
+    symmetrized Ulam matrix and its psi_2, and evaluates every replica
+    on the SAME pooled frames.
+
+    Returns a dict:
+    - ``identifiability``: median |corr| between bootstrap psi_2 and the
+      full-data psi_2 (the selection criterion — chi-blind),
+    - ``eigvals``, ``cells``, ``vecs``: the full-data estimate,
+    - ``ref``: full-data psi_2 evaluated on the pooled frames
+      (NaN outside occupied cells),
+    - with ``chi`` (W, F): ``chi_corr`` and the walker-bootstrap
+      ``chi_corr_ci95`` of |corr(chi, psi_2 replica)|.
+    """
+    cv = np.asarray(cv, np.float64)
+    W, nF, d = cv.shape
+    if walkers is None:
+        walkers = np.arange(W)
+    walkers = np.asarray(walkers)
+    rng = np.random.default_rng(5) if rng is None else rng
+    k = (d + 2) if k is None else int(k)
+    cv_ok = cv[walkers].reshape(-1, d)
+
+    def build(ids):
+        cx, cy = trajectory_pairs(cv, lag_frames, ids)
+        P, cells, counts = ulam_transition_matrix(
+            cx, cy, lo, hi, nbins, periodic=periodic,
+            min_count=min_count, symmetrize=symmetrize)
+        vals, vecs = koopman_eigenfunctions(P, k=k)
+        return cells, vals, vecs
+
+    cells, vals, vecs = build(walkers)
+    ref = eigenfunction_on_samples(cv_ok, cells, vecs[:, 1], lo, hi,
+                                   nbins, periodic=periodic)
+    fin = np.isfinite(ref)
+    chi_flat = None if chi is None else \
+        np.asarray(chi, np.float64)[walkers].ravel()
+
+    ident, bcorr = [], []
+    for _ in range(int(n_boot)):
+        try:
+            c_b, v_b, e_b = build(rng.choice(walkers, len(walkers), True))
+            r_b = eigenfunction_on_samples(cv_ok, c_b, e_b[:, 1], lo, hi,
+                                           nbins, periodic=periodic)
+            f_b = np.isfinite(r_b) & fin
+            ident.append(abs(np.corrcoef(r_b[f_b], ref[f_b])[0, 1]))
+            if chi_flat is not None:
+                bcorr.append(abs(np.corrcoef(chi_flat[f_b],
+                                             r_b[f_b])[0, 1]))
+        except Exception:
+            pass
+    out = dict(
+        identifiability=float(np.median(ident)) if ident else float("nan"),
+        n_boot_ok=len(ident), eigvals=vals, cells=cells, vecs=vecs,
+        ref=ref, coverage=float(fin.mean()))
+    if chi_flat is not None:
+        out["chi_corr"] = float(abs(np.corrcoef(chi_flat[fin],
+                                                ref[fin])[0, 1]))
+        out["chi_corr_ci95"] = (
+            np.percentile(bcorr, [2.5, 97.5]).tolist()
+            if len(bcorr) >= 10 else None)
+    return out
+
+
+def grid_ceiling(chi, cv, lo, hi, nbins, periodic=False):
+    """Instrument ceiling of a grid anchor: corr(chi, E[chi | cell]).
+
+    Any grid reference is cell-constant, so for every cell-constant g,
+    cov(chi, g) = cov(E[chi|cell], g) and hence
+    |corr(chi, g)| <= |corr(chi, E[chi|cell])| — no grid eigenfunction
+    can correlate with chi beyond this value, whatever the dynamics.
+    The ratio corr/ceiling is the discretization-deconvolved agreement
+    of the cell-mean chi with the eigenfunction.
+
+    ``chi``: (n,) values at the samples; ``cv``: (n, d) their CVs.
+    Returns (ceiling, cellmean_at_samples)."""
+    chi = np.asarray(chi, np.float64).ravel()
+    ids, shape = grid_assign(cv, lo, hi, nbins, periodic=periodic)
+    ncell = int(np.prod(shape))
+    ssum = np.zeros(ncell)
+    scnt = np.zeros(ncell)
+    np.add.at(ssum, ids, chi)
+    np.add.at(scnt, ids, 1)
+    cellmean = np.where(scnt > 0, ssum / np.maximum(scnt, 1), 0.0)
+    return float(abs(np.corrcoef(chi, cellmean[ids])[0, 1])), cellmean[ids]
+
+
 def implied_timescale(eigval, lag):
     """t_i = -lag / ln(lambda_i)."""
     with np.errstate(divide="ignore"):

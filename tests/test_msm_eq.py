@@ -109,3 +109,71 @@ def test_disconnected_trajectories_quiet_without_collapse():
     flagged, info = disconnected_trajectories(chi)
     assert flagged.size == 0
     assert info["ratio"] < 10
+
+
+def test_anchor_identifiability_two_state():
+    from isokann_tpu.analysis.msm import anchor_identifiability
+
+    cv = _two_state_chains(W=20, F=400, seed=4)
+    rng = np.random.default_rng(7)
+    chi = cv[..., 0] + 0.03 * rng.standard_normal(cv.shape[:2])
+    res = anchor_identifiability(cv, 1, -0.5, 1.5, 2, n_boot=20,
+                                 min_count=1, chi=chi)
+    # a clean 2-state system: psi_2 is perfectly identifiable and chi
+    # (the state indicator) correlates ~1 with it
+    assert res["identifiability"] > 0.99
+    assert abs(res["eigvals"][1] - 0.85) < 0.05
+    assert res["chi_corr"] > 0.98
+    assert res["coverage"] == 1.0
+    lo95, hi95 = res["chi_corr_ci95"]
+    assert lo95 > 0.95 and hi95 <= 1.0
+    assert res["n_boot_ok"] == 20
+
+
+def test_anchor_identifiability_degenerate_modes_low():
+    from isokann_tpu.analysis.msm import anchor_identifiability
+
+    # two INDEPENDENT two-state coordinates with identical rates:
+    # lambda_2 = lambda_3 exactly, so individual eigenvectors of the
+    # estimated matrix are arbitrary rotations within the degenerate
+    # eigenspace -- bootstrap replicas must disagree about psi_2
+    a = _two_state_chains(W=16, F=300, seed=5)
+    b = _two_state_chains(W=16, F=300, seed=6)
+    cv = np.concatenate([a, b], axis=2)
+    res = anchor_identifiability(cv, 1, -0.5, 1.5, 2, n_boot=20,
+                                 min_count=1)
+    assert res["identifiability"] < 0.95
+    assert "chi_corr" not in res  # chi not provided
+
+
+def test_grid_ceiling_bounds_any_cell_constant_reference():
+    from isokann_tpu.analysis.msm import grid_assign, grid_ceiling
+
+    rng = np.random.default_rng(0)
+    cv = rng.uniform(0, 1, (600, 2))
+    chi = cv[:, 0] + 0.3 * rng.standard_normal(600)
+    ceiling, cellmean = grid_ceiling(chi, cv, 0.0, 1.0, 4,
+                                     periodic=False)
+    assert 0.0 < ceiling < 1.0
+    np.testing.assert_allclose(
+        ceiling, abs(np.corrcoef(chi, cellmean)[0, 1]), atol=1e-12)
+    # no cell-constant g can correlate with chi beyond the ceiling
+    ids, shape = grid_assign(cv, 0.0, 1.0, 4, periodic=False)
+    ncell = int(np.prod(shape))
+    advs = [np.random.default_rng(s).standard_normal(ncell)[ids]
+            for s in range(5)]
+    advs.append((cellmean > np.median(cellmean)).astype(float))
+    advs.append(2.0 * cellmean - 1.0)  # affine images of the optimum
+    for g in advs:
+        assert abs(np.corrcoef(chi, g)[0, 1]) <= ceiling + 1e-9
+
+
+def test_grid_ceiling_saturates_for_cell_constant_chi():
+    from isokann_tpu.analysis.msm import grid_assign, grid_ceiling
+
+    rng = np.random.default_rng(1)
+    cv = rng.uniform(0, 1, (400, 2))
+    ids, shape = grid_assign(cv, 0.0, 1.0, 3, periodic=False)
+    chi = np.linspace(0, 1, int(np.prod(shape)))[ids]
+    ceiling, _ = grid_ceiling(chi, cv, 0.0, 1.0, 3, periodic=False)
+    np.testing.assert_allclose(ceiling, 1.0, atol=1e-12)

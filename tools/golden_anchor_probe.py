@@ -82,9 +82,8 @@ def main():
         args.out, args.walkers, args.ns, args.stride_ps,
         checkpoint_every=40, budget_s=0, resume=True)
     from isokann_tpu.analysis.msm import (
-        koopman_eigenfunctions, eigenfunction_on_samples,
-        implied_timescale, tica, trajectory_pairs,
-        ulam_transition_matrix)
+        anchor_identifiability, grid_ceiling, implied_timescale, tica,
+        trajectory_pairs)
     from isokann_tpu.md.pdbio import read_pdb
 
     burn = int(round(args.burnin_ps / stride_ps))
@@ -129,42 +128,26 @@ def main():
         pad = 1e-9 + 0.02 * (hi - lo)
         lo, hi = lo - pad, hi + pad
 
-        def build(walker_ids):
-            cx, cy = trajectory_pairs(cv, lag_frames, walker_ids)
-            P, cells, counts = ulam_transition_matrix(
-                cx, cy, lo, hi, nb, periodic=False,
-                min_count=args.min_count, symmetrize=True)
-            vals, vecs = koopman_eigenfunctions(P, k=dim + 2)
-            return P, cells, vals, vecs
-
         try:
-            P, cells, vals, vecs = build(ok_idx)
+            res = anchor_identifiability(
+                cv, lag_frames, lo, hi, nb, walkers=ok_idx,
+                n_boot=args.bootstrap, min_count=args.min_count,
+                periodic=False, chi=chi)
         except Exception as e:
             rows.append(dict(lag_ps=lag_ps_eff, dim=dim, nbins=nb,
                              error=repr(e)))
             continue
-        ref = eigenfunction_on_samples(cv_ok, cells, vecs[:, 1], lo, hi,
-                                       nb, periodic=False)
-        fin = np.isfinite(ref)
-        coverage = float(fin.mean())
-        corr = float(abs(np.corrcoef(chi_flat[fin], ref[fin])[0, 1]))
+        cells, vals, vecs = res["cells"], res["eigvals"], res["vecs"]
+        coverage = res["coverage"]
+        corr, ci = res["chi_corr"], res["chi_corr_ci95"]
+        ident_med = res["identifiability"]
         Rj = subspace_R(chi_flat, cv_ok, cells, vecs, lo, hi, nb,
                         j=dim + 1)
 
-        # instrument ceiling: any grid reference is cell-constant, so
-        # cov(chi, g) = cov(E[chi|cell], g) and corr(chi, g) <=
-        # corr(chi, E[chi|cell]).  The ratio corr/ceiling is the
-        # discretization-deconvolved agreement of the cell-mean chi
-        # with the eigenfunction.
-        from isokann_tpu.analysis.msm import grid_assign
-        ids, shape = grid_assign(cv_ok, lo, hi, nb, periodic=False)
-        ssum = np.zeros(int(np.prod(shape)))
-        scnt = np.zeros(int(np.prod(shape)))
-        np.add.at(ssum, ids, chi_flat)
-        np.add.at(scnt, ids, 1)
-        cellmean = np.where(scnt > 0, ssum / np.maximum(scnt, 1), 0.0)
-        ceiling = float(abs(np.corrcoef(chi_flat,
-                                        cellmean[ids])[0, 1]))
+        # instrument ceiling / deconvolved agreement (see
+        # analysis.msm.grid_ceiling for the cell-constant argument)
+        ceiling, _ = grid_ceiling(chi_flat, cv_ok, lo, hi, nb,
+                                  periodic=False)
         corr_deconv = float(corr / ceiling) if ceiling > 0 else None
 
         # chi autocorrelation at this lag (variational check)
@@ -173,24 +156,6 @@ def main():
         am = a.mean()
         num = ((cxc.ravel() - am) * (cyc.ravel() - am)).mean()
         chi_auto = float(num / a.var())
-
-        rng = np.random.default_rng(5)
-        ident, bcorr = [], []
-        for _ in range(args.bootstrap):
-            try:
-                _, c_b, v_b, e_b = build(
-                    rng.choice(ok_idx, len(ok_idx), True))
-                r_b = eigenfunction_on_samples(
-                    cv_ok, c_b, e_b[:, 1], lo, hi, nb, periodic=False)
-                f_b = np.isfinite(r_b) & fin
-                ident.append(abs(np.corrcoef(r_b[f_b], ref[f_b])[0, 1]))
-                bcorr.append(abs(np.corrcoef(chi_flat[f_b],
-                                             r_b[f_b])[0, 1]))
-            except Exception:
-                pass
-        ident_med = float(np.median(ident)) if ident else float("nan")
-        ci = (np.percentile(bcorr, [2.5, 97.5]).tolist()
-              if len(bcorr) >= 10 else None)
 
         row = dict(
             lag_ps=lag_ps_eff, dim=dim, nbins=nb,
