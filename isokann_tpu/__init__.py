@@ -19,7 +19,7 @@ features (n, f) / (n, k, f), chi (n, nchi).
 
 __version__ = "0.1.0"
 
-from .models import MLP, pairnet, densenet, smallnet, growmodel
+from .models import MLP, autonet, pairnet, densenet, smallnet, growmodel
 from .optim import AdamRegularized, NesterovRegularized
 from .targets import (
     DomainError,

@@ -155,6 +155,23 @@ def smallnet(nin: int, nout: int = 1, activation="sigmoid",
     return densenet([nin, 8, 8, 8, nout], activation, lastactivation, False, key)
 
 
+def autonet(n: int, nout: int = 1, key=None, **kwargs) -> MLP:
+    """Default chi model by feature dimension.
+
+    ``pairnet``'s geometric width decay ``n^(l/L)`` (reference
+    ``src/models.jl:65-69``) degenerates to ~1-unit hidden layers when
+    the featurization is low-dimensional (e.g. ``FeaturesCoords`` over
+    a 2-D CV space: sizes [2, 2, 1, 1] — no capacity at all); the
+    reference never hits this because its pairnet only ever sees
+    pairwise-distance features, and it uses the fixed-width
+    ``smallnet`` for low-dim systems (``src/simulators/langevin.jl:9``).
+    Mirror that split here: smallnet below 16 features, pairnet above
+    (pairnet-only kwargs are dropped on the smallnet branch)."""
+    if n < 16:
+        return smallnet(n, nout=nout, key=key)
+    return pairnet(n=n, nout=nout, key=key, **kwargs)
+
+
 def growmodel(model: MLP, n: int, key=None) -> MLP:
     """Replace the last layer to change the output dim (``src/models.jl:97-99``)."""
     if key is None:

@@ -51,8 +51,8 @@ class IsoSimulation:
         return ys[0]
 
     def defaultmodel(self, n=None, nout=1, key=None, **kwargs):
-        from ..models import pairnet
-        return pairnet(n=n if n is not None else self.dim, nout=nout,
+        from ..models import autonet
+        return autonet(n if n is not None else self.dim, nout=nout,
                        key=key, **kwargs)
 
     def __repr__(self):

@@ -294,8 +294,8 @@ class MDSimulation(IsoSimulation):
             maxiter=maxiter))
 
     def defaultmodel(self, n=None, nout=1, key=None, **kwargs):
-        from ..models import pairnet
-        return pairnet(n=n if n is not None else self.dim, nout=nout,
+        from ..models import autonet
+        return autonet(n if n is not None else self.dim, nout=nout,
                        key=key, **kwargs)
 
     def random_velocities(self, key, shape):
