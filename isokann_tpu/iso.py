@@ -269,8 +269,8 @@ class Iso:
             if sim_ is not None and hasattr(sim_, "defaultmodel"):
                 model = sim_.defaultmodel(n=data.featuredim, nout=nout, key=km)
             else:
-                from .models import pairnet
-                model = pairnet(n=data.featuredim, nout=nout, key=km)
+                from .models import autonet
+                model = autonet(data.featuredim, nout=nout, key=km)
         self.model = model
 
         self.opt = opt if opt is not None else NesterovRegularized()
