@@ -24,6 +24,16 @@ Pins the committed anchors produced on TPU:
   equivalence).
 - data/golden/deca_traj_iso.npz (tools/trpcage_traj_iso.py): the
   acceptance bundle.
+- data/golden/deca_multichi.npz (tools/deca_multichi.py, nout=5): the
+  multi-dimensional chi study.  Its psi_2-containment acceptance FAILED
+  (subspace R ~= 0.42) and the spectrum-rank diagnostic
+  (tools/deca_spectrum_rank.py) explains why: the learned 5-D invariant
+  subspace holds THREE modes with lag-250 ps autocorrelation 0.95-0.99
+  (timescales >~ 5 ns), all slower than the grid anchor's entire
+  spectrum (lambda_2 = 0.734, 808 ps helix-coil), so the leading
+  invariant subspace legitimately excludes the comparatively fast
+  helix-coil mode — the multi-dim generalization of the 1-D
+  full-feature honest negative.  Pinned below as regressions.
 """
 
 import json
@@ -35,6 +45,7 @@ import pytest
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EQ = os.path.join(HERE, "data", "golden", "deca_msm_eq.npz")
 TRAJ = os.path.join(HERE, "data", "golden", "deca_traj_iso.npz")
+MULTI = os.path.join(HERE, "data", "golden", "deca_multichi.npz")
 GOLDEN_MD = os.path.join(HERE, "out", "golden_md.json")
 
 
@@ -107,6 +118,67 @@ def test_traj_iso_rederives(traj):
     corr = abs(np.corrcoef(traj["chi_traj"][fin], traj["ref"][fin])[0, 1])
     assert abs(corr - float(traj["chi_corr"])) < 0.05, \
         (corr, float(traj["chi_corr"]))
+
+
+@pytest.fixture(scope="module")
+def multi():
+    if not os.path.exists(MULTI):
+        pytest.skip("deca multichi golden not generated yet")
+    with np.load(MULTI) as z:
+        return {k: z[k] for k in z.files}
+
+
+def test_multichi_subspace_R_rederives(multi):
+    # the recorded honest negative: psi_2 is NOT contained in the
+    # learned 5-D invariant subspace (stored R from the full-frame
+    # computation; the npz carries a 1-in-10 stride of the same arrays)
+    chi = np.asarray(multi["chi"], np.float64)
+    ref = np.asarray(multi["ref"], np.float64)
+    fin = np.isfinite(ref)
+    assert fin.mean() > 0.95
+    A = np.concatenate([np.ones((int(fin.sum()), 1)), chi[fin]], axis=1)
+    coef, *_ = np.linalg.lstsq(A, ref[fin], rcond=None)
+    ssr = float(((ref[fin] - A @ coef) ** 2).sum())
+    sst = float(((ref[fin] - ref[fin].mean()) ** 2).sum())
+    R = float(np.sqrt(max(0.0, 1.0 - ssr / sst)))
+    assert abs(R - float(multi["subspace_R_psi2"])) < 0.02, \
+        (R, float(multi["subspace_R_psi2"]))
+    # and it stays an honest negative: far below the 0.95 acceptance
+    assert R < 0.6
+
+
+def test_multichi_variational_dominance(multi):
+    # why the containment fails: the chi span's own projected spectrum
+    # (generalized eigenvalues of C_tau vs C_0 on span{chi columns})
+    # holds three modes slower than the grid anchor's ENTIRE spectrum.
+    # Constants mirror tools/deca_multichi.py: 32 walkers x 1580 frames
+    # at 12.5 ps/frame, npz stride 10, lag 250 ps -> strided lag 2.
+    chi = np.asarray(multi["chi"], np.float64)
+    W, sstep, n_frames, slag = 32, 10, 1580, 2
+    assert len(chi) * sstep == W * n_frames
+    idx = np.arange(len(chi))
+    orig = idx * sstep
+    ok = ((orig // n_frames) == ((orig + slag * sstep) // n_frames)) \
+        & (idx + slag < len(chi))
+    a, b = chi[idx[ok]], chi[idx[ok] + slag]
+    mu = np.concatenate([a, b]).mean(axis=0)
+    a, b = a - mu, b - mu
+    n = len(a)
+    C0 = (a.T @ a + b.T @ b) / (2.0 * n)
+    Ct = (a.T @ b) / n
+    Ct = 0.5 * (Ct + Ct.T)
+    s, U = np.linalg.eigh(C0)
+    keep = s > 1e-10 * s.max()
+    Wm = U[:, keep] / np.sqrt(s[keep])
+    M = Wm.T @ Ct @ Wm
+    gev = np.sort(np.linalg.eigvalsh(0.5 * (M + M.T)))[::-1]
+    lam2 = float(np.asarray(multi["msm_eigvals"], np.float64)[1])
+    assert 0.7 < lam2 < 0.8  # the helix-coil anchor eigenvalue
+    # three modes at >= 0.94, i.e. timescales >= ~4 ns at the 250 ps
+    # lag, vs the anchor's slowest 808 ps — variational dominance
+    assert gev[0] <= 1.0 + 1e-6
+    assert (gev[:3] >= 0.94).all(), gev.tolist()
+    assert (gev[:3] > lam2 + 0.2).all(), (gev.tolist(), lam2)
 
 
 def test_method_equivalence_threshold(traj):
