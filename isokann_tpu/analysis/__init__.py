@@ -10,7 +10,8 @@ from .mutualinformation import kde_mi, mutual_information
 from .msm import (
     ulam_transition_matrix, koopman_eigenfunctions, grid_assign,
     eigenfunction_on_samples, implied_timescale, chi_msm_correlation,
-    ramachandran_msm, disconnected_trajectories,
+    ramachandran_msm, disconnected_trajectories, containment_R,
+    subspace_spectrum,
 )
 from .freeenergy import (
     marginal_free_energy, constrained_free_energy, local_mean_force,

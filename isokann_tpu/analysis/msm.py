@@ -318,6 +318,56 @@ def implied_timescale(eigval, lag):
         return -lag / np.log(np.clip(np.abs(eigval), 1e-300, 1.0))
 
 
+def containment_R(ref, basis):
+    """Multiple correlation of ``ref`` on span{1, basis columns}.
+
+    The subspace-containment acceptance metric for multi-dimensional
+    chi (is the anchor eigenfunction representable as an affine
+    combination of the learned chi columns?): R = 1 means psi lies in
+    the span, R = |corr| for a single column.  Non-finite ``ref``
+    entries (samples in never-visited anchor cells) are dropped.
+
+    ``ref``: (n,) anchor values; ``basis``: (n, k) chi columns.
+    Returns (R, finite_fraction)."""
+    ref = np.asarray(ref, np.float64).ravel()
+    basis = np.asarray(basis, np.float64)
+    if basis.ndim == 1:
+        basis = basis[:, None]
+    fin = np.isfinite(ref)
+    A = np.concatenate([np.ones((int(fin.sum()), 1)), basis[fin]], axis=1)
+    coef, *_ = np.linalg.lstsq(A, ref[fin], rcond=None)
+    ssr = float(((ref[fin] - A @ coef) ** 2).sum())
+    sst = float(((ref[fin] - ref[fin].mean()) ** 2).sum())
+    if sst <= 0.0:
+        return 0.0, float(fin.mean())
+    return float(np.sqrt(max(0.0, 1.0 - ssr / sst))), float(fin.mean())
+
+
+def subspace_spectrum(chi_x, chi_y, symmetrize=True):
+    """Projected slow spectrum of a learned chi span: generalized
+    eigenvalues of C_tau vs C_0 restricted to span{chi columns}, from
+    lagged pairs ``(chi_x, chi_y)`` = chi evaluated at trajectory-pair
+    start/end points.
+
+    This is the variational-dominance diagnostic for multi-dimensional
+    chi: each eigenvalue is the lag-autocorrelation of the best linear
+    combination within the span, so comparing the ladder against an
+    anchor MSM's eigenvalues shows WHICH modes the chi subspace holds
+    (a containment_R failure with a dominating ladder means the
+    subspace legitimately excludes the anchor's comparatively fast
+    mode — see docs/evidence_round4.md, deca multi-dim study).
+
+    Returns ``(eigvals (k,), combos (k, k), mean (k,))`` with
+    eigvals sorted descending; the i-th slow combination is
+    ``(chi - mean) @ combos[:, i]``."""
+    chi_x = np.asarray(chi_x, np.float64)
+    chi_y = np.asarray(chi_y, np.float64)
+    if chi_x.ndim == 1:
+        chi_x, chi_y = chi_x[:, None], chi_y[:, None]
+    k = chi_x.shape[1]
+    return tica(chi_x, chi_y, dim=k, n_pca=k, symmetrize=symmetrize)
+
+
 def chi_msm_correlation(chi, cv_x, golden):
     """|Pearson correlation| between trained chi values and a committed MSM
     golden eigenfunction, evaluated on the chi samples.

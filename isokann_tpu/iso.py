@@ -76,6 +76,12 @@ def make_fused_run(apply, opt, fused_target, d, minibatch,
     _ft_masked = len(inspect.signature(fused_target).parameters) >= 3
 
     def epoch_fn(params, opt_state, xs, target, w, mask, scale, n_true, key):
+        # multi-dim targets optimize the per-observation MEAN, matching the
+        # reference (src/iso.jl:185-192 differentiates l / numobs(x)): the
+        # raw sum-loss step is ~batchsize x larger, which drives the ISA
+        # columns past their targets into a collapsed (singular) subspace
+        # within a few iterations.  The 1-D sum-loss calibration is kept —
+        # every committed campaign/golden was trained with it.
         if nb == 1 and bs == nx:
             # full batch: shuffling is a no-op for the gradient; skipping
             # the permutation also avoids a gather (keeps sharded data
@@ -83,12 +89,13 @@ def make_fused_run(apply, opt, fused_target, d, minibatch,
             # duplicates, so the loss equals the unpadded sum exactly.
             def lossf(p):
                 pred = apply(p, xs)
-                return jnp.sum(((pred - target) * w) ** 2 * mask[:, None])
+                l = jnp.sum(((pred - target) * w) ** 2 * mask[:, None])
+                return l / n_true if d > 1 else l
 
             l, g = jax.value_and_grad(lossf)(params)
             updates, opt_state = opt.update(g, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, l / n_true
+            return params, opt_state, (l if d > 1 else l / n_true)
 
         perm = jax.random.permutation(key, nx)[:nb * bs].reshape(nb, bs)
 
@@ -100,7 +107,8 @@ def make_fused_run(apply, opt, fused_target, d, minibatch,
             # magnitude to the unpadded sum over bs real rows
             def lossf(p):
                 pred = apply(p, x)
-                return jnp.sum(((pred - y) * w) ** 2 * m[:, None]) * scale
+                l = jnp.sum(((pred - y) * w) ** 2 * m[:, None]) * scale
+                return l / bs if d > 1 else l
 
             l, g = jax.value_and_grad(lossf)(params)
             updates, opt_state = opt.update(g, opt_state, params)
@@ -108,7 +116,8 @@ def make_fused_run(apply, opt, fused_target, d, minibatch,
             return (params, opt_state), l
 
         (params, opt_state), ls = jax.lax.scan(batch_step, (params, opt_state), perm)
-        return params, opt_state, jnp.sum(ls) / nx
+        loss_rep = jnp.sum(ls) * (bs if d > 1 else 1) / nx
+        return params, opt_state, loss_rep
 
     @jax.jit
     def run(params, opt_state, xs, ys, yw, mask, n_true, key):
@@ -482,15 +491,19 @@ class Iso:
         @jax.jit
         def epoch(params, opt_state, xs, target, w, mask, n_true, key):
             scale = nx / n_true
+            # multi-dim targets optimize the per-observation mean (matches
+            # the reference src/iso.jl:185-192; see make_fused_run)
+            d = target.shape[-1]
             if nb == 1 and bs == nx:
                 def lossf(p):
                     pred = apply(p, xs)
-                    return jnp.sum(((pred - target) * w) ** 2 * mask[:, None])
+                    l = jnp.sum(((pred - target) * w) ** 2 * mask[:, None])
+                    return l / n_true if d > 1 else l
 
                 l, g = jax.value_and_grad(lossf)(params)
                 updates, opt_state = opt.update(g, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                return params, opt_state, l / n_true
+                return params, opt_state, (l if d > 1 else l / n_true)
 
             perm = jax.random.permutation(key, nx)[:nb * bs].reshape(nb, bs)
 
@@ -500,7 +513,8 @@ class Iso:
 
                 def lossf(p):
                     pred = apply(p, x)
-                    return jnp.sum(((pred - y) * w) ** 2 * m[:, None]) * scale
+                    l = jnp.sum(((pred - y) * w) ** 2 * m[:, None]) * scale
+                    return l / bs if d > 1 else l
 
                 l, g = jax.value_and_grad(lossf)(params)
                 updates, opt_state = opt.update(g, opt_state, params)
@@ -508,7 +522,8 @@ class Iso:
                 return (params, opt_state), l
 
             (params, opt_state), ls = jax.lax.scan(batch_step, (params, opt_state), perm)
-            return params, opt_state, jnp.sum(ls) / nx
+            loss_rep = jnp.sum(ls) * (bs if d > 1 else 1) / nx
+            return params, opt_state, loss_rep
 
         self._jit_cache[cache_key] = epoch
         return epoch

@@ -132,15 +132,12 @@ def test_multichi_subspace_R_rederives(multi):
     # the recorded honest negative: psi_2 is NOT contained in the
     # learned 5-D invariant subspace (stored R from the full-frame
     # computation; the npz carries a 1-in-10 stride of the same arrays)
+    from isokann_tpu.analysis.msm import containment_R
+
     chi = np.asarray(multi["chi"], np.float64)
     ref = np.asarray(multi["ref"], np.float64)
-    fin = np.isfinite(ref)
-    assert fin.mean() > 0.95
-    A = np.concatenate([np.ones((int(fin.sum()), 1)), chi[fin]], axis=1)
-    coef, *_ = np.linalg.lstsq(A, ref[fin], rcond=None)
-    ssr = float(((ref[fin] - A @ coef) ** 2).sum())
-    sst = float(((ref[fin] - ref[fin].mean()) ** 2).sum())
-    R = float(np.sqrt(max(0.0, 1.0 - ssr / sst)))
+    R, finfrac = containment_R(ref, chi)
+    assert finfrac > 0.95
     assert abs(R - float(multi["subspace_R_psi2"])) < 0.02, \
         (R, float(multi["subspace_R_psi2"]))
     # and it stays an honest negative: far below the 0.95 acceptance
@@ -160,18 +157,9 @@ def test_multichi_variational_dominance(multi):
     orig = idx * sstep
     ok = ((orig // n_frames) == ((orig + slag * sstep) // n_frames)) \
         & (idx + slag < len(chi))
-    a, b = chi[idx[ok]], chi[idx[ok] + slag]
-    mu = np.concatenate([a, b]).mean(axis=0)
-    a, b = a - mu, b - mu
-    n = len(a)
-    C0 = (a.T @ a + b.T @ b) / (2.0 * n)
-    Ct = (a.T @ b) / n
-    Ct = 0.5 * (Ct + Ct.T)
-    s, U = np.linalg.eigh(C0)
-    keep = s > 1e-10 * s.max()
-    Wm = U[:, keep] / np.sqrt(s[keep])
-    M = Wm.T @ Ct @ Wm
-    gev = np.sort(np.linalg.eigvalsh(0.5 * (M + M.T)))[::-1]
+    from isokann_tpu.analysis.msm import subspace_spectrum
+
+    gev, _, _ = subspace_spectrum(chi[idx[ok]], chi[idx[ok] + slag])
     lam2 = float(np.asarray(multi["msm_eigvals"], np.float64)[1])
     assert 0.7 < lam2 < 0.8  # the helix-coil anchor eigenvalue
     # three modes at >= 0.94, i.e. timescales >= ~4 ns at the 250 ps

@@ -181,3 +181,28 @@ def test_residual_diagnostics():
     assert np.all(np.isfinite(r1["relres"]))
     assert np.all(np.isfinite(r2["relres"]))
     assert np.all(np.isfinite(r3["relres"]))
+
+
+def test_isa_multidim_trains_stably():
+    """Regression: the canonical multi-dim entry point
+    (``Iso(sim=Triplewell(), nout=3)``, reference quickstart for ISA)
+    used to collapse within ~4 iterations — the optimized loss was the
+    raw SUM over observations while the reference differentiates
+    ``l / numobs(x)`` (src/iso.jl:185-192), so every multi-dim step was
+    ~batchsize x too large and drove the ISA subspace singular
+    (DomainError).  Multi-dim targets now optimize the per-observation
+    mean; 1-D training keeps its (battle-tested) sum calibration."""
+    import isokann_tpu as itk
+
+    iso = itk.Iso(sim=itk.Triplewell(), nout=3)
+    iso.run(60)  # used to raise DomainError at iteration ~4
+    losses = np.asarray(iso.losses, np.float64)
+    assert np.isfinite(losses).all()
+    # training moves toward the target rather than past it
+    assert losses[-5:].mean() < losses[:5].mean()
+    chi = np.asarray(iso.chicoords(
+        jnp.asarray(np.asarray(iso.data.coords))))
+    assert np.isfinite(chi).all()
+    # ISA memberships head toward a partition of unity: row sums
+    # concentrate near 1 long before the simplex converges
+    assert abs(float(chi.sum(axis=1).mean()) - 1.0) < 0.25

@@ -88,3 +88,56 @@ def test_trpcage_golden_regression():
     corr_stored, _ = chi_msm_correlation(chi, cv_x, stored)
     assert corr == pytest.approx(corr_stored, abs=1e-8)
     assert coverage == 1.0
+
+
+# ---- subspace diagnostics (containment_R / subspace_spectrum) ----------
+
+def test_containment_R_basics():
+    from isokann_tpu.analysis.msm import containment_R
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    slow = rng.standard_normal(n)
+    noise = rng.standard_normal((n, 2))
+    # basis mixes the target with noise through an invertible map:
+    # the span contains it, so R -> 1 even though no column does
+    M = np.array([[0.5, 1.0, -0.3], [0.8, -0.2, 0.4], [0.1, 0.7, 0.9]])
+    basis = np.stack([slow, noise[:, 0], noise[:, 1]], axis=1) @ M.T
+    basis = np.concatenate([basis, rng.standard_normal((n, 1))], axis=1)
+    R, finfrac = containment_R(2.0 * slow - 1.0, basis)
+    assert finfrac == 1.0
+    assert R > 0.999
+    # an independent series is not contained
+    R0, _ = containment_R(rng.standard_normal(n), basis)
+    assert R0 < 0.1
+    # 1-D basis reduces to |corr|
+    x = rng.standard_normal(n)
+    y = 0.6 * x + 0.8 * rng.standard_normal(n)
+    R1, _ = containment_R(y, x)
+    assert R1 == pytest.approx(abs(np.corrcoef(x, y)[0, 1]), abs=1e-12)
+    # non-finite ref entries are masked, not propagated
+    yn = y.copy()
+    yn[::7] = np.nan
+    Rn, fr = containment_R(yn, x)
+    assert 0.8 < fr < 0.9 and np.isfinite(Rn)
+
+
+def test_subspace_spectrum_recovers_mode_ladder():
+    from isokann_tpu.analysis.msm import subspace_spectrum
+
+    rng = np.random.default_rng(5)
+    n, rho = 40000, np.array([0.9, 0.4, 0.0])
+    z = rng.standard_normal((n, 3))
+    zlag = rho * z + np.sqrt(1 - rho ** 2) * rng.standard_normal((n, 3))
+    # observe through a non-orthogonal mixing (a trained multi-dim chi
+    # never exposes the modes axis-aligned)
+    A = np.array([[1.0, 0.3, -0.2], [0.5, -1.0, 0.4], [0.2, 0.6, 1.0]])
+    lam, V, mu = subspace_spectrum(z @ A.T, zlag @ A.T)
+    assert lam.shape == (3,)
+    assert lam[0] == pytest.approx(0.9, abs=0.03)
+    assert lam[1] == pytest.approx(0.4, abs=0.03)
+    assert abs(lam[2]) < 0.03
+    # the slow combination recovers the rho=0.9 latent mode
+    proj = (z @ A.T - mu) @ V[:, 0]
+    corr = abs(np.corrcoef(proj, z[:, 0])[0, 1])
+    assert corr > 0.99

@@ -125,12 +125,8 @@ def main():
     fin = np.isfinite(ref)
 
     # ---- is psi_2 contained in the learned subspace? ---------------------
-    A = np.concatenate([np.ones((fin.sum(), 1)), chi[fin]], axis=1)
-    coef, *_ = np.linalg.lstsq(A, ref[fin], rcond=None)
-    fit = A @ coef
-    ssr = float(((ref[fin] - fit) ** 2).sum())
-    sst = float(((ref[fin] - ref[fin].mean()) ** 2).sum())
-    R = float(np.sqrt(max(0.0, 1.0 - ssr / sst)))
+    from isokann_tpu.analysis.msm import containment_R
+    R = containment_R(ref, chi)[0]
 
     # per-column 1-D stats
     cols = []

@@ -42,12 +42,8 @@ from trpcage_golden import ca_pairdists  # noqa: E402
 
 def containment(ref, basis):
     """Multiple correlation of ref on span{1, basis columns}."""
-    import numpy as np
-    A = np.concatenate([np.ones((len(basis), 1)), basis], axis=1)
-    coef, *_ = np.linalg.lstsq(A, ref, rcond=None)
-    ssr = float(((ref - A @ coef) ** 2).sum())
-    sst = float(((ref - ref.mean()) ** 2).sum())
-    return float(np.sqrt(max(0.0, 1.0 - ssr / sst)))
+    from isokann_tpu.analysis.msm import containment_R
+    return containment_R(ref, basis)[0]
 
 
 def main():
@@ -202,19 +198,9 @@ def main():
             wlk = orig // nF
             ok = (wlk == ((orig + slag * sstep) // nF)) & \
                  (idx + slag < len(chi_s))
-            a = chi_s[idx[ok]]
-            b = chi_s[idx[ok] + slag]
-            mu_c = np.concatenate([a, b]).mean(axis=0)
-            a, b = a - mu_c, b - mu_c
-            n = len(a)
-            C0 = (a.T @ a + b.T @ b) / (2.0 * n)
-            Ct = (a.T @ b) / n
-            Ct = 0.5 * (Ct + Ct.T)
-            s, U = np.linalg.eigh(C0)
-            keep = s > 1e-10 * s.max()
-            Wm = U[:, keep] / np.sqrt(s[keep])
-            M = Wm.T @ Ct @ Wm
-            gev = np.sort(np.linalg.eigvalsh(0.5 * (M + M.T)))[::-1]
+            from isokann_tpu.analysis.msm import subspace_spectrum
+            gev, _, _ = subspace_spectrum(chi_s[idx[ok]],
+                                          chi_s[idx[ok] + slag])
             chi_gev = gev.tolist()
 
     row = dict(
