@@ -76,12 +76,13 @@ def make_fused_run(apply, opt, fused_target, d, minibatch,
     _ft_masked = len(inspect.signature(fused_target).parameters) >= 3
 
     def epoch_fn(params, opt_state, xs, target, w, mask, scale, n_true, key):
-        # multi-dim targets optimize the per-observation MEAN, matching the
-        # reference (src/iso.jl:185-192 differentiates l / numobs(x)): the
-        # raw sum-loss step is ~batchsize x larger, which drives the ISA
-        # columns past their targets into a collapsed (singular) subspace
-        # within a few iterations.  The 1-D sum-loss calibration is kept —
-        # every committed campaign/golden was trained with it.
+        # ALL targets optimize the per-observation MEAN, matching the
+        # reference (src/iso.jl:185-192 differentiates l / numobs(x)).
+        # Round 4 unified d>1 (the raw sum-loss step is ~batchsize x
+        # larger, collapsing ISA); round 5 unified d=1 too, removing the
+        # last objective-scale divergence from the reference AND the
+        # single-chip/sharded inconsistency (parallel/mesh.py always
+        # mean-normalized).  See docs/migration.md "loss normalization".
         if nb == 1 and bs == nx:
             # full batch: shuffling is a no-op for the gradient; skipping
             # the permutation also avoids a gather (keeps sharded data
@@ -90,12 +91,12 @@ def make_fused_run(apply, opt, fused_target, d, minibatch,
             def lossf(p):
                 pred = apply(p, xs)
                 l = jnp.sum(((pred - target) * w) ** 2 * mask[:, None])
-                return l / n_true if d > 1 else l
+                return l / n_true
 
             l, g = jax.value_and_grad(lossf)(params)
             updates, opt_state = opt.update(g, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, (l if d > 1 else l / n_true)
+            return params, opt_state, l
 
         perm = jax.random.permutation(key, nx)[:nb * bs].reshape(nb, bs)
 
@@ -108,7 +109,7 @@ def make_fused_run(apply, opt, fused_target, d, minibatch,
             def lossf(p):
                 pred = apply(p, x)
                 l = jnp.sum(((pred - y) * w) ** 2 * m[:, None]) * scale
-                return l / bs if d > 1 else l
+                return l / bs
 
             l, g = jax.value_and_grad(lossf)(params)
             updates, opt_state = opt.update(g, opt_state, params)
@@ -116,7 +117,7 @@ def make_fused_run(apply, opt, fused_target, d, minibatch,
             return (params, opt_state), l
 
         (params, opt_state), ls = jax.lax.scan(batch_step, (params, opt_state), perm)
-        loss_rep = jnp.sum(ls) * (bs if d > 1 else 1) / nx
+        loss_rep = jnp.sum(ls) * bs / nx
         return params, opt_state, loss_rep
 
     @jax.jit
@@ -491,19 +492,18 @@ class Iso:
         @jax.jit
         def epoch(params, opt_state, xs, target, w, mask, n_true, key):
             scale = nx / n_true
-            # multi-dim targets optimize the per-observation mean (matches
-            # the reference src/iso.jl:185-192; see make_fused_run)
-            d = target.shape[-1]
+            # all targets optimize the per-observation mean (matches the
+            # reference src/iso.jl:185-192; see make_fused_run)
             if nb == 1 and bs == nx:
                 def lossf(p):
                     pred = apply(p, xs)
                     l = jnp.sum(((pred - target) * w) ** 2 * mask[:, None])
-                    return l / n_true if d > 1 else l
+                    return l / n_true
 
                 l, g = jax.value_and_grad(lossf)(params)
                 updates, opt_state = opt.update(g, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                return params, opt_state, (l if d > 1 else l / n_true)
+                return params, opt_state, l
 
             perm = jax.random.permutation(key, nx)[:nb * bs].reshape(nb, bs)
 
@@ -514,7 +514,7 @@ class Iso:
                 def lossf(p):
                     pred = apply(p, x)
                     l = jnp.sum(((pred - y) * w) ** 2 * m[:, None]) * scale
-                    return l / bs if d > 1 else l
+                    return l / bs
 
                 l, g = jax.value_and_grad(lossf)(params)
                 updates, opt_state = opt.update(g, opt_state, params)
@@ -522,7 +522,7 @@ class Iso:
                 return (params, opt_state), l
 
             (params, opt_state), ls = jax.lax.scan(batch_step, (params, opt_state), perm)
-            loss_rep = jnp.sum(ls) * (bs if d > 1 else 1) / nx
+            loss_rep = jnp.sum(ls) * bs / nx
             return params, opt_state, loss_rep
 
         self._jit_cache[cache_key] = epoch

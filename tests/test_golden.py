@@ -134,20 +134,20 @@ def test_triplewell_isa_memberships():
         f"wells not separated: {cw}"
 
 
-def _mueller_brown_golden(nx=80, ny=80):
-    """Second eigenfunction of the 2-D Mueller-Brown generator via sparse
-    FD + shift-invert eigs (reflecting boundaries)."""
-    import scipy.sparse as sp
-    import scipy.sparse.linalg as spla
-    from isokann_tpu.simulators.langevin import mueller_brown
+def _generator_2d(potential, xs, ys, D):
+    """Sparse FD generator of a 2-D overdamped diffusion
+    L = -grad V . grad + D laplace with reflecting boundaries.
 
-    xs = np.linspace(-1.4, 1.1, nx)
-    ys = np.linspace(-0.25, 2.0, ny)
+    Returns ``(L (csr, n*n), pts (n*n, 2))`` with row-major (i*ny+j)
+    ordering.  Same discretization as the 1-D ``generator_matrix``
+    above: central drift in the interior, one-sided at walls."""
+    import scipy.sparse as sp
+
+    nx, ny = len(xs), len(ys)
     hx, hy = xs[1] - xs[0], ys[1] - ys[0]
-    D = 7.0 ** 2 / 2
     X, Y = np.meshgrid(xs, ys, indexing="ij")
     pts = np.stack([X.ravel(), Y.ravel()], 1)
-    gradV = jax.vmap(jax.grad(mueller_brown))(jnp.asarray(pts, jnp.float32))
+    gradV = jax.vmap(jax.grad(potential))(jnp.asarray(pts, jnp.float32))
     bx = -np.asarray(gradV)[:, 0].reshape(nx, ny)
     by = -np.asarray(gradV)[:, 1].reshape(nx, ny)
 
@@ -191,6 +191,18 @@ def _mueller_brown_golden(nx=80, ny=80):
             add(i, j, i, j, diag)
 
     L = sp.coo_matrix((vals, (rows, cols)), shape=(nx * ny, nx * ny)).tocsr()
+    return L, pts
+
+
+def _mueller_brown_golden(nx=80, ny=80):
+    """Second eigenfunction of the 2-D Mueller-Brown generator via sparse
+    FD + shift-invert eigs (reflecting boundaries)."""
+    import scipy.sparse.linalg as spla
+    from isokann_tpu.simulators.langevin import mueller_brown
+
+    xs = np.linspace(-1.4, 1.1, nx)
+    ys = np.linspace(-0.25, 2.0, ny)
+    L, pts = _generator_2d(mueller_brown, xs, ys, 7.0 ** 2 / 2)
     w, v = spla.eigs(L, k=3, sigma=0.1, which="LM")
     order = np.argsort(-np.real(w))
     phi = np.real(v[:, order[1]])
@@ -214,3 +226,90 @@ def test_mueller_brown_chi_matches_eigenfunction():
     mask = V < V.min() + 100.0
     r = abs(np.corrcoef(chi[mask], phi[mask])[0, 1])
     assert r > 0.98, f"MB chi correlation {r:.4f}"
+
+
+# ==========================================================================
+# Multi-dimensional (ISA) golden anchor: Triplewell psi_2, psi_3
+# ==========================================================================
+
+def _bilinear(gx, gy, grid_vals, q):
+    """Bilinear interpolation of a row-major (len(gx)*len(gy),) grid field
+    at query points q (n, 2)."""
+    nx, ny = len(gx), len(gy)
+    g = grid_vals.reshape(nx, ny)
+    fx = np.clip((q[:, 0] - gx[0]) / (gx[1] - gx[0]), 0, nx - 1.001)
+    fy = np.clip((q[:, 1] - gy[0]) / (gy[1] - gy[0]), 0, ny - 1.001)
+    i0, j0 = fx.astype(int), fy.astype(int)
+    tx, ty = fx - i0, fy - j0
+    return (g[i0, j0] * (1 - tx) * (1 - ty) + g[i0 + 1, j0] * tx * (1 - ty)
+            + g[i0, j0 + 1] * (1 - tx) * ty + g[i0 + 1, j0 + 1] * tx * ty)
+
+
+def _triplewell_golden(nx=100, ny=100):
+    """psi_2, psi_3 of the default Triplewell (sigma=1) generator on its
+    support box, via sparse FD + shift-invert eigs.
+
+    Spectrum at this discretization: exp(w tau) at tau=1 is
+    [1, 0.965, 0.548, 0.023, ...] — span{psi_2, psi_3} is separated from
+    the rest by a ~24x eigenvalue gap, so the 3-D ISOKANN chi (whose ISA
+    fixed point spans {1, psi_2, psi_3}, reference src/isotarget.jl:70-107)
+    has a well-conditioned exact target subspace."""
+    import scipy.sparse.linalg as spla
+    from isokann_tpu.simulators.langevin import triplewell
+
+    gx = np.linspace(-2.0, 2.0, nx)
+    gy = np.linspace(-1.5, 2.5, ny)
+    L, pts = _generator_2d(triplewell, gx, gy, 1.0 ** 2 / 2)
+    w, v = spla.eigs(L, k=4, sigma=0.02, which="LM")
+    order = np.argsort(-np.real(w))
+    w = np.real(w[order])
+    psi = np.real(v[:, order])
+    # sanity of the golden solution itself
+    assert abs(w[0]) < 1e-8                    # invariant measure
+    assert w[2] > 5 * w[3]                     # gap below psi_3 (w negative)
+    return gx, gy, psi, w
+
+
+def test_triplewell_multidim_subspace_golden():
+    """Quantitative N-D golden anchor (the ISA counterpart of the 1-D
+    doublewell/MB anchors): a 3-output chi trained with TransformISA on
+    the default Triplewell must
+
+      (a) contain the exact generator eigenfunctions psi_2 AND psi_3 in
+          span{1, chi_1..chi_3} with multiple correlation R >= 0.95,
+      (b) form a partition of unity (rows sum to 1), and
+      (c) localize each chi column on a distinct well (ISA vertex
+          structure).
+
+    Reference: TransformISA src/isotarget.jl:70-107 (the default N-D
+    transform).  The model is a fixed-width 32-unit densenet: the default
+    low-dim smallnet (8 units, reference src/models.jl:102-108) is
+    capacity-limited on this anchor (R(psi_3) plateaus ~0.93); with 32
+    units the acceptance is robust across seeds (R >= 0.998 for keys
+    0/1/3 at this exact configuration)."""
+    from isokann_tpu import Triplewell, DomainError
+    from isokann_tpu.analysis.msm import containment_R
+    from isokann_tpu.models import densenet
+
+    gx, gy, psi, w = _triplewell_golden()
+    model = densenet([2, 32, 32, 32, 3], "sigmoid", "identity", False,
+                     jax.random.PRNGKey(100))
+    iso = Iso(sim=Triplewell(), nx=1024, nk=64, nout=3, key=0,
+              minibatch=256, model=model, opt=AdamRegularized(1e-3, 1e-5))
+    iso.run(1500)
+
+    chi = np.asarray(iso.chis())                       # (1024, 3)
+    samp = np.asarray(iso.data.coords)
+    R2, _ = containment_R(_bilinear(gx, gy, psi[:, 1], samp), chi)
+    R3, _ = containment_R(_bilinear(gx, gy, psi[:, 2], samp), chi)
+    assert R2 >= 0.95, f"psi_2 containment R={R2:.4f}"
+    assert R3 >= 0.95, f"psi_3 containment R={R3:.4f}"
+
+    rowsum = chi.sum(axis=1)
+    assert rowsum.mean() == pytest.approx(1.0, abs=0.05)
+    assert rowsum.std() < 0.1
+
+    wells = jnp.asarray([[-1.0, 0.0], [1.0, 0.0], [0.0, 5.0 / 3.0]])
+    cw = np.asarray(iso.chicoords(wells))
+    assert sorted(np.argmax(cw, axis=1).tolist()) == [0, 1, 2], \
+        f"wells not separated: {cw}"
