@@ -129,6 +129,17 @@ def measure_verlet(nwalk=4, steps=100, small=False, skin=0.2,
                                     skin=skin, rebuild_every=rebuild_every)
         rate, fin = measure_propagate(sim, nwalk, steps=steps, label=mode)
         res[mode] = dict(walker_steps_per_s=rate, finite=fin)
+        plan = getattr(sim, "_nbplan", None)
+        if mode == "cells" and plan is not None:
+            # %-of-peak normalization (VERDICT r4: auditable MFU, not
+            # bare rates) — candidates/atom = stencil cells x slot cap
+            from isokann_tpu.utils.flops import neighbor_sweep_flops, mfu
+            u = mfu(neighbor_sweep_flops(sim.natoms, plan.S * plan.C), rate)
+            res[mode].update(
+                candidates_per_atom=int(plan.S * plan.C),
+                pct_vpu_f32=round(u["pct_vpu_f32"], 5))
+            print(f"[{mode}] {100 * u['pct_vpu_f32']:.2f}% VPU-f32 peak "
+                  f"(candidate-pair flops)")
         if mode == "verlet":
             vp = sim._vplan
             res[mode].update(K=int(vp.K), rebuild_every=int(vp.rebuild_every),
