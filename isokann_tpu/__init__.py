@@ -87,6 +87,7 @@ from .utils import (
     LazyTrajectory, LazyMultiTrajectory,
     savecoords, saveextrema, load_trajectory, save_trajectory,
     phi_psi, ca_rmsd, ReactionCoordsRMSD, standardform,
+    serve_dashboard, livegui, interactive_gui,
 )
 from .md.fixtures import alanine_dipeptide_pdb
 from .data import flattenfirst, flattenlast

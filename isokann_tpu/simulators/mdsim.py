@@ -660,6 +660,15 @@ class MDSimulation(IsoSimulation):
                     jnp.concatenate([o.values for o in outs], axis=0),
                     jnp.concatenate([o.weights for o in outs], axis=0))
             return jnp.concatenate(outs, axis=0)
+        import os as _os
+        scap = int(_os.environ.get("ISOKANN_PROP_STEPS_PER_PROGRAM",
+                                   150_000))
+        if self.bias is None and nsteps > scap:
+            # very long lags (e.g. implied-timescale ladder extensions)
+            # host-stage through the block program: single-scan programs
+            # are validated to ~1.5e5 steps on the current v5e runtime
+            # (class-c faults above, docs/v5e_fault_report.md)
+            return self._propagate_staged(x0, nk, key, nsteps, scap)
         xs = jnp.repeat(x0, nk, axis=0)
         # bucket the walker count to the next power of two: adaptive
         # sampling loops call propagate with ever-changing batch sizes,
@@ -707,6 +716,49 @@ class MDSimulation(IsoSimulation):
             import warnings
             warnings.warn(f"{int(jnp.sum(bad))} walkers diverged after "
                           f"retries; falling back to their start states")
+            ys = jnp.where(bad[:, None], xs[:nw], ys)
+        self._check_cell_overflow(ys)
+        return place_vsites_flat(self.system, ys).reshape(n, nk, d)
+
+    def _propagate_staged(self, x0, nk, key, nsteps, scap):
+        """Koopman bursts at very long lags, staged through the block
+        trajectory program: the lag is split into ceil(nsteps/scap)
+        equal-length host dispatches of ONE compiled block with (x, v)
+        carried across, so the dynamics equals the single-scan program
+        (velocities Maxwell-Boltzmann-drawn once at the lag start, as
+        in `_propagate_fn`) while per-program device work stays within
+        the class-c fault bound (docs/v5e_fault_report.md).  Unbiased
+        only: Girsanov weights accumulate inside the scan, and the lag
+        tools that need these lags never run biased."""
+        from ..md.vsites import place_vsites_flat
+
+        n, d = x0.shape
+        xs = jnp.repeat(jnp.asarray(x0), nk, axis=0)
+        nw = n * nk
+        bucket = max(8, 1 << (nw - 1).bit_length())
+        if bucket != nw:
+            xs = jnp.concatenate(
+                [xs, jnp.tile(xs[-1:], (bucket - nw, 1))], axis=0)
+        nseg = -(-nsteps // scap)
+        seg = -(-nsteps // nseg)               # balanced segments
+        rem = nsteps - seg * (nseg - 1)        # last segment (<= seg)
+        kv, kr = jax.random.split(key)
+        x = xs
+        v = I.maxwell_boltzmann(kv, self.masses3, self.temp, xs.shape)
+        keys = jax.random.split(kr, nseg)
+        block = self._block_fn(bucket, seg, resample_velocities=False)
+        for k in keys[:-1]:
+            x, v = block(x, v, k)
+        last = (block if rem == seg
+                else self._block_fn(bucket, rem, False))
+        x, _ = last(x, v, keys[-1])
+        ys = x[:nw]
+        bad = ~jnp.all(jnp.isfinite(ys), axis=-1)
+        if bool(jnp.any(bad)):
+            import warnings
+            warnings.warn(
+                f"{int(jnp.sum(bad))} walkers diverged in staged long-lag "
+                f"propagation; falling back to their start states")
             ys = jnp.where(bad[:, None], xs[:nw], ys)
         self._check_cell_overflow(ys)
         return place_vsites_flat(self.system, ys).reshape(n, nk, d)

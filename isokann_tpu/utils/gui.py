@@ -48,6 +48,86 @@ def _render(iso, want_rama):
     return out
 
 
+# 3-D molecule panel (reference ``plotmol``, ext/MakieExt.jl:209-310):
+# frames + bonds + per-frame chi served as JSON, rendered by a
+# dependency-free canvas viewer (drag-rotate, frame slider, chi color).
+_MOL_PAGE = """<!doctype html>
+<html><head><title>isokann_tpu molecule</title>
+<style>body{font-family:sans-serif;background:#111;color:#eee;text-align:center}
+canvas{background:#181818;border-radius:6px;margin:8px}</style></head>
+<body><h3>molecule &mdash; frames colored by &chi;</h3>
+<canvas id="cv" width="720" height="540"></canvas><br/>
+frame <input type="range" id="fr" min="0" value="0" style="width:420px"/>
+<span id="lbl"></span>
+<script>
+let D=null,R=[[1,0,0],[0,1,0],[0,0,1]],drag=null;
+const cv=document.getElementById('cv'),ctx=cv.getContext('2d');
+const fr=document.getElementById('fr'),lbl=document.getElementById('lbl');
+function mul(a,b){let c=[[0,0,0],[0,0,0],[0,0,0]];
+ for(let i=0;i<3;i++)for(let j=0;j<3;j++)for(let k=0;k<3;k++)
+  c[i][j]+=a[i][k]*b[k][j];return c;}
+function rot(ax,ay){const ca=Math.cos(ax),sa=Math.sin(ax),
+ cb=Math.cos(ay),sb=Math.sin(ay);
+ return mul([[1,0,0],[0,ca,-sa],[0,sa,ca]],[[cb,0,sb],[0,1,0],[-sb,0,cb]]);}
+function chicolor(t){t=Math.max(0,Math.min(1,t));
+ const r=Math.round(60+195*t),g=Math.round(60+80*(1-Math.abs(t-0.5)*2)),
+ b=Math.round(60+195*(1-t));return `rgb(${r},${g},${b})`;}
+function draw(){if(!D)return;const f=+fr.value,X=D.frames[f],n=X.length;
+ ctx.clearRect(0,0,cv.width,cv.height);
+ let c=[0,0,0];for(const p of X){c[0]+=p[0]/n;c[1]+=p[1]/n;c[2]+=p[2]/n;}
+ let s=0;for(const p of X)s=Math.max(s,Math.hypot(p[0]-c[0],p[1]-c[1],p[2]-c[2]));
+ const sc=0.45*Math.min(cv.width,cv.height)/(s+1e-9);
+ const pr=p=>{const q=[p[0]-c[0],p[1]-c[1],p[2]-c[2]];
+  return [cv.width/2+sc*(R[0][0]*q[0]+R[0][1]*q[1]+R[0][2]*q[2]),
+          cv.height/2-sc*(R[1][0]*q[0]+R[1][1]*q[1]+R[1][2]*q[2]),
+          R[2][0]*q[0]+R[2][1]*q[1]+R[2][2]*q[2]];};
+ const P=X.map(pr),chi=D.chi[f],col=chicolor(D.chi_lo>=D.chi_hi?0.5:
+   (chi-D.chi_lo)/(D.chi_hi-D.chi_lo));
+ ctx.strokeStyle=col;ctx.lineWidth=3;ctx.lineCap='round';
+ for(const[a,b]of D.bonds){ctx.beginPath();ctx.moveTo(P[a][0],P[a][1]);
+  ctx.lineTo(P[b][0],P[b][1]);ctx.stroke();}
+ for(const p of P){ctx.beginPath();
+  ctx.arc(p[0],p[1],Math.max(2,4+p[2]*sc*0.02),0,7);
+  ctx.fillStyle=col;ctx.fill();}
+ lbl.textContent=` ${f+1}/${D.frames.length}  chi=${chi.toFixed(3)}`;}
+cv.onmousedown=e=>drag=[e.clientX,e.clientY];
+window.onmouseup=()=>drag=null;
+window.onmousemove=e=>{if(!drag)return;
+ R=mul(rot((e.clientY-drag[1])*0.01,(e.clientX-drag[0])*0.01),R);
+ drag=[e.clientX,e.clientY];draw();};
+fr.oninput=draw;
+async function load(first){const r=await fetch('/mol.json');D=await r.json();
+ fr.max=D.frames.length-1;if(first)fr.value=fr.max;draw();}
+load(true);setInterval(()=>load(false),5000);
+</script></body></html>"""
+
+
+def _mol_payload(iso, max_frames: int = 120):
+    """Frames + bonds + per-frame chi as a JSON blob for the molecule
+    viewer (the reference colors the molecule by the frame's chi value,
+    ext/MakieExt.jl:209-245)."""
+    import json as _json
+
+    import numpy as np
+
+    X = np.asarray(iso.data.coords, np.float32)
+    if X.shape[0] > max_frames:
+        X = X[-max_frames:]
+    chi = np.asarray(iso.chicoords(X))[:, 0]
+    frames = X.reshape(X.shape[0], -1, 3)
+    sysobj = getattr(iso.data.sim, "system", None)
+    bonds = (np.asarray(sysobj.bond_idx).reshape(-1, 2).tolist()
+             if sysobj is not None and getattr(sysobj, "bond_idx", None)
+             is not None else [])
+    return _json.dumps({
+        "frames": np.round(frames, 4).tolist(),
+        "bonds": bonds,
+        "chi": chi.tolist(),
+        "chi_lo": float(chi.min()),
+        "chi_hi": float(chi.max()),
+    }).encode()
+
+
 def serve_dashboard(iso, port: int = 8000, refresh: int = 3,
                     host: str = "127.0.0.1"):
     """Serve the live dashboard at http://localhost:<port>/ (background
@@ -239,10 +319,14 @@ class InteractiveGui:
                                     else "warming up"))
                     imgs = ('<img src="/training.png"/>' if iso is not None
                             and iso.losses else "")
+                    mol = ('<p><a href="/mol" style="color:#8cf">live 3-D '
+                           'molecule (chi-colored)</a></p>'
+                           if iso is not None and iso.losses else "")
                     body = _PAGE.format(refresh=refresh,
                                         status=status + form,
-                                        rama=imgs and
-                                        '<img src="/rama.png"/>' or "")
+                                        rama=(imgs and
+                                              '<img src="/rama.png"/>' or "")
+                                        + mol)
                     body = body.replace('<img src="/training.png"/><br/>',
                                         imgs + "<br/>")
                     self.send_response(200)
@@ -259,6 +343,22 @@ class InteractiveGui:
                             data = b""
                     self.send_response(200 if data else 404)
                     self.send_header("Content-Type", "image/png")
+                    self.end_headers()
+                    self.wfile.write(data)
+                elif self.path == "/mol":
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.end_headers()
+                    self.wfile.write(_MOL_PAGE.encode())
+                elif self.path == "/mol.json":
+                    data = b""
+                    if iso is not None:
+                        try:
+                            data = _mol_payload(iso)
+                        except Exception:
+                            data = b""
+                    self.send_response(200 if data else 404)
+                    self.send_header("Content-Type", "application/json")
                     self.end_headers()
                     self.wfile.write(data)
                 else:

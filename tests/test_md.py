@@ -162,6 +162,25 @@ class TestMDSimulation:
         assert ys.shape == (3, 2, 66)
         assert np.all(np.isfinite(np.asarray(ys)))
 
+    def test_propagate_staged_long_lag(self, key, monkeypatch):
+        """Lags above ISOKANN_PROP_STEPS_PER_PROGRAM host-stage through
+        the block program (class-c fault bound): same shape/finiteness
+        and thermally sane displacements as the single-scan path."""
+        from isokann_tpu import MDSimulation
+        sim = MDSimulation(steps=10)
+        x0 = jnp.tile(sim.coords[None, :], (3, 1))
+        y_ref = np.asarray(sim.propagate(x0, 2, key=key, steps=100))
+        monkeypatch.setenv("ISOKANN_PROP_STEPS_PER_PROGRAM", "40")
+        ys = sim.propagate(x0, 2, key=key, steps=100)   # 3 dispatches
+        ys = np.asarray(ys)
+        assert ys.shape == (3, 2, 66)
+        assert np.isfinite(ys).all()
+        # staged noise differs from the fused scan, but the thermal
+        # displacement scale must match (same dynamics, 0.2 ps)
+        d_ref = np.linalg.norm((y_ref - np.asarray(x0)[:, None]), axis=-1)
+        d_st = np.linalg.norm((ys - np.asarray(x0)[:, None]), axis=-1)
+        assert 0.3 < d_st.mean() / d_ref.mean() < 3.0
+
     def test_trajectory_and_lagged(self, key):
         from isokann_tpu import MDSimulation
         sim = MDSimulation(steps=10)

@@ -140,6 +140,16 @@ def test_interactive_gui_controls():
         urllib.request.urlopen(urllib.request.Request(
             f"http://127.0.0.1:{port}/control", data=data), timeout=10)
         assert not gui.running
+        # 3-D molecule panel (reference plotmol, ext/MakieExt.jl:209-310):
+        # viewer page + frames/bonds/chi JSON
+        import json
+        mol = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/mol", timeout=10).read().decode()
+        assert "canvas" in mol and "mol.json" in mol
+        d = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/mol.json", timeout=30).read())
+        assert len(d["frames"]) == len(d["chi"]) > 0
+        assert len(d["frames"][0]) == 22 and len(d["bonds"]) == 21
     finally:
         gui.shutdown()
 
