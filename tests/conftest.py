@@ -43,11 +43,20 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+FULL_SUITE = os.environ.get("ISOKANN_FULL_SUITE") == "1"
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers",
         "tpu: hardware lane — runs only under ISOKANN_TPU_LANE=1 on a "
         "real TPU (one process at a time)")
+    config.addinivalue_line(
+        "markers",
+        "slow: expensive golden re-derivations / campaign-artifact "
+        "checks — excluded from the default gate; run the FULL suite "
+        "with ISOKANN_FULL_SUITE=1 (nightly tier) or select them with "
+        "-m slow")
     if TPU_LANE and (config.option.markexpr or "") != "tpu":
         # never let the full CPU suite loose on the single-tenant chip
         # (exact match: substring checks would accept "not tpu")
@@ -61,6 +70,15 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if "tpu" in item.keywords:
             item.add_marker(skip)
+    # two-tier gate: `pytest tests/` = fast default (~<10 min); slow tier
+    # runs when explicitly selected (-m ...) or ISOKANN_FULL_SUITE=1
+    if FULL_SUITE or config.option.markexpr:
+        return
+    skip_slow = pytest.mark.skip(
+        reason="slow tier (ISOKANN_FULL_SUITE=1 or -m slow)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
 
 
 @pytest.fixture(autouse=True)

@@ -104,6 +104,7 @@ def test_cmap_force_matches_autodiff():
     np.testing.assert_allclose(f.sum(0), 0.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_cmap_in_full_energy_and_terms():
     grid = _grid(lambda p, s: np.cos(p) + np.cos(s))
     sys = _toy([grid])

@@ -200,6 +200,7 @@ def test_ljpme_traced_box_matches_static(solvated):
     assert e1 == pytest.approx(e0, abs=0.05 + 1e-5 * abs(e0))
 
 
+@pytest.mark.slow
 def test_ljpme_sparse_matches_dense(solvated):
     """O(n) neighbor-engine LJPME == dense all-pairs LJPME (energy and
     analytic-vs-autodiff forces)."""

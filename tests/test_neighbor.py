@@ -83,6 +83,7 @@ def test_total_matches_dense(solvated, xcoords):
     assert abs(e_ref - e_new) / abs(e_ref) < 1e-5
 
 
+@pytest.mark.slow
 def test_sparse_only_build_routes(solvated, xcoords):
     """A dense_pairs=False build of the same structure produces identical
     forces through the public force_flat/potential_energy entry points."""
@@ -101,6 +102,7 @@ def test_sparse_only_build_routes(solvated, xcoords):
     assert abs(e_ref - e_new) / abs(e_ref) < 1e-5
 
 
+@pytest.mark.slow
 def test_sparse_simulation_dynamics(monkeypatch):
     """MDSimulation auto-switches to the neighbor engine above the
     threshold; short constrained dynamics stays finite with rigid water."""
@@ -139,6 +141,7 @@ def test_pallas_sweep_matches_xla(solvated, xcoords):
     assert np.abs(f_ref - f_new).max() / np.abs(f_ref).max() < 1e-5
 
 
+@pytest.mark.slow
 def test_pallas_sweep_newton_matches_xla():
     """Newton (half-stencil + inverse-permutation reaction) kernel parity
     on a box with >= 5 cells per dim."""

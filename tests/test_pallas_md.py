@@ -36,6 +36,7 @@ def test_atan2_poly_matches_numpy():
     assert np.max(np.abs(a - b)) < 1e-5
 
 
+@pytest.mark.slow
 def test_forces_match_autodiff(sim, xs):
     """The hand-derived difference-vector gradients must equal jax.grad of
     the XLA energy."""
@@ -127,6 +128,7 @@ class TestAnalyticGBSA:
             lambda z: nonbonded_force_direct(s, z))(xs.reshape(-1, 22, 3)))
         assert np.abs(ref - new).max() / np.abs(ref).max() < 1e-5
 
+    @pytest.mark.slow
     def test_obc2_force(self, gbsys, xs):
         from isokann_tpu.md.gbsa_force import obc2_force
         s = gbsys.system
@@ -172,6 +174,7 @@ class TestGBKernel:
     def test_alanine_nocutoff(self):
         self._check(itk.MDSimulation(steps=5, method="NoCutoff"))
 
+    @pytest.mark.slow
     def test_triangular_multitile_obc2(self):
         """The upper-triangle tiled variant on a >2-tile system (villin,
         Ap=640 -> 5x5 tiles): symmetric-coefficient row+column
@@ -179,6 +182,7 @@ class TestGBKernel:
         self._check(itk.MDSimulation(pdb="out/villin.pdb", steps=5,
                                      implicit="obc2"), nb=2, tri=True)
 
+    @pytest.mark.slow
     def test_medium_peptide_obc2(self, tmp_path):
         """>128 padded atoms exercises the multi-chunk J loop."""
         from isokann_tpu.md.fixtures import peptide_pdb
@@ -216,6 +220,7 @@ def test_cterm_gromacs_oxygen_names(tmp_path):
     assert np.allclose(np.asarray(s_std.charges), np.asarray(s_gmx.charges))
 
 
+@pytest.mark.slow
 def test_gb_kernel_periodic_minimum_image():
     """The VMEM kernel's minimum-image path matches the XLA periodic
     reaction-field force (pad atoms masked by index validity)."""
@@ -248,6 +253,7 @@ class TestGirsanovKernel:
         n = gsim.natoms * (gsim.natoms - 1) // 2
         return pairnet(n=n, key=jax.random.PRNGKey(3))
 
+    @pytest.mark.slow
     def test_chi_grad_matches_autodiff(self, gsim, model):
         from isokann_tpu.md.pallas_md import ChiBiasPlan, make_chi_grad_fn
         from isokann_tpu.models import mlp_apply
@@ -284,6 +290,7 @@ class TestGirsanovKernel:
         scale = np.abs(np.asarray(ref_g)).max()
         assert np.abs(np.asarray(gf) - np.asarray(ref_g).T).max() / scale < 1e-4
 
+    @pytest.mark.slow
     def test_kernel_matches_noiseless_aboba(self, gsim, model):
         """Interpret-mode (noiseless) kernel == the ABOBA+Girsanov recursion
         with eta = 0, with the optcontrol bias computed by autodiff."""

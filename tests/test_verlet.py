@@ -6,6 +6,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# full validations of the opt-in (TPU-rejected) Verlet neighbor mode:
+# slow tier; the fast gate keeps cells-mode coverage (test_neighbor)
+pytestmark = pytest.mark.slow
+
 import isokann_tpu as itk
 from isokann_tpu.md.neighbor import NeighborPlan, force_neighbor
 from isokann_tpu.md.verlet import (VerletPlan, build_lists, force_verlet,
