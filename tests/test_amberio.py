@@ -63,6 +63,7 @@ def test_prmtop_roundtrip_vacuum(ala, tmp_path):
     _compare_terms(sys, sys2, x)
 
 
+@pytest.mark.slow
 def test_prmtop_roundtrip_gb(tmp_path):
     pdb = alanine_dipeptide_pdb()
     sys = build_system(pdb, implicit="obc2")

@@ -165,6 +165,7 @@ def test_reactionpath_minimum(trained_iso):
     assert chis.max() - chis.min() > 0.25
 
 
+@pytest.mark.slow
 def test_reactionpath_ode(trained_iso):
     from isokann_tpu.analysis import reactionpath_ode
     path = np.asarray(reactionpath_ode(trained_iso, jnp.asarray([0.1]),

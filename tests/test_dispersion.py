@@ -77,6 +77,7 @@ def test_sign_and_volume_scaling(solvated):
     assert e2 == pytest.approx(e1 / 8.0, rel=1e-5)
 
 
+@pytest.mark.slow
 def test_total_energy_includes_term_both_paths(solvated):
     """potential_energy (dense) and the O(n) neighbor path both add the
     same scalar: with-vs-without difference == the closed form."""

@@ -122,6 +122,7 @@ def test_pme_system_builds(solvated_pme):
     assert s.ewald_kvecs.shape[0] == s.ewald_coefs.shape[0]
 
 
+@pytest.mark.slow
 def test_pme_neighbor_energy_matches_dense(solvated_pme, xpme):
     s = solvated_pme.system
     plan = NeighborPlan(s, x0=np.asarray(xpme))

@@ -75,6 +75,7 @@ def test_mc_move_runs_and_scales_molecules(water_sim):
     assert np.allclose(d0, d1, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_ideal_gas_volume_statistics(water_sim):
     """Exact statistical-mechanics anchor for the acceptance rule: with
     all nonbonded interactions zeroed, center-scaled volume moves have
@@ -151,6 +152,7 @@ def test_traced_box_neighbor_matches_static(sparse_sim):
     assert abs(e0 - e1) < 1e-3 + 1e-6 * abs(e0)
 
 
+@pytest.mark.slow
 def test_traced_box_neighbor_matches_rebuilt(sparse_sim):
     """Scaled box through the traced argument == dense system rebuilt at
     the scaled static box (same static stencil thanks to box_slack)."""

@@ -178,6 +178,7 @@ def test_no_fallback_trinucleotide(seq, rna):
 # geometry comes out
 # --------------------------------------------------------------------------
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seq,rna", [("AT", False), ("GC", True)])
 def test_minimize_dinucleotide(seq, rna):
     import jax.numpy as jnp
@@ -201,6 +202,7 @@ def test_minimize_dinucleotide(seq, rna):
     assert max(devs) < 0.01, f"max bond deviation {max(devs)*10:.3f} A"
 
 
+@pytest.mark.slow
 def test_solvated_dna_pme_neutralized():
     """solvate() neutralizes the phosphate charge with Na+ and the PME
     system builds with finite energy -- the explicit-solvent production

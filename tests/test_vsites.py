@@ -146,6 +146,7 @@ def test_tip4pew_energy_uses_m_charge():
     assert abs(e3 - e1) > 1.0
 
 
+@pytest.mark.slow
 def test_npt_with_tip4pew():
     """NPT composes with 4-site water: the volume move re-places stale M
     rows, molecules (incl. their M) translate rigidly, energies stay
