@@ -34,6 +34,17 @@ Pins the committed anchors produced on TPU:
   invariant subspace legitimately excludes the comparatively fast
   helix-coil mode — the multi-dim generalization of the 1-D
   full-feature honest negative.  Pinned below as regressions.
+  NOTE: this artifact was trained under the pre-round-4 SUM-loss
+  multi-dim dynamics; kept as the record of that study.
+- data/golden/deca_multichi_meanloss.npz (round 5,
+  out/deca_multichi_meanloss/multichi.json): the SAME protocol rerun at
+  nout=3 under the corrected per-observation-MEAN dynamics (the
+  round-4 verdict's open question).  The honest negative PERSISTS:
+  subspace R(psi_2) = 0.56 (up from 0.42 but far below the 0.95
+  acceptance), and the trained span still variationally dominates the
+  anchor (two modes with lag-250 ps autocorrelation ~0.94-0.96 vs
+  lambda_2 = 0.735) — so the round-4 conclusion stands under correct
+  training dynamics.  Pinned below.
 """
 
 import json
@@ -46,6 +57,7 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EQ = os.path.join(HERE, "data", "golden", "deca_msm_eq.npz")
 TRAJ = os.path.join(HERE, "data", "golden", "deca_traj_iso.npz")
 MULTI = os.path.join(HERE, "data", "golden", "deca_multichi.npz")
+MULTI_ML = os.path.join(HERE, "data", "golden", "deca_multichi_meanloss.npz")
 GOLDEN_MD = os.path.join(HERE, "out", "golden_md.json")
 
 
@@ -175,3 +187,54 @@ def test_method_equivalence_threshold(traj):
     # identifiable anchor): ISOKANN and the grid MSM estimate the same
     # projected operator from the same frames at the same lag
     assert float(traj["cv_chi_corr"]) >= 0.95, float(traj["cv_chi_corr"])
+
+
+# -- round-5 mean-loss rerun (deca_multichi_meanloss.npz) ------------------
+
+@pytest.fixture(scope="module")
+def multi_ml():
+    if not os.path.exists(MULTI_ML):
+        pytest.skip("deca mean-loss multichi rerun not generated yet")
+    with np.load(MULTI_ML) as z:
+        return {k: z[k] for k in z.files}
+
+
+def test_multichi_meanloss_negative_persists(multi_ml):
+    """The round-4 verdict's open question: does the psi_2-containment
+    honest negative survive the corrected per-observation-MEAN training
+    dynamics?  It does — R moved 0.42 -> 0.56, still far below the 0.95
+    acceptance.  Pinned against the recorded full-frame value (the npz
+    carries a 1-in-10 stride, hence the 0.05 tolerance)."""
+    from isokann_tpu.analysis.msm import containment_R
+
+    assert int(multi_ml["nout"]) == 3
+    chi = np.asarray(multi_ml["chi"], np.float64)
+    ref = np.asarray(multi_ml["ref"], np.float64)
+    R, finfrac = containment_R(ref, chi)
+    assert finfrac > 0.95
+    assert abs(R - float(multi_ml["subspace_R_psi2"])) < 0.05, \
+        (R, float(multi_ml["subspace_R_psi2"]))
+    assert R < 0.95    # the acceptance bar stays unmet
+    assert 0.45 < float(multi_ml["subspace_R_psi2"]) < 0.70  # recorded 0.56
+
+
+def test_multichi_meanloss_variational_dominance(multi_ml):
+    """Why the containment still fails under correct dynamics: the
+    learned 3-D span holds TWO modes slower than the anchor's entire
+    spectrum (the third direction is the near-constant partition-of-
+    unity combination, degenerate after mean-centering)."""
+    from isokann_tpu.analysis.msm import subspace_spectrum
+
+    chi = np.asarray(multi_ml["chi"], np.float64)
+    W, sstep, n_frames, slag = 32, 10, 1580, 2
+    assert len(chi) * sstep == W * n_frames
+    idx = np.arange(len(chi))
+    orig = idx * sstep
+    ok = ((orig // n_frames) == ((orig + slag * sstep) // n_frames)) \
+        & (idx + slag < len(chi))
+    gev, _, _ = subspace_spectrum(chi[idx[ok]], chi[idx[ok] + slag])
+    lam2 = float(np.asarray(multi_ml["msm_eigvals"], np.float64)[1])
+    assert 0.7 < lam2 < 0.8
+    assert gev[0] <= 1.0 + 1e-6
+    assert (gev[:2] >= 0.93).all(), gev.tolist()
+    assert (gev[:2] > lam2 + 0.19).all(), (gev.tolist(), lam2)
