@@ -92,22 +92,39 @@ def main():
           f"ratio {res.get('plateau_ratio')}, "
           f"ok={res.get('plateau_ok')} ({time.time() - t0:.0f}s)",
           flush=True)
+    # checkpoint after the rates phase: the CK legs are the slowest part
+    # and a wall-clock kill there must not lose the ladder (it did once —
+    # the round-5 first attempt died in the factor-4 leg after 2.5 h)
+    path = os.path.join(args.out, "plateau_ext.json")
+    res["wall_s"] = time.time() - t0
+    json.dump(res, open(path, "w"), indent=1, default=float)
 
     if not args.skip_ck:
+        # one factor per cktest call, checkpointing the JSON after each:
+        # each leg repropagates tau and k*tau, so a kill loses at most
+        # the running leg
         tck = time.time()
-        ck_ok, ck_rows = cktest(
-            iso, steps=62500, factors=(2, 4), nx=args.ck_nx, nk=args.ck_nk,
-            key=11, max_batch=args.max_batch)
-        res["cktest_ok"] = bool(ck_ok)
-        res["cktest_rows"] = [{k: v for k, v in r.items() if k != "dev"}
-                              for r in ck_rows]
-        res["cktest_max_abs_dev"] = max(r["max_abs_dev"] for r in ck_rows)
-        res["cktest_wall_s"] = time.time() - tck
-        print(f"[cktest] ok={ck_ok} max_dev={res['cktest_max_abs_dev']:.3f} "
+        ck_rows, ck_oks = [], []
+        for fac in (2, 4):
+            ok_f, rows_f = cktest(
+                iso, steps=62500, factors=(fac,), nx=args.ck_nx,
+                nk=args.ck_nk, key=11, max_batch=args.max_batch)
+            ck_rows += [{k: v for k, v in r.items() if k != "dev"}
+                        for r in rows_f]
+            ck_oks.append(bool(ok_f))
+            res["cktest_ok"] = all(ck_oks)
+            res["cktest_factors_done"] = [r["factor"] for r in ck_rows]
+            res["cktest_rows"] = ck_rows
+            res["cktest_max_abs_dev"] = max(r["max_abs_dev"]
+                                            for r in ck_rows)
+            res["cktest_wall_s"] = time.time() - tck
+            res["wall_s"] = time.time() - t0
+            json.dump(res, open(path, "w"), indent=1, default=float)
+        print(f"[cktest] ok={res['cktest_ok']} "
+              f"max_dev={res['cktest_max_abs_dev']:.3f} "
               f"({res['cktest_wall_s']:.0f}s)", flush=True)
 
     res["wall_s"] = time.time() - t0
-    path = os.path.join(args.out, "plateau_ext.json")
     json.dump(res, open(path, "w"), indent=1, default=float)
     print(f"wrote {path} ({res['wall_s']:.0f}s)", flush=True)
 
