@@ -90,3 +90,30 @@ def test_eq_msm_spectral_sanity():
     assert np.isfinite(vec).all()
     # nontrivial mode: not a constant
     assert vec.std() > 1e-3
+
+
+def test_plateau_extension_honest_bound():
+    """Round-5 ladder extension (out/trpcage_tpu/plateau_ext.json): all
+    three rungs (25/125/625 ps) resolve under the bootstrap criterion
+    and the implied timescale is STILL RISING at 625 ps — the recorded
+    conclusion is an honest bound (campaign macro-rates are lower
+    bounds, true slow timescale >= ~1.35 ns), NOT a plateau claim.
+    Pin the artifact's internal consistency so a regenerated artifact
+    that flips the conclusion must update this test."""
+    import json
+    p = os.path.join(HERE, "out", "trpcage_tpu", "plateau_ext.json")
+    if not os.path.exists(p):
+        pytest.skip("plateau extension artifact not generated yet")
+    d = json.load(open(p))
+    rows = [r for r in d["rows"] if r["resolved"]]
+    assert [r["steps"] for r in rows] == [12500, 62500, 312500]
+    ts = [r["timescale"] for r in rows]
+    assert ts == sorted(ts)                       # monotone rising
+    ratio = ts[-1] / ts[-2]
+    # log-transcribed timescales carry 6 significant digits
+    assert abs(ratio - d["plateau_ratio"]) < 1e-4
+    assert d["plateau_ok"] is False               # honestly unresolved
+    assert ts[-1] > 1300.0                        # >= ~1.35 ns bound
+    # CK at the campaign lag passes at factor 2 within the 0.1 band
+    ck2 = [r for r in d["cktest_rows"] if r["factor"] == 2]
+    assert ck2 and ck2[0]["ok"] and ck2[0]["max_abs_dev"] < 0.1
