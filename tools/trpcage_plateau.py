@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--lags", type=int, nargs="+",
                     default=[12500, 62500, 312500])
     ap.add_argument("--skip-ck", action="store_true")
+    ap.add_argument("--skip-rates", action="store_true",
+                    help="reuse the existing plateau_ext.json rates and "
+                         "run only the CK legs (resume after a kill)")
+    ap.add_argument("--ck-factors", type=int, nargs="+", default=[2, 4])
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -59,6 +63,12 @@ def main():
     dt_per_step = sim.lagtime / sim.steps
     print(f"{sim.natoms} atoms, campaign lag {sim.steps} steps "
           f"({sim.lagtime} ps); ladder {args.lags} steps", flush=True)
+
+    path = os.path.join(args.out, "plateau_ext.json")
+    if args.skip_rates:
+        res = json.load(open(path))
+        _run_ck(args, iso, res, path, t0)
+        return
 
     res = dict(artifact=os.path.relpath(args.out, ROOT),
                lags_steps=args.lags, nx=args.nx, nk=args.nk,
@@ -95,38 +105,58 @@ def main():
     # checkpoint after the rates phase: the CK legs are the slowest part
     # and a wall-clock kill there must not lose the ladder (it did once —
     # the round-5 first attempt died in the factor-4 leg after 2.5 h)
-    path = os.path.join(args.out, "plateau_ext.json")
     res["wall_s"] = time.time() - t0
     json.dump(res, open(path, "w"), indent=1, default=float)
 
     if not args.skip_ck:
-        # one factor per cktest call, checkpointing the JSON after each:
-        # each leg repropagates tau and k*tau, so a kill loses at most
-        # the running leg
-        tck = time.time()
-        ck_rows, ck_oks = [], []
-        for fac in (2, 4):
-            ok_f, rows_f = cktest(
-                iso, steps=62500, factors=(fac,), nx=args.ck_nx,
-                nk=args.ck_nk, key=11, max_batch=args.max_batch)
-            ck_rows += [{k: v for k, v in r.items() if k != "dev"}
-                        for r in rows_f]
-            ck_oks.append(bool(ok_f))
-            res["cktest_ok"] = all(ck_oks)
-            res["cktest_factors_done"] = [r["factor"] for r in ck_rows]
-            res["cktest_rows"] = ck_rows
-            res["cktest_max_abs_dev"] = max(r["max_abs_dev"]
-                                            for r in ck_rows)
-            res["cktest_wall_s"] = time.time() - tck
-            res["wall_s"] = time.time() - t0
-            json.dump(res, open(path, "w"), indent=1, default=float)
-        print(f"[cktest] ok={res['cktest_ok']} "
-              f"max_dev={res['cktest_max_abs_dev']:.3f} "
-              f"({res['cktest_wall_s']:.0f}s)", flush=True)
+        _run_ck(args, iso, res, path, t0)
+    else:
+        print(f"wrote {path} ({res['wall_s']:.0f}s)", flush=True)
 
-    res["wall_s"] = time.time() - t0
-    json.dump(res, open(path, "w"), indent=1, default=float)
-    print(f"wrote {path} ({res['wall_s']:.0f}s)", flush=True)
+
+def _run_ck(args, iso, res, path, t0):
+    """CK legs, one factor per call, checkpointing the JSON after each:
+    each leg repropagates tau and k*tau, so a kill loses at most the
+    running leg.  Factors already recorded in ``res`` are skipped
+    (resume semantics)."""
+    import numpy as np  # noqa: F811
+
+    from isokann_tpu.workflows import cktest
+
+    import json as _json
+    import time as _time
+
+    tck = _time.time()
+    ck_rows = [r for r in res.get("cktest_rows", [])
+               if isinstance(r, dict) and "factor" in r]
+    done = {r["factor"] for r in ck_rows}
+    ck_oks = [bool(r.get("ok", True)) for r in ck_rows]
+    for fac in args.ck_factors:
+        if fac in done:
+            print(f"[cktest] k={fac} already recorded, skipping",
+                  flush=True)
+            continue
+        ok_f, rows_f = cktest(
+            iso, steps=62500, factors=(fac,), nx=args.ck_nx,
+            nk=args.ck_nk, key=11, max_batch=args.max_batch)
+        ck_rows += [{k: v for k, v in r.items() if k != "dev"}
+                    for r in rows_f]
+        ck_oks.append(bool(ok_f))
+        res["cktest_base_steps"] = 62500
+        res["cktest_ok"] = all(ck_oks)
+        res["cktest_factors_done"] = [r["factor"] for r in ck_rows]
+        res["cktest_rows"] = ck_rows
+        res["cktest_max_abs_dev"] = max(r["max_abs_dev"] for r in ck_rows)
+        res["cktest_wall_s"] = res.get("cktest_wall_s", 0.0) + (
+            _time.time() - tck)
+        res.pop("cktest_factor4", None)   # clears the kill marker
+        res["wall_s"] = _time.time() - t0
+        _json.dump(res, open(path, "w"), indent=1, default=float)
+        tck = _time.time()
+    print(f"[cktest] ok={res.get('cktest_ok')} "
+          f"max_dev={res.get('cktest_max_abs_dev', float('nan')):.3f}",
+          flush=True)
+    print(f"wrote {path}", flush=True)
 
 
 if __name__ == "__main__":
