@@ -114,6 +114,11 @@ def test_plateau_extension_honest_bound():
     assert abs(ratio - d["plateau_ratio"]) < 1e-4
     assert d["plateau_ok"] is False               # honestly unresolved
     assert ts[-1] > 1300.0                        # >= ~1.35 ns bound
-    # CK at the campaign lag passes at factor 2 within the 0.1 band
-    ck2 = [r for r in d["cktest_rows"] if r["factor"] == 2]
-    assert ck2 and ck2[0]["ok"] and ck2[0]["max_abs_dev"] < 0.1
+    # CK at the campaign lag: factor 2 passes within the 0.1 band,
+    # factor 4 FAILS (0.139, bootstrap-significant) — coherent with the
+    # rising ladder: the chi-projected dynamics at a 125 ps base lag is
+    # not Markovian out to 500 ps because slower unresolved modes exist
+    ck = {r["factor"]: r for r in d["cktest_rows"]}
+    assert ck[2]["ok"] and ck[2]["max_abs_dev"] < 0.1
+    if 4 in ck:
+        assert not ck[4]["ok"] and ck[4]["max_abs_dev"] > 0.1
